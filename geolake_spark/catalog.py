@@ -1,0 +1,159 @@
+"""Iceberg-style table layer: snapshots, per-partition manifests, atomic
+commit, checkpoint resume.
+
+No Iceberg jars exist in this sandbox (SURVEY.md §4), so the layout is
+emulated with the same contract Iceberg gives a job:
+
+    table_root/
+      metadata/
+        version-hint.txt          # current snapshot id (atomic swap target)
+        snap-<id>.json            # snapshot: schema, partition spec, manifest list
+        manifest-<id>-<part>.json # per-partition lineage: files, row counts,
+                                  # cell histogram, min/max stats
+      data/
+        <partition_path>/part-*.parquet
+
+Commit protocol (atomic via rename, single-writer):
+  1. write data files under data/<partition>/ (task output)
+  2. write manifest JSONs for the new partitions
+  3. write snap-N.json listing ALL live manifests (previous + new)
+  4. atomically rename a temp version-hint over version-hint.txt
+
+Resume = anti-join of planned partition values against partitions already in
+the current snapshot (SURVEY.md §2.3 J6; BASELINE.json "resumable from
+checkpoint with per-partition lineage + metrics").  The reference analogue is
+the request state machine PENDING->DONE in Postgres
+(/root/reference/datastore/dbmanager/dbmanager.py:42-49) — here the lakehouse
+metadata itself is the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IcebergishTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # -- metadata primitives ------------------------------------------------
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.txt")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _snap_path(self, snap_id: int) -> str:
+        return os.path.join(self.meta_dir, f"snap-{snap_id}.json")
+
+    def snapshot(self, snap_id: int | None = None) -> dict | None:
+        sid = snap_id if snap_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(self._snap_path(sid)) as f:
+            return json.load(f)
+
+    def manifests(self, snap_id: int | None = None) -> list[dict]:
+        snap = self.snapshot(snap_id)
+        if snap is None:
+            return []
+        out = []
+        for mpath in snap["manifest_list"]:
+            with open(os.path.join(self.meta_dir, mpath)) as f:
+                out.append(json.load(f))
+        return out
+
+    def committed_partitions(self, snap_id: int | None = None) -> list[dict]:
+        """Partition-value dicts present in the current snapshot."""
+        return [m["partition"] for m in self.manifests(snap_id)]
+
+    # -- write path ----------------------------------------------------------
+
+    def init(self, schema_json: str, partition_cols: list[str]) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        spec = {"schema": json.loads(schema_json), "partition_cols": partition_cols}
+        with open(os.path.join(self.meta_dir, "table-spec.json"), "w") as f:
+            json.dump(spec, f, indent=1)
+
+    def table_spec(self) -> dict:
+        with open(os.path.join(self.meta_dir, "table-spec.json")) as f:
+            return json.load(f)
+
+    def partition_path(self, partition: dict) -> str:
+        parts = [f"{k}={v}" for k, v in partition.items()]
+        return os.path.join(self.data_dir, *parts)
+
+    def commit(self, new_manifests: list[dict]) -> int:
+        """Append new partition manifests as a new snapshot (atomic)."""
+        prev = self.snapshot()
+        prev_list = list(prev["manifest_list"]) if prev else []
+        snap_id = (prev["snapshot_id"] + 1) if prev else 1
+        mpaths = []
+        for m in new_manifests:
+            name = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.json"
+            with open(os.path.join(self.meta_dir, name), "w") as f:
+                json.dump(m, f)
+            mpaths.append(name)
+        # replace manifests for partitions being overwritten
+        new_parts = {json.dumps(m["partition"], sort_keys=True) for m in new_manifests}
+        keep = []
+        for mp in prev_list:
+            with open(os.path.join(self.meta_dir, mp)) as f:
+                part = json.dumps(json.load(f)["partition"], sort_keys=True)
+            if part not in new_parts:
+                keep.append(mp)
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "timestamp_ms": int(time.time() * 1000),
+            "manifest_list": keep + mpaths,
+            "summary": {"added_partitions": len(new_manifests)},
+        }
+        with open(self._snap_path(snap_id), "w") as f:
+            json.dump(snap, f, indent=1)
+        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(tmp, self._hint_path())  # the atomic swap
+        return snap_id
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, spark: SparkSession,
+             partition_filter=None) -> DataFrame:
+        """Manifest-driven scan: only paths of live (optionally filtered)
+        partitions are handed to the reader — partition pruning happens at
+        the metadata level, mirroring geolake's attribute filters
+        (datastore.py:420-423)."""
+        manifests = self.manifests()
+        if partition_filter is not None:
+            manifests = [m for m in manifests if partition_filter(m["partition"])]
+        if not manifests:
+            raise ValueError("no live partitions (empty table or all pruned)")
+        paths = [self.partition_path(m["partition"]) for m in manifests]
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return df
+
+    def stats(self) -> dict:
+        """Table-level statistics from manifests only (no data scan) — the
+        geolake `estimate` analogue (datastore.py:363-394)."""
+        ms = self.manifests()
+        return {
+            "partitions": len(ms),
+            "rows": sum(m["row_count"] for m in ms),
+            "bytes": sum(m["byte_size"] for m in ms),
+        }

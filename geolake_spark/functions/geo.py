@@ -1,0 +1,142 @@
+"""Geo column functions.
+
+Two tiers, deliberately:
+
+* **Expression tier** (preferred, JVM-side): ``grid_cell_col``,
+  ``tile_x_col``/``tile_y_col``, ``haversine_col`` are pure Spark column
+  expressions built from the same closed-form math as the NumPy kernels —
+  they stay inside whole-stage codegen and are what the hot paths use.
+* **Pandas-UDF tier** (Arrow batches): packed multi-resolution cell arrays
+  and canonical S2 ids, where the math (Hilbert lookup) isn't expressible
+  as a SQL expression.
+
+Reference analogue: geolake's spatial ops are delegated to geokube
+(``geobbox``/``locations`` at /root/reference/datastore/datastore/datastore.py:429-434);
+here they become first-class Spark columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geolake_spark import cells
+
+# ---------------------------------------------------------------------------
+# Expression tier (whole-stage codegen; identical math to cells.py/SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def grid_cell_col(lat: Column, lon: Column, res: int) -> Column:
+    """int64 grid-cell id at ``res`` as a JVM expression (= cells.grid_cell)."""
+    nx, ny = cells.grid_dims(res)
+    ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / 360.0 * nx), F.lit(0)),
+                 F.lit(nx - 1)).cast("bigint")
+    iy = F.least(F.greatest(F.floor((F.lit(90.0) - lat) / 180.0 * ny), F.lit(0)),
+                 F.lit(ny - 1)).cast("bigint")
+    return (F.lit(res) * F.lit(1 << 56).cast("bigint")
+            + iy * F.lit(1 << 28).cast("bigint") + ix)
+
+
+def tile_x_col(lon: Column, zoom: int) -> Column:
+    n = 1 << zoom
+    return F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / 360.0 * n), F.lit(0)),
+        F.lit(n - 1)).cast("bigint")
+
+
+def tile_y_col(lat: Column, zoom: int) -> Column:
+    n = 1 << zoom
+    clamped = F.least(F.greatest(lat, F.lit(-cells.MERCATOR_MAX_LAT)),
+                      F.lit(cells.MERCATOR_MAX_LAT))
+    rad = F.radians(clamped)
+    yt = F.floor((F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+                  / F.lit(float(np.pi))) / 2.0 * n)
+    return F.least(F.greatest(yt, F.lit(0)), F.lit(n - 1)).cast("bigint")
+
+
+def haversine_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle km; same formula as cells.haversine_km / haversine_sql."""
+    la1, lo1, la2, lo2 = (F.radians(c) for c in (lat1, lon1, lat2, lon2))
+    h = (F.pow(F.sin((la2 - la1) / 2), 2)
+         + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2))
+    return F.lit(2.0 * cells.EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def bbox_filter(lat: Column, lon: Column,
+                south: float, north: float, west: float, east: float) -> Column:
+    """geolake ``geobbox`` predicate (datastore.py:429-431), antimeridian-aware."""
+    lat_ok = lat.between(south, north)
+    if west <= east:
+        return lat_ok & lon.between(west, east)
+    return lat_ok & (lon.between(west, 180.0) | lon.between(-180.0, east))
+
+
+# Deterministic arithmetic geocode of an integer id onto ~50 "city" clusters.
+# Pure int64 arithmetic => bit-identical in Spark and DuckDB (oracle parity),
+# and gives the skewed spatial distribution the bench needs.
+N_CITIES = 50
+
+
+def geocode_lat_col(key: Column) -> Column:
+    city = key % N_CITIES
+    clat = ((city * 7919) % 140).cast("double") - 70.0
+    jitter = ((key * 2654435761) % 20000).cast("double") / 10000.0 - 1.0
+    return F.least(F.greatest(clat + jitter, F.lit(-89.9)), F.lit(89.9))
+
+
+def geocode_lon_col(key: Column) -> Column:
+    city = key % N_CITIES
+    clon = ((city * 104729) % 340).cast("double") - 170.0
+    jitter = ((key * 1610612741) % 20000).cast("double") / 10000.0 - 1.0
+    return F.least(F.greatest(clon + jitter, F.lit(-179.9)), F.lit(179.9))
+
+
+def geocode_lat_sql(key: str) -> str:
+    return (f"least(greatest(cast((({key}) % {N_CITIES}) * 7919 % 140 as double) - 70.0"
+            f" + cast(({key}) * 2654435761 % 20000 as double) / 10000.0 - 1.0,"
+            f" -89.9), 89.9)")
+
+
+def geocode_lon_sql(key: str) -> str:
+    return (f"least(greatest(cast((({key}) % {N_CITIES}) * 104729 % 340 as double) - 170.0"
+            f" + cast(({key}) * 1610612741 % 20000 as double) / 10000.0 - 1.0,"
+            f" -179.9), 179.9)")
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF tier (Arrow batches over the NumPy kernels)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def h3_cells_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """Packed multi-resolution cell-id array (res 5..9), one Arrow batch at
+    a time (SURVEY.md §1.3 `h3_cells array<bigint>`)."""
+    mat = cells.pack_cells(lat.to_numpy(), lon.to_numpy())
+    return pd.Series(list(mat))
+
+
+@pandas_udf(T.LongType())
+def s2_cell_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    return pd.Series(cells.s2_cell_id(lat.to_numpy(), lon.to_numpy(), level=12))
+
+
+def with_geo_columns(df, lat_col: str = "lat", lon_col: str = "lon",
+                     zoom: int = 8):
+    """Standard derived-column stack for the pages data model:
+    h3_cells (res 5-9 packed), per-res convenience cols, s2_cell, tile z/x/y."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    out = df
+    for r in cells.PACK_RESOLUTIONS:
+        out = out.withColumn(f"cell_r{r}", grid_cell_col(lat, lon, r))
+    return (out
+            .withColumn("h3_cells", h3_cells_udf(lat, lon))
+            .withColumn("s2_cell", s2_cell_udf(lat, lon))
+            .withColumn("tile_z", F.lit(zoom))
+            .withColumn("tile_x", tile_x_col(lon, zoom))
+            .withColumn("tile_y", tile_y_col(lat, zoom)))

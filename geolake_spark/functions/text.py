@@ -1,0 +1,206 @@
+"""Text-pipeline column functions for web-page tables.
+
+The flagship invariant (BASELINE.json ``input_hint``): ``extract_text`` is a
+*pure* function html-bytes -> text-string, and the engine must reproduce the
+``text`` column of the pages table **byte-identically per url** — verified by
+pytest golden hashes and by the synthetic generator writing
+``text = extract_text(html)`` at creation time.
+
+Everything runs as Arrow-batched pandas transforms (mapInPandas / pandas_udf)
+or as pure JVM expressions — no per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (deterministic, byte-stable)
+# ---------------------------------------------------------------------------
+
+_RE_SCRIPT = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
+_RE_COMMENT = re.compile(rb"(?s)<!--.*?-->")
+_RE_TAG = re.compile(rb"(?s)<[^>]*>")
+_RE_WS = re.compile(rb"[ \t\r\n\f\v]+")
+_ENTITIES = [
+    (b"&nbsp;", b" "),
+    (b"&amp;", b"&"),
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&#39;", b"'"),
+]
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Pure html-bytes -> text.  Order of passes is part of the contract:
+    strip script/style blocks, strip comments, strip tags, decode the six
+    common entities, collapse whitespace, strip ends, decode utf-8."""
+    b = _RE_SCRIPT.sub(b" ", html)
+    b = _RE_COMMENT.sub(b" ", b)
+    b = _RE_TAG.sub(b" ", b)
+    for ent, rep in _ENTITIES:
+        b = b.replace(ent, rep)
+    b = _RE_WS.sub(b" ", b).strip()
+    return b.decode("utf-8", errors="replace")
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes)  # per-batch pandas map over bytes
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + a BPE-ish sub-word regex)
+# ---------------------------------------------------------------------------
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count as a JVM expression (oracle:
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` in DuckDB)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))).cast("bigint")
+
+
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+@pandas_udf(T.LongType())
+def bpe_token_count_udf(text: pd.Series) -> pd.Series:
+    """BPE-ish token estimate: alpha runs count ceil(len/4) sub-tokens,
+    digits and punctuation count 1 each (a common tokenizer approximation)."""
+    def count(s: str) -> int:
+        total = 0
+        for m in _BPE_RE.finditer(s):
+            tok = m.group(0)
+            total += (len(tok) + 3) // 4 if tok[0].isalpha() else 1
+        return total
+    return text.map(count)
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-count heuristic, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of"],
+    "it": ["il", "che", "di", "per"],
+    "de": ["der", "und", "ist", "nicht"],
+    "fr": ["le", "et", "est", "les"],
+    "es": ["el", "que", "de", "los"],
+}
+LANG_ORDER = ["en", "it", "de", "fr", "es"]  # tie-break: first wins
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    needle = f" {word} "
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("bigint")
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0).cast("bigint")
+    for w in LANG_STOPWORDS[lang]:
+        score = score + _occurrences(padded, w)
+    return score
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over language stopword scores, first-wins on ties (the same
+    CASE ladder is emitted for the DuckDB oracle by ``lang_id_sql``)."""
+    scores = {lg: lang_score_col(text, lg) for lg in LANG_ORDER}
+    expr = None
+    for i, lg in enumerate(LANG_ORDER):
+        cond = F.lit(True)
+        for other in LANG_ORDER[:i]:
+            cond = cond & (scores[lg] > scores[other])
+        for other in LANG_ORDER[i + 1:]:
+            cond = cond & (scores[lg] >= scores[other])
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return expr.otherwise(F.lit("und"))
+
+
+def _occurrences_sql(padded: str, word: str) -> str:
+    needle = f" {word} "
+    return (f"cast((length({padded}) - length(replace({padded}, '{needle}', '')))"
+            f" / {len(needle)} as bigint)")
+
+
+def lang_score_sql(text_expr: str, lang: str) -> str:
+    padded = f"(' ' || lower({text_expr}) || ' ')"
+    return "(" + " + ".join(_occurrences_sql(padded, w) for w in LANG_STOPWORDS[lang]) + ")"
+
+
+def lang_id_sql(text_expr: str) -> str:
+    scores = {lg: lang_score_sql(text_expr, lg) for lg in LANG_ORDER}
+    cases = []
+    for i, lg in enumerate(LANG_ORDER):
+        conds = [f"{scores[lg]} > {scores[o]}" for o in LANG_ORDER[:i]]
+        conds += [f"{scores[lg]} >= {scores[o]}" for o in LANG_ORDER[i + 1:]]
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lg}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+_PUNCT = ".,!?;:"
+
+
+def punct_count_col(text: Column) -> Column:
+    c = F.lit(0).cast("bigint")
+    for ch in _PUNCT:
+        c = c + (F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))).cast("bigint")
+    return c
+
+
+def punct_count_sql(text_expr: str) -> str:
+    parts = [f"(length({text_expr}) - length(replace({text_expr}, '{ch}', '')))"
+             for ch in _PUNCT]
+    return "cast((" + " + ".join(parts) + ") as bigint)"
+
+
+def quality_score_col(text: Column) -> Column:
+    """0..1 heuristic: rewards 200-2000 char docs, some punctuation, and an
+    English-stopword presence.  Rounded to 6 dp for oracle hash parity."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_ratio = F.least(punct_count_col(text).cast("double") / F.greatest(n, F.lit(1.0))
+                          * F.lit(20.0), F.lit(1.0))
+    sw_ratio = F.least(lang_score_col(text, "en").cast("double")
+                       / F.greatest(token_count_col(text).cast("double"), F.lit(1.0))
+                       * F.lit(5.0), F.lit(1.0))
+    return F.round((len_score + punct_ratio + sw_ratio) / F.lit(3.0), 6)
+
+
+def quality_score_sql(text_expr: str) -> str:
+    n = f"cast(length({text_expr}) as double)"
+    tokens = (f"cast(case when length(trim({text_expr})) = 0 then 0 else "
+              f"len(regexp_split_to_array(trim({text_expr}), '\\s+')) end as double)")
+    len_score = f"least({n} / 500.0, 1.0)"
+    punct_ratio = f"least(cast({punct_count_sql(text_expr)} as double) / greatest({n}, 1.0) * 20.0, 1.0)"
+    sw_ratio = (f"least(cast({lang_score_sql(text_expr, 'en')} as double)"
+                f" / greatest({tokens}, 1.0) * 5.0, 1.0)")
+    return f"round(({len_score} + {punct_ratio} + {sw_ratio}) / 3.0, 6)"
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Stable content fingerprint = md5 hex (identical in Spark & DuckDB)."""
+    return F.md5(text)
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    return f"md5({text_expr})"

@@ -1,0 +1,40 @@
+"""Per-partition lineage metrics: row counts + cell histograms.
+
+north_rule: "resumable from checkpoint with per-partition lineage + metrics"
+(BASELINE.json:14; SURVEY.md §2.4 A4).  Computed with one distributed
+aggregation per commit — never a driver-side loop over rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geolake_spark.functions.geo import grid_cell_col
+
+HISTOGRAM_RES = 5
+
+
+def partition_metrics(df: DataFrame, partition_cols: list[str],
+                      lat_col: str = "lat", lon_col: str = "lon") -> list[dict]:
+    """One dict per partition: {partition, row_count, cell_histogram}.
+
+    cell_histogram: res-5 grid-cell -> row count (the coarse spatial
+    fingerprint recorded in every manifest).
+    """
+    has_geo = lat_col in df.columns and lon_col in df.columns
+    cell = (grid_cell_col(F.col(lat_col), F.col(lon_col), HISTOGRAM_RES)
+            if has_geo else F.lit(-1))
+    agg = (df.withColumn("_hcell", cell)
+           .groupBy(*partition_cols, "_hcell")
+           .agg(F.count("*").alias("cnt")))
+    rows = agg.collect()  # size = partitions x occupied coarse cells (small)
+    out: dict[tuple, dict] = {}
+    for r in rows:
+        key = tuple(r[c] for c in partition_cols)
+        entry = out.setdefault(key, {
+            "partition": {c: r[c] for c in partition_cols},
+            "row_count": 0, "cell_histogram": {}})
+        entry["row_count"] += r["cnt"]
+        entry["cell_histogram"][str(r["_hcell"])] = r["cnt"]
+    return list(out.values())

@@ -1,0 +1,264 @@
+"""Spatial joins: point-in-polygon broadcast join and kNN ring-expansion join.
+
+North-rule operators (BASELINE.json:6,14; SURVEY.md §2.3 J1/J2).  Design:
+
+* **PIP join** — polygons are a small dimension.  On the driver we cover each
+  polygon's bbox with grid cells at a prefilter resolution and *classify*
+  every cover cell as INTERIOR (wholly inside -> no exact test needed) or
+  BOUNDARY (an edge passes through -> ray-cast refine).  The (cell,
+  polygon_id, interior) table is broadcast and equi-joined against the pages'
+  precomputed cell column — a broadcast hash join, no shuffle of the fact
+  table.  Only boundary-cell rows enter the Arrow-batched ray-casting UDF,
+  so the exact test touches a tiny fraction of rows at scale.
+* **kNN join** — query points are broadcast.  Candidates come from grid-cell
+  Chebyshev disks (k-rings) around each probe; after a windowed top-k we
+  verify the *exactness guarantee* (kth distance <= geometric lower bound of
+  the unexplored region) and re-expand only the unresolved probes.
+  Deterministic tie-break on (distance, url).
+
+Reference analogues: geobbox region masking
+(/root/reference/datastore/datastore/datastore.py:429-431) and nearest-location
+selection (datastore.py:432-434,444-455).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geolake_spark import cells
+from geolake_spark.functions.geo import grid_cell_col, haversine_col
+
+DEFAULT_PIP_RES = 7
+DEFAULT_KNN_RES = 6
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+def _segments(rings: list[np.ndarray]) -> np.ndarray:
+    """(m, 4) array of [x1, y1, x2, y2] for all ring edges."""
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        segs.append(np.hstack([r[:-1], r[1:]]))
+    return np.vstack(segs)
+
+
+def _segs_intersect_rect(segs: np.ndarray, w: float, e: float,
+                         s: float, n: float) -> bool:
+    """Any segment overlaps the [w,e]x[s,n] rect (Cohen-Sutherland style)."""
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    # quick reject: both endpoints strictly one side
+    reject = ((np.maximum(x1, x2) < w) | (np.minimum(x1, x2) > e)
+              | (np.maximum(y1, y2) < s) | (np.minimum(y1, y2) > n))
+    cand = ~reject
+    if not cand.any():
+        return False
+    x1, y1, x2, y2 = x1[cand], y1[cand], x2[cand], y2[cand]
+    # endpoint inside rect?
+    inside = ((x1 >= w) & (x1 <= e) & (y1 >= s) & (y1 <= n)) | \
+             ((x2 >= w) & (x2 <= e) & (y2 >= s) & (y2 <= n))
+    if inside.any():
+        return True
+    # line-rect crossing via parametric clipping (Liang-Barsky)
+    dx, dy = x2 - x1, y2 - y1
+    t0 = np.zeros_like(dx)
+    t1 = np.ones_like(dx)
+    ok = np.ones_like(dx, dtype=bool)
+    for p, q in ((-dx, x1 - w), (dx, e - x1), (-dy, y1 - s), (dy, n - y1)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        zero = p == 0
+        ok &= ~(zero & (q < 0))
+        t0 = np.where((p < 0) & ~zero, np.maximum(t0, r), t0)
+        t1 = np.where((p > 0) & ~zero, np.minimum(t1, r), t1)
+    return bool(np.any(ok & (t0 <= t1)))
+
+
+def _crosses_antimeridian(rings: list[np.ndarray]) -> bool:
+    shell = np.asarray(rings[0], dtype=np.float64)
+    return float(shell[:, 0].max()) > 180.0
+
+
+def _norm_lon_for(rings: list[np.ndarray], lon: np.ndarray) -> np.ndarray:
+    """Polygons crossing the antimeridian use lon > 180 coordinates; shift
+    western-hemisphere points into that frame."""
+    if _crosses_antimeridian(rings):
+        return np.where(lon < 0.0, lon + 360.0, lon)
+    return lon
+
+
+def build_pip_cover(polygons: list[dict], res: int = DEFAULT_PIP_RES) -> pd.DataFrame:
+    """(cell, polygon_id, interior) candidate table, driver-side.
+
+    ``polygons``: [{polygon_id, rings: [[[lon,lat],...], ...]}, ...].
+    """
+    rows = {"cell": [], "polygon_id": [], "interior": []}
+    for poly in polygons:
+        rings = [np.asarray(r, dtype=np.float64) for r in poly["rings"]]
+        south, north, west, east = cells.polygon_bbox(rings)
+        if east > 180.0:  # stored in >180 frame; convert to wrap form
+            cover = cells.cells_covering_bbox(south, north, west, east - 360.0, res)
+        else:
+            cover = cells.cells_covering_bbox(south, north, west, east, res)
+        segs = _segments(rings)
+        cs, cn, cw, ce = cells.cell_bounds(cover)
+        if _crosses_antimeridian(rings):
+            shift = cw < 0.0
+            cw = np.where(shift, cw + 360.0, cw)
+            ce = np.where(shift, ce + 360.0, ce)
+        for i, cid in enumerate(cover):
+            boundary = _segs_intersect_rect(segs, cw[i], ce[i], cs[i], cn[i])
+            if boundary:
+                rows["cell"].append(int(cid))
+                rows["polygon_id"].append(poly["polygon_id"])
+                rows["interior"].append(False)
+            else:
+                # no edge in cell: wholly in or out -> test center
+                mid_lat = np.array([(cs[i] + cn[i]) / 2.0])
+                mid_lon = np.array([(cw[i] + ce[i]) / 2.0])
+                if bool(cells.points_in_polygon(mid_lat, mid_lon, rings)[0]):
+                    rows["cell"].append(int(cid))
+                    rows["polygon_id"].append(poly["polygon_id"])
+                    rows["interior"].append(True)
+    return pd.DataFrame(rows)
+
+
+def make_pip_refine_udf(polygons: list[dict]):
+    """Arrow-batched exact ray-cast: (polygon_id, lat, lon) -> bool.
+    Polygon coordinate arrays ride the closure (broadcast with the UDF)."""
+    poly_map = {int(p["polygon_id"]): [np.asarray(r, dtype=np.float64)
+                                       for r in p["rings"]]
+                for p in polygons}
+
+    @pandas_udf(T.BooleanType())
+    def pip_refine(polygon_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        pid = polygon_id.to_numpy()
+        for p in np.unique(pid):
+            rings = poly_map[int(p)]
+            m = pid == p
+            out[m] = cells.points_in_polygon(la[m], _norm_lon_for(rings, lo[m]), rings)
+        return pd.Series(out)
+
+    return pip_refine
+
+
+def pip_join(points: DataFrame, polygons: list[dict],
+             res: int = DEFAULT_PIP_RES,
+             lat_col: str = "lat", lon_col: str = "lon",
+             cell_col: str | None = None) -> DataFrame:
+    """points x polygons -> points rows + ``polygon_id`` (inner, 1 row per
+    containing polygon).  Broadcast equi-join on the grid cell, exact refine
+    only in boundary cells."""
+    spark = points.sparkSession
+    cover_pdf = build_pip_cover(polygons, res)
+    cover = F.broadcast(spark.createDataFrame(cover_pdf))
+    cell = (F.col(cell_col) if cell_col else
+            grid_cell_col(F.col(lat_col), F.col(lon_col), res))
+    pts = points.withColumn("_cell", cell)
+    joined = pts.join(cover, pts["_cell"] == cover["cell"], "inner").drop("cell", "_cell")
+    refine = make_pip_refine_udf(polygons)
+    return (joined.filter(F.col("interior")
+                          | refine(F.col("polygon_id"), F.col(lat_col), F.col(lon_col)))
+            .drop("interior"))
+
+
+# ---------------------------------------------------------------------------
+# kNN join (ring expansion, exact)
+# ---------------------------------------------------------------------------
+
+
+def _ring_candidates(probes: pd.DataFrame, res: int, k_cheb: dict[int, int]) -> pd.DataFrame:
+    rows = {"query_id": [], "cand_cell": []}
+    for _, r in probes.iterrows():
+        qid = int(r["query_id"])
+        center = int(cells.grid_cell(np.array([r["lat"]]), np.array([r["lon"]]), res)[0])
+        for c in cells.k_ring(center, k_cheb[qid]):
+            rows["query_id"].append(qid)
+            rows["cand_cell"].append(int(c))
+    return pd.DataFrame(rows)
+
+
+def _disk_lower_bound_km(lat: float, res: int, k_cheb: int) -> float:
+    """Min distance from a point in the center cell to outside the disk."""
+    nx, ny = cells.grid_dims(res)
+    cell_h_km = 180.0 / ny * 111.195
+    disk_max_lat = min(abs(lat) + (k_cheb + 1) * 180.0 / ny, 90.0)
+    cell_w_km = 360.0 / nx * 111.195 * max(np.cos(np.radians(disk_max_lat)), 0.0)
+    return k_cheb * min(cell_h_km, cell_w_km)
+
+
+def knn_join(points: DataFrame, probes_pdf: pd.DataFrame, k: int,
+             res: int = DEFAULT_KNN_RES,
+             lat_col: str = "lat", lon_col: str = "lon",
+             id_cols: list[str] | None = None,
+             max_iters: int = 12) -> DataFrame:
+    """Exact k nearest ``points`` per probe.
+
+    ``probes_pdf``: pandas (query_id, lat, lon).  Returns (query_id, probe
+    lat/lon, point id cols, dist_km, rank).  Iterative ring expansion: each
+    round joins only unresolved probes; exactness certified when the kth
+    distance is below the unexplored-region lower bound.
+    """
+    spark = points.sparkSession
+    id_cols = id_cols or ["url"]
+    pts = points.select(lat_col, lon_col, *id_cols)
+
+    unresolved = set(int(q) for q in probes_pdf["query_id"])
+    k_cheb = {int(q): 2 for q in unresolved}
+    results: DataFrame | None = None
+    nx, ny = cells.grid_dims(res)
+    k_world = max(nx // 2 + 1, ny)  # Chebyshev radius covering the globe
+
+    for _ in range(max_iters):
+        sub = probes_pdf[probes_pdf["query_id"].isin(unresolved)]
+        cand = _ring_candidates(sub, res, {q: min(kc, k_world)
+                                           for q, kc in k_cheb.items()})
+        cand_df = F.broadcast(
+            spark.createDataFrame(cand)
+            .join(spark.createDataFrame(sub.rename(
+                columns={"lat": "q_lat", "lon": "q_lon"})), "query_id"))
+        cell = grid_cell_col(F.col(lat_col), F.col(lon_col), res)
+        joined = (pts.withColumn("_cell", cell)
+                  .join(cand_df, F.col("_cell") == F.col("cand_cell"), "inner")
+                  .drop("_cell", "cand_cell"))
+        dist = haversine_col(F.col(lat_col), F.col(lon_col),
+                             F.col("q_lat"), F.col("q_lon"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_km").asc(), *[F.col(c).asc() for c in id_cols])
+        topk = (joined.withColumn("dist_km", dist)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+        stats = {int(r["query_id"]): (int(r["cnt"]), float(r["kth"]))
+                 for r in topk.groupBy("query_id")
+                 .agg(F.count("*").alias("cnt"), F.max("dist_km").alias("kth"))
+                 .collect()}
+        done = set()
+        for _, pr in sub.iterrows():
+            qid = int(pr["query_id"])
+            cnt, kth = stats.get(qid, (0, float("inf")))
+            bound = _disk_lower_bound_km(float(pr["lat"]), res, k_cheb[qid])
+            if (cnt >= k and kth <= bound) or k_cheb[qid] >= k_world:
+                done.add(qid)  # certified exact, or whole world scanned
+            else:
+                k_cheb[qid] *= 2
+        if done:
+            part = topk.filter(F.col("query_id").isin([int(q) for q in done]))
+            results = part if results is None else results.unionByName(part)
+            unresolved -= done
+        if not unresolved:
+            break
+    if unresolved:
+        raise RuntimeError(f"kNN did not converge for probes {sorted(unresolved)}")
+    return results

@@ -1,0 +1,75 @@
+"""Snapshot-committed, resumable partitioned writes.
+
+``write_snapshot`` is the engine's sink: partition the DataFrame, write each
+planned partition's parquet under the Iceberg-style layout, record a manifest
+(row count + cell histogram) per partition, commit atomically.  On restart,
+``resume=True`` anti-joins the planned partitions against the committed ones
+and writes only the remainder (BASELINE.json "resumable from Iceberg-snapshot
+checkpoints"; reference analogue: request state machine
+/root/reference/datastore/dbmanager/dbmanager.py:42-49,102-132).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geolake_spark.catalog import IcebergishTable
+from geolake_spark.metrics import partition_metrics
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def write_snapshot(df: DataFrame, table: IcebergishTable,
+                   partition_cols: list[str],
+                   resume: bool = False,
+                   lat_col: str = "lat", lon_col: str = "lon") -> dict:
+    """Write df into the table, one snapshot. Returns a summary dict.
+
+    The whole write is ONE distributed job (partitionBy write) plus ONE
+    metrics aggregation — planned/committed partition reconciliation happens
+    on partition *values* (metadata), never on data rows.
+    """
+    if not os.path.exists(os.path.join(table.meta_dir, "table-spec.json")):
+        table.init(df.schema.json(), partition_cols)
+
+    committed = table.committed_partitions() if resume else []
+    skip_keys = {tuple(str(p[c]) for c in partition_cols) for p in committed}
+
+    work = df
+    if skip_keys:
+        # metadata-level anti-join: one tiny isin-style predicate per level.
+        # (exceptAll/left_anti against a lifted partition DF would shuffle the
+        # fact table; a literal NOT IN on partition tuples prunes at the scan)
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                      for c in partition_cols])
+        lits = ["\x1f".join(k) for k in skip_keys]
+        work = work.filter(~key.isin(lits))
+
+    planned = [r.asDict() for r in
+               work.select(*partition_cols).distinct().collect()]
+    if not planned:
+        return {"snapshot_id": table.current_snapshot_id(),
+                "written_partitions": 0, "skipped_partitions": len(skip_keys)}
+
+    (work.repartition(*[F.col(c) for c in partition_cols])
+     .write.mode("overwrite")
+     .partitionBy(*partition_cols)
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(table.data_dir))
+
+    metrics = partition_metrics(work, partition_cols, lat_col, lon_col)
+    for m in metrics:
+        m["byte_size"] = _dir_bytes(table.partition_path(m["partition"]))
+    snap_id = table.commit(metrics)
+    return {"snapshot_id": snap_id, "written_partitions": len(metrics),
+            "skipped_partitions": len(skip_keys),
+            "rows": sum(m["row_count"] for m in metrics)}
