@@ -1,38 +1,526 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship geo pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names, floats rounded to 6 dp, ints cast to bigint on
+both sides so value-hashes align).
+
+Geo queries derive (lat, lon) from integer ids with *pure int64 arithmetic*
+(geolake_spark.functions.geo.geocode_*), so Spark and DuckDB compute
+bit-identical coordinates and every spatial operator gets a true value-level
+oracle.  Cell ids / tiles use the same closed-form floor math on both sides
+(geolake_spark.cells.grid_cell_sql / tile_*_sql).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geolake_spark import cells
+from geolake_spark.functions import geo, sim
+from geolake_spark.functions import text as tx
+from geolake_spark.model import GeoQuery
+from geolake_spark.operators import aggregates, ann, dedup, joins, subset, tiles
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic arithmetic geocode (oracle-parity columns)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("lat", geo.geocode_lat_col(F.col("doc_id")))
+            .withColumn("lon", geo.geocode_lon_col(F.col("doc_id"))))
+
+
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("lat", geo.geocode_lat_col(F.col("event_id")))
+            .withColumn("lon", geo.geocode_lon_col(F.col("event_id"))))
+
+
+_DOCS_GEO_SQL = (
+    "SELECT doc_id, text, lang, "
+    f"{geo.geocode_lat_sql('doc_id')} AS lat, "
+    f"{geo.geocode_lon_sql('doc_id')} AS lon FROM documents")
+
+_EVENTS_GEO_SQL = (
+    "SELECT event_id, ts, user_id, event_type, value, "
+    f"{geo.geocode_lat_sql('event_id')} AS lat, "
+    f"{geo.geocode_lon_sql('event_id')} AS lon FROM events")
+
+# PIP oracle rectangles (lon/lat). Rectangle PIP via even-odd ray-casting is
+# the half-open box lat in [s, n), lon in [w, e) — the oracle encodes exactly
+# that.  Chosen to overlap the geocode city clusters.
+_RECTS = [
+    {"polygon_id": 101, "rings": [[[-60.0, -40.0], [20.0, -40.0], [20.0, 30.0],
+                                   [-60.0, 30.0], [-60.0, -40.0]]]},
+    {"polygon_id": 102, "rings": [[[60.0, -70.0], [170.0, -70.0], [170.0, 10.0],
+                                   [60.0, 10.0], [60.0, -70.0]]]},
+    {"polygon_id": 103, "rings": [[[-170.0, 35.0], [-60.0, 35.0], [-60.0, 69.0],
+                                   [-170.0, 69.0], [-170.0, 35.0]]]},
+]
+
+_KNN_PROBES = [(1, 10.0, 25.0),    # reference location fixture (test_geoquery.py:9-14)
+               (2, 48.0, 2.0),
+               (3, -30.0, 150.0)]
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship slice (SURVEY.md §7 M2): documents -> geocode -> cell assign
+    -> PIP broadcast join -> per-tile rollup, on sf0.001."""
+    docs = _docs_geo(spark, "/root/testdata/sf0.001")
+    hit = joins.pip_join(docs, _RECTS, res=6)
+    tiled = tiles.assign_tiles(hit, zoom=6)
+    return (tiled.groupBy("polygon_id", "tile_z", "tile_x", "tile_y")
+            .agg(F.count("*").alias("page_count"))
+            .orderBy("polygon_id", "tile_x", "tile_y"))
+
+
+# ---------------------------------------------------------------------------
+# queries (spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_geo_bbox(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    out = d.filter(geo.bbox_filter(F.col("lat"), F.col("lon"),
+                                   south=-20.0, north=45.0, west=-30.0, east=60.0))
+    return out.select("doc_id", F.round("lat", 6).alias("lat_r"),
+                      F.round("lon", 6).alias("lon_r"))
+
+
+def q_geo_bbox_antimeridian(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    out = d.filter(geo.bbox_filter(F.col("lat"), F.col("lon"),
+                                   south=-50.0, north=50.0, west=150.0, east=-150.0))
+    return out.select("doc_id")
+
+
+def q_cell_histogram(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    return (d.withColumn("cell_r7", geo.grid_cell_col(F.col("lat"), F.col("lon"), 7))
+            .groupBy("cell_r7").agg(F.count("*").alias("n_docs")))
+
+
+def q_cell_parent_rollup(spark, sf_dir):
+    """res-9 cells rolled up to their res-5 ancestors via bit-shift parent —
+    the packed-array containment property as a query."""
+    d = _docs_geo(spark, sf_dir)
+    c9 = geo.grid_cell_col(F.col("lat"), F.col("lon"), 9)
+    ix = c9.bitwiseAND(F.lit((1 << 28) - 1))
+    iy = F.shiftright(c9, 28).bitwiseAND(F.lit((1 << 28) - 1))
+    parent = (F.lit(5) * F.lit(1 << 56).cast("bigint")
+              + F.shiftright(iy, 4) * F.lit(1 << 28).cast("bigint")
+              + F.shiftright(ix, 4))
+    return (d.withColumn("cell_r5", parent)
+            .groupBy("cell_r5").agg(F.count("*").alias("n_docs")))
+
+
+def q_pip_rect_join(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    return (joins.pip_join(d, _RECTS, res=6)
+            .select("doc_id", "polygon_id"))
+
+
+def q_knn_docs(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    probes = pd.DataFrame(_KNN_PROBES, columns=["query_id", "lat", "lon"])
+    out = joins.knn_join(d, probes, k=5, res=5, id_cols=["doc_id"])
+    return out.select("query_id", "doc_id",
+                      F.round("dist_km", 6).alias("dist_km"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_tile_rollup(spark, sf_dir):
+    d = _docs_geo(spark, sf_dir)
+    return tiles.rollup_tiles(d, zoom=8)
+
+
+def q_s2_cell_count(spark, sf_dir):
+    """canonical S2 level-12 ids (pandas-UDF kernel) — rows-only check
+    (Hilbert math is not SQL-expressible)."""
+    d = _docs_geo(spark, sf_dir)
+    return (d.withColumn("s2_cell", geo.s2_cell_udf(F.col("lat"), F.col("lon")))
+            .groupBy("s2_cell").agg(F.count("*").alias("n_docs")))
+
+
+def q_geoquery_subset(spark, sf_dir):
+    ev = _events_geo(spark, sf_dir)
+    q = GeoQuery.parse({
+        "area": {"north": 70.0, "south": -20.0, "east": 100.0, "west": -100.0},
+        "time": {"year": [2024], "day": [3, 5, 10, 23], "hour": [3, 15]},
+        "event_type": "purchase",   # extra key -> filters (geoquery.py:31-38)
+    })
+    out = subset.subset(ev, q)
+    return out.select("event_id", "event_type",
+                      F.round("value", 6).alias("value_r"))
+
+
+def q_resample_daily_max(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = aggregates.resample(ev, operator="nanmax", frequency="1D",
+                              keys=["event_type"])
+    return out.select("event_type", "bucket_start",
+                      F.round("value", 6).alias("max_value"))
+
+
+def q_resample_hourly_right(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = aggregates.resample(ev, operator="nanmean", frequency="1H",
+                              keys=["event_type"], closed="right")
+    return out.select("event_type", "bucket_start",
+                      F.round("value", 6).alias("mean_value"))
+
+
+def q_time_combinatorial(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = subset.apply_time(ev, {"year": [2024], "month": [1],
+                                 "day": [5, 10, 23], "hour": [3, 15]})
+    return (out.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+def q_dim_average(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = aggregates.average(ev, dim="ts")
+    return out.select("event_type", F.round("value", 6).alias("value"))
+
+
+def q_vertical_nearest(spark, sf_dir):
+    """nearest-level select (P6/J3): derive a level axis, pick nearest to 600
+    (-> 500), aggregate."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "level", F.element_at(F.array(F.lit(1000.0), F.lit(850.0),
+                                      F.lit(500.0), F.lit(250.0)),
+                              (F.col("user_id") % 4 + 1).cast("int")))
+    out = subset.apply_vertical(ev, 600.0)
+    return (out.groupBy("level")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("rev")))
+    j = (o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .join(rev, o.o_orderkey == rev.l_orderkey))
+    return (j.select("o_orderkey", F.round("rev", 4).alias("revenue"),
+                     "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+def q_region_order_stats(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    j = (o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey))
+    return (j.groupBy("r_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total_price")))
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.token_count_col(F.col("text")).alias("n_tokens"))
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("lang_pred", tx.lang_id_col(F.col("text")))
+            .groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs")))
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score_col(F.col("text")).alias("quality"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates — rows-only (hash fns not in SQL);
+    exactness of the estimate is property-tested in tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.35)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=8)
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = (e.filter(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").cast("array<double>").alias("probe_vec")))
+    v = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = ann.cosine_topk(v, probes, k=5)
+    return out.select("probe_id", "vec_id", "cosine",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """exact all-pairs cosine >= 0.35 (brute force is the oracle-checked
+    baseline; the LSH-bucketed scale path is q_embedding_neardup_lsh)."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
+            .filter(F.col("cosine") >= 0.35)
+            .select("id_a", "id_b", "cosine"))
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        threshold=0.35)
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN — rows-only (approximate by design; recall vs the
+    exact path is asserted in tests/test_ann.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = (e.filter(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").cast("array<double>").alias("probe_vec")))
+    v = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return ann.ivf_topk(v, probes, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "geo_bbox": q_geo_bbox,
+        "geo_bbox_antimeridian": q_geo_bbox_antimeridian,
+        "cell_histogram": q_cell_histogram,
+        "cell_parent_rollup": q_cell_parent_rollup,
+        "pip_rect_join": q_pip_rect_join,
+        "knn_docs": q_knn_docs,
+        "tile_rollup": q_tile_rollup,
+        "s2_cell_count": q_s2_cell_count,
+        "geoquery_subset": q_geoquery_subset,
+        "resample_daily_max": q_resample_daily_max,
+        "resample_hourly_right": q_resample_hourly_right,
+        "time_combinatorial": q_time_combinatorial,
+        "dim_average": q_dim_average,
+        "vertical_nearest": q_vertical_nearest,
+        "tpch_q1": q_tpch_q1,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_order_stats": q_region_order_stats,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "fingerprints": q_fingerprints,
+        "ivf_topk": q_ivf_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _hav_sql(lat2: str, lon2: str) -> str:
+    return cells.haversine_sql("lat", "lon", lat2, lon2)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    docs = f"({_DOCS_GEO_SQL})"
+    evg = f"({_EVENTS_GEO_SQL})"
+    cell7 = cells.grid_cell_sql("lat", "lon", 7)
+    cell5 = cells.grid_cell_sql("lat", "lon", 5)
+
+    rect_values = ", ".join(
+        f"({r['polygon_id']}, {r['rings'][0][0][0]}, {r['rings'][0][2][0]}, "
+        f"{r['rings'][0][0][1]}, {r['rings'][0][2][1]})" for r in _RECTS)
+
+    probe_values = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in _KNN_PROBES)
+
+    return {
+        "geo_bbox": (
+            f"SELECT doc_id, round(lat, 6) AS lat_r, round(lon, 6) AS lon_r "
+            f"FROM {docs} d WHERE lat BETWEEN -20.0 AND 45.0 "
+            f"AND lon BETWEEN -30.0 AND 60.0"),
+        "geo_bbox_antimeridian": (
+            f"SELECT doc_id FROM {docs} d WHERE lat BETWEEN -50.0 AND 50.0 "
+            f"AND (lon BETWEEN 150.0 AND 180.0 OR lon BETWEEN -180.0 AND -150.0)"),
+        "cell_histogram": (
+            f"SELECT {cell7} AS cell_r7, count(*) AS n_docs "
+            f"FROM {docs} d GROUP BY 1"),
+        "cell_parent_rollup": (
+            f"SELECT {cell5} AS cell_r5, count(*) AS n_docs "
+            f"FROM {docs} d GROUP BY 1"),
+        "pip_rect_join": (
+            f"SELECT d.doc_id, r.polygon_id FROM {docs} d "
+            f"JOIN (VALUES {rect_values}) AS r(polygon_id, w, e, s, n) "
+            f"ON d.lat >= r.s AND d.lat < r.n AND d.lon >= r.w AND d.lon < r.e"),
+        "knn_docs": (
+            f"SELECT query_id, doc_id, round(dist, 6) AS dist_km, "
+            f"cast(rank as bigint) AS rank FROM ("
+            f"  SELECT p.query_id, d.doc_id, {_hav_sql('p.q_lat', 'p.q_lon')} AS dist, "
+            f"  row_number() OVER (PARTITION BY p.query_id "
+            f"    ORDER BY {_hav_sql('p.q_lat', 'p.q_lon')} ASC, d.doc_id ASC) AS rank "
+            f"  FROM {docs} d CROSS JOIN (VALUES {probe_values}) "
+            f"    AS p(query_id, q_lat, q_lon)) WHERE rank <= 5"),
+        "tile_rollup": (
+            f"SELECT cast(8 as int) AS tile_z, {cells.tile_x_sql('lon', 8)} AS tile_x, "
+            f"{cells.tile_y_sql('lat', 8)} AS tile_y, count(*) AS page_count "
+            f"FROM {docs} d GROUP BY 1, 2, 3"),
+        "geoquery_subset": (
+            f"SELECT event_id, event_type, round(value, 6) AS value_r "
+            f"FROM {evg} e WHERE event_type = 'purchase' "
+            f"AND lat BETWEEN -20.0 AND 70.0 AND lon BETWEEN -100.0 AND 100.0 "
+            f"AND year(ts) IN (2024) AND day(ts) IN (3, 5, 10, 23) "
+            f"AND hour(ts) IN (3, 15)"),
+        "resample_daily_max": (
+            "SELECT event_type, cast(date_trunc('day', ts) as timestamp) AS bucket_start, "
+            "round(max(value), 6) AS max_value FROM events GROUP BY 1, 2"),
+        "resample_hourly_right": (
+            "SELECT event_type, cast(date_trunc('hour', ts - interval 1 microsecond)"
+            " as timestamp) AS bucket_start, "
+            "round(avg(value), 6) AS mean_value FROM events GROUP BY 1, 2"),
+        "time_combinatorial": (
+            "SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+            "FROM events WHERE year(ts) IN (2024) AND month(ts) IN (1) "
+            "AND day(ts) IN (5, 10, 23) AND hour(ts) IN (3, 15) GROUP BY 1"),
+        "dim_average": (
+            "SELECT event_type, round(avg(value), 6) AS value FROM events GROUP BY 1"),
+        "vertical_nearest": (
+            "SELECT level, count(*) AS n_events, round(avg(value), 6) AS avg_value "
+            "FROM (SELECT cast(CASE cast(user_id % 4 as int) WHEN 0 THEN 1000.0 "
+            "WHEN 1 THEN 850.0 WHEN 2 THEN 500.0 ELSE 250.0 END as double) AS level, value "
+            "FROM events) WHERE level = 500.0 GROUP BY 1"),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(cast(sum(l_quantity) as double), 4) AS sum_qty, "
+            "round(cast(sum(l_extendedprice) as double), 4) AS sum_base_price, "
+            "round(cast(sum(l_extendedprice * (1 - l_discount)) as double), 4) AS sum_disc_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "round(avg(l_discount), 6) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02' GROUP BY 1, 2"),
+        "top_revenue_orders": (
+            "SELECT o_orderkey, round(cast(rev as double), 4) AS revenue, o_orderdate "
+            "FROM (SELECT o.o_orderkey, o.o_orderdate, "
+            "  sum(l.l_extendedprice * (1 - l.l_discount)) AS rev "
+            "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "  JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "  WHERE c.c_mktsegment = 'BUILDING' GROUP BY 1, 2) "
+            "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+        "region_order_stats": (
+            "SELECT r.r_name, count(*) AS n_orders, "
+            "round(cast(sum(o.o_totalprice) as double), 4) AS total_price "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1"),
+        "token_counts": (
+            "SELECT doc_id, cast(case when length(trim(text)) = 0 then 0 else "
+            "len(regexp_split_to_array(trim(text), '\\s+')) end as bigint) AS n_tokens "
+            "FROM documents"),
+        "lang_id": (
+            f"SELECT lang, {tx.lang_id_sql('text')} AS lang_pred, "
+            f"count(*) AS n_docs FROM documents GROUP BY 1, 2"),
+        "quality_scores": (
+            f"SELECT doc_id, {tx.quality_score_sql('text')} AS quality FROM documents"),
+        "exact_dedup": (
+            "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count "
+            "FROM documents GROUP BY 1"),
+        "ngram_jaccard": (
+            "WITH words AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+            "shingled AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            "  range(1, greatest(len(w) - 2, 0) + 1), "
+            "  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words), "
+            "filtered AS (SELECT doc_id, sh FROM shingled "
+            "  QUALIFY count(*) OVER (PARTITION BY sh) <= 1000), "
+            "sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  count(*) AS inter_size FROM filtered a JOIN filtered b USING (sh) "
+            "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(cast(inter_size as double) "
+            "  / (sa.set_size + sb.set_size - inter_size), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE cast(inter_size as double) "
+            "  / (sa.set_size + sb.set_size - inter_size) >= 0.2"),
+        "embedding_topk": (
+            "SELECT probe_id, vec_id, cosine, cast(rank as bigint) AS rank FROM ("
+            "  SELECT p.vec_id AS probe_id, e.vec_id, "
+            "  round(list_cosine_similarity(cast(e.embedding as double[]), "
+            "    cast(p.embedding as double[])), 6) AS cosine, "
+            "  row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "    list_cosine_similarity(cast(e.embedding as double[]), "
+            "    cast(p.embedding as double[])) DESC, e.vec_id ASC) AS rank "
+            "  FROM embeddings e CROSS JOIN "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) p) "
+            "WHERE rank <= 5"),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(cast(a.embedding as double[]), "
+            "  cast(b.embedding as double[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
+            "  cast(b.embedding as double[])), 6) >= 0.35"),
+        "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
+    }

@@ -61,8 +61,9 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int,
     """IVF-bucketed approximate top-k: vectors partitioned into centroid
     lists; each probe scans only its ``nprobe`` nearest lists."""
     sample = np.array([r[0] for r in
-                       vectors.select(vec_col).limit(sample_rows).collect()],
-                      dtype=np.float64)
+                       vectors.select(id_col, vec_col).orderBy(id_col)
+                       .limit(sample_rows).select(vec_col).collect()],
+                      dtype=np.float64)  # ordered -> deterministic centroids
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.clip(norms, 1e-12, None)
     centers = _kmeans_lite(sample, n_clusters, seed=seed)
