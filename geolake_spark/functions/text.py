@@ -118,7 +118,7 @@ def lang_id_col(text: Column) -> Column:
     scores = {lg: lang_score_col(text, lg) for lg in LANG_ORDER}
     expr = None
     for i, lg in enumerate(LANG_ORDER):
-        cond = F.lit(True)
+        cond = scores[lg] > 0  # zero evidence -> 'und'
         for other in LANG_ORDER[:i]:
             cond = cond & (scores[lg] > scores[other])
         for other in LANG_ORDER[i + 1:]:
@@ -142,7 +142,8 @@ def lang_id_sql(text_expr: str) -> str:
     scores = {lg: lang_score_sql(text_expr, lg) for lg in LANG_ORDER}
     cases = []
     for i, lg in enumerate(LANG_ORDER):
-        conds = [f"{scores[lg]} > {scores[o]}" for o in LANG_ORDER[:i]]
+        conds = [f"{scores[lg]} > 0"]
+        conds += [f"{scores[lg]} > {scores[o]}" for o in LANG_ORDER[:i]]
         conds += [f"{scores[lg]} >= {scores[o]}" for o in LANG_ORDER[i + 1:]]
         cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lg}'")
     return "CASE " + " ".join(cases) + " ELSE 'und' END"

@@ -1,0 +1,80 @@
+"""Resample (A1) / average (A2) vs pandas resample oracle, incl. closed=right
+and nan-aggregator semantics (workflow.py:12-21,121-155)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.operators import aggregates
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    ts = pd.date_range("2022-01-01", periods=96, freq="h")
+    pdf = pd.DataFrame({
+        "ts": ts,
+        "key": ["a"] * 48 + ["b"] * 48,
+        "value": np.arange(96, dtype=float),
+    })
+    pdf.loc[5, "value"] = np.nan
+    # createDataFrame(pandas) maps NaN -> null; re-inject a true NaN double
+    # (parquet sources keep NaN as NaN, which is what the engine sees)
+    df = (spark.createDataFrame(pdf.fillna({"value": -1.0}))
+          .withColumn("value", F.when(F.col("value") == -1.0,
+                                      F.lit(float("nan")))
+                      .otherwise(F.col("value"))))
+    return df, pdf
+
+
+def test_resample_daily_nanmax(spark, series):
+    df, pdf = series
+    out = aggregates.resample(df, "nanmax", "1D", keys=["key"])
+    got = {(r["key"], r["bucket_start"].date().isoformat()): r["value"]
+           for r in out.collect()}
+    exp = (pdf.set_index("ts").groupby("key")["value"]
+           .resample("1D").max())
+    for (k, t), v in exp.items():
+        assert got[(k, t.date().isoformat())] == v
+
+
+def test_resample_closed_right_boundary(spark, series):
+    df, pdf = series
+    out = aggregates.resample(df, "nanmean", "1D", keys=["key"], closed="right")
+    got = {(r["key"], r["bucket_start"].isoformat()): r["value"]
+           for r in out.collect()}
+    # pandas closed='right' labels by left edge when label='left'
+    exp = (pdf.set_index("ts").groupby("key")["value"]
+           .resample("1D", closed="right", label="left").mean())
+    for (k, t), v in exp.items():
+        g = got[(k, t.isoformat())]
+        assert abs(g - v) < 1e-9, (k, t, g, v)
+
+
+def test_plain_max_propagates_nan(spark, series):
+    df, _ = series
+    out = aggregates.resample(df, "max", "1D", keys=["key"])
+    first_a = [r for r in out.collect()
+               if r["key"] == "a" and r["bucket_start"].day == 1]
+    assert len(first_a) == 1 and np.isnan(first_a[0]["value"])  # NaN in bucket
+
+
+def test_nan_sum_skips(spark, series):
+    df, pdf = series
+    out = aggregates.resample(df, "nansum", "1D", keys=["key"])
+    first_a = [r for r in out.collect()
+               if r["key"] == "a" and r["bucket_start"].day == 1][0]
+    assert first_a["value"] == np.nansum(pdf["value"][:24])
+
+
+def test_unknown_aggregator_rejected():
+    with pytest.raises(ValueError):
+        aggregates._resolve_agg("median")  # not in the reference whitelist
+
+
+def test_average_collapses_dim(spark, series):
+    df, pdf = series
+    out = aggregates.average(df.select("key", "ts", "value"), dim="ts")
+    got = {r["key"]: r["value"] for r in out.collect()}
+    exp = pdf.groupby("key")["value"].mean()  # pandas mean skips NaN
+    assert abs(got["a"] - exp["a"]) < 1e-9 and abs(got["b"] - exp["b"]) < 1e-9

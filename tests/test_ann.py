@@ -1,0 +1,52 @@
+"""ANN: exact brute-force correctness + IVF recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    m = rng.randn(300, 32)
+    return spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(300), "embedding": [list(r) for r in m]}))
+
+
+@pytest.fixture(scope="module")
+def probes(vectors):
+    return (vectors.filter(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("probe_vec")))
+
+
+def test_exact_topk_self_is_rank1(vectors, probes):
+    out = ann.cosine_topk(vectors, probes, k=3).collect()
+    r1 = {r["probe_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2, 3: 3}  # self has cosine 1
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in out if r["rank"] == 1)
+
+
+def test_exact_topk_vs_numpy(vectors, probes):
+    out = ann.cosine_topk(vectors, probes, k=5)
+    got = (out.toPandas().sort_values(["probe_id", "rank"])
+           .groupby("probe_id")["vec_id"].apply(list).to_dict())
+    m = np.stack([np.array(r["embedding"]) for r in
+                  vectors.orderBy("vec_id").collect()])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[:4].T
+    for p in range(4):
+        order = np.lexsort((np.arange(300), -np.round(sims[:, p], 6)))[:5]
+        assert got[p] == list(order)
+
+
+def test_ivf_recall(vectors, probes):
+    exact = ann.cosine_topk(vectors, probes, k=10)
+    approx = ann.ivf_topk(vectors, probes, k=10, n_clusters=8, nprobe=3)
+    e = exact.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    a = approx.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    recalls = [len(e[p] & a[p]) / 10 for p in e]
+    assert np.mean(recalls) >= 0.7, recalls

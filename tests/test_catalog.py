@@ -1,0 +1,83 @@
+"""Iceberg-style table layer: atomic commit, manifest metrics, resume,
+estimate/admission."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.catalog import IcebergishTable
+from geolake_spark.plans import estimate
+from geolake_spark.write import write_snapshot
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return IcebergishTable(str(tmp_path / "tbl"))
+
+
+def _sample(spark, langs):
+    rows = [(f"u{i}-{lg}", lg, float(i % 60 - 30), float(i % 300 - 150))
+            for lg in langs for i in range(20)]
+    return spark.createDataFrame(rows, ["url", "lang", "lat", "lon"])
+
+
+def test_commit_and_read(spark, table):
+    df = _sample(spark, ["en", "de"])
+    info = write_snapshot(df, table, ["lang"])
+    assert info["written_partitions"] == 2 and info["rows"] == 40
+    back = table.read(spark)
+    assert back.count() == 40
+    assert set(r["lang"] for r in back.select("lang").distinct().collect()) \
+        == {"en", "de"}
+
+
+def test_manifest_metrics(spark, table):
+    write_snapshot(_sample(spark, ["en"]), table, ["lang"])
+    m = table.manifests()
+    assert len(m) == 1
+    assert m[0]["row_count"] == 20
+    assert sum(m[0]["cell_histogram"].values()) == 20
+    assert m[0]["byte_size"] > 0
+
+
+def test_resume_skips_committed(spark, table):
+    write_snapshot(_sample(spark, ["en"]), table, ["lang"])
+    info = write_snapshot(_sample(spark, ["en", "fr", "it"]), table,
+                          ["lang"], resume=True)
+    assert info["skipped_partitions"] == 1          # en already committed
+    assert info["written_partitions"] == 2          # fr, it only
+    assert table.read(spark).count() == 60
+    assert table.stats()["rows"] == 60
+
+
+def test_snapshot_log_and_partition_pruned_read(spark, table):
+    write_snapshot(_sample(spark, ["en"]), table, ["lang"])
+    write_snapshot(_sample(spark, ["fr"]), table, ["lang"], resume=True)
+    assert table.current_snapshot_id() == 2
+    assert table.snapshot()["parent_id"] == 1
+    pruned = table.read(spark, partition_filter=lambda p: p["lang"] == "fr")
+    assert pruned.count() == 20
+
+
+def test_estimate_and_admission(spark, table):
+    write_snapshot(_sample(spark, ["en"]), table, ["lang"])
+    n = estimate.estimate_table_bytes(table)
+    assert n > 0
+    estimate.admit(n)  # small -> admitted
+    with pytest.raises(estimate.TooBigRequestError):
+        estimate.admit(11 * 1024 ** 3)  # > 10 GB default cap
+    with pytest.raises(estimate.TooBigRequestError):
+        estimate.admit(0)  # empty result rejected (dataset.py:264-267)
+
+
+def test_human_size_floor():
+    assert estimate.human_size(1) == (0.01, "B") or estimate.human_size(1)[0] >= 0.01
+    val, unit = estimate.human_size(5 * 1024 ** 2)
+    assert (val, unit) == (5.0, "MB")
+
+
+def test_plan_stats_estimate(spark):
+    df = spark.range(1000).withColumn("x", F.rand(seed=1))
+    assert estimate.estimate_df_bytes(df) > 0

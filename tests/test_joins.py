@@ -1,0 +1,93 @@
+"""PIP + kNN joins vs brute-force NumPy oracles on the synthetic pages table
+(all 6 polygon fixtures: convex, concave, hole, reference bbox, antimeridian,
+wide band)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geolake_spark import cells
+from geolake_spark.operators import joins
+from geolake_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def pages_pdf(pages):
+    return pages.select("url", "lat", "lon").toPandas()
+
+
+def brute_pip(pages_pdf, polys):
+    exp = set()
+    for p in polys:
+        rings = [np.asarray(r, float) for r in p["rings"]]
+        lon = joins._norm_lon_for(rings, pages_pdf["lon"].to_numpy())
+        hit = cells.points_in_polygon(pages_pdf["lat"].to_numpy(), lon, rings)
+        for u in pages_pdf["url"][hit]:
+            exp.add((u, p["polygon_id"]))
+    return exp
+
+
+def test_pip_join_matches_brute_force(pages, pages_pdf):
+    polys = synth.polygon_specs()
+    got = {(r["url"], r["polygon_id"]) for r in
+           joins.pip_join(pages, polys).select("url", "polygon_id").collect()}
+    assert got == brute_pip(pages_pdf, polys)
+
+
+def test_pip_join_res_invariance(pages, pages_pdf):
+    """Result must not depend on the prefilter resolution."""
+    polys = synth.polygon_specs()[:3]
+    exp = brute_pip(pages_pdf, polys)
+    for res in (5, 8):
+        got = {(r["url"], r["polygon_id"]) for r in
+               joins.pip_join(pages, polys, res=res)
+               .select("url", "polygon_id").collect()}
+        assert got == exp, f"res={res}"
+
+
+def test_pip_cover_classification():
+    """Interior cells must contain no polygon edge; together interior+boundary
+    cover every member point's cell."""
+    polys = synth.polygon_specs()
+    cover = joins.build_pip_cover(polys, res=6)
+    segs_by_pid = {p["polygon_id"]: joins._segments(
+        [np.asarray(r, float) for r in p["rings"]]) for p in polys}
+    for _, row in cover[cover.interior].iterrows():
+        s, n, w, e = cells.cell_bounds(np.int64(row["cell"]))
+        pid = row["polygon_id"]
+        rings = [np.asarray(r, float) for r in
+                 next(p for p in polys if p["polygon_id"] == pid)["rings"]]
+        if joins._crosses_antimeridian(rings) and w < 0:
+            w, e = w + 360.0, e + 360.0
+        assert not joins._segs_intersect_rect(segs_by_pid[pid],
+                                              float(w), float(e),
+                                              float(s), float(n))
+
+
+def test_knn_matches_brute_force(pages, pages_pdf):
+    probes = pd.DataFrame({
+        "query_id": [1, 2, 3],
+        "lat": [10.0, -40.0, 65.0],
+        "lon": [25.0, 120.0, -100.0]})
+    out = joins.knn_join(pages, probes, k=4, res=5)
+    res = (out.select("query_id", "url", "rank").toPandas()
+           .sort_values(["query_id", "rank"]))
+    for _, pr in probes.iterrows():
+        d = cells.haversine_km(pages_pdf["lat"].to_numpy(),
+                               pages_pdf["lon"].to_numpy(),
+                               pr["lat"], pr["lon"])
+        exp = [u for _, u in sorted(zip(d, pages_pdf["url"]))[:4]]
+        got = list(res[res["query_id"] == pr["query_id"]]["url"])
+        assert got == exp
+
+
+def test_knn_deterministic_tiebreak(spark):
+    """Equidistant points resolve by id ordering."""
+    pdf = pd.DataFrame({"url": ["b", "a", "c"],
+                        "lat": [1.0, 1.0, -1.0],
+                        "lon": [0.0, 0.0, 0.0]})
+    df = spark.createDataFrame(pdf)
+    probes = pd.DataFrame({"query_id": [1], "lat": [0.0], "lon": [0.0]})
+    out = joins.knn_join(df, probes, k=3, res=3)
+    got = [r["url"] for r in out.orderBy("rank").collect()]
+    assert got[:2] == ["a", "b"]  # same distance -> url ascending

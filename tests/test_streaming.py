@@ -1,0 +1,73 @@
+"""Structured Streaming ingest.
+
+Append-mode semantics: only windows whose end <= final watermark
+(max event time - delay) are finalized and emitted; the tail stays in state.
+Tests therefore compare the stream output against the *finalized subset* of
+the equivalent batch aggregation — that equality is the correctness claim.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.functions.geo import grid_cell_col
+from geolake_spark.streaming import ingest
+
+
+def _batch_counts(pages):
+    return (pages.withColumn("cell", grid_cell_col(F.col("lat"), F.col("lon"), 5))
+            .groupBy(F.window("warc_ts", "1 hour").alias("w"), "cell")
+            .agg(F.count("*").alias("page_count"))
+            .select(F.col("w.start").alias("window_start"), "cell", "page_count"))
+
+
+def _finalized(batch, pages, delay_hours=2):
+    max_ts = pages.agg(F.max("warc_ts")).first()[0]
+    wm = max_ts - datetime.timedelta(hours=delay_hours)
+    return batch.filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= wm)
+
+
+def test_stream_matches_batch_finalized_windows(spark, pages, tmp_path):
+    drop = str(tmp_path / "drop")
+    pages.repartition(3).write.parquet(drop)
+
+    q = ingest.start_cell_count_stream(spark, drop, str(tmp_path / "out"),
+                                       str(tmp_path / "ckpt"), res=5)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    exp = _finalized(_batch_counts(pages), pages)
+    assert got.count() == exp.count()
+    # value-level equality via anti-joins both ways
+    assert got.join(exp, ["window_start", "cell", "page_count"],
+                    "left_anti").count() == 0
+    assert exp.join(got, ["window_start", "cell", "page_count"],
+                    "left_anti").count() == 0
+
+
+def test_stream_is_incremental(spark, pages, tmp_path):
+    """restart with the same checkpoint: only new files are processed and
+    the final emitted set equals the finalized batch subset."""
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = pages.filter(F.month("warc_ts") <= 6)
+    half2 = pages.filter(F.month("warc_ts") > 6)
+    half1.write.parquet(drop)
+    q = ingest.start_cell_count_stream(spark, drop, out, ckpt, res=5)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out).count()
+    exp1 = _finalized(_batch_counts(half1), half1).count()
+    assert n1 == exp1
+
+    half2.write.mode("append").parquet(drop)
+    q2 = ingest.start_cell_count_stream(spark, drop, out, ckpt, res=5)
+    q2.awaitTermination(180)
+    got2 = spark.read.parquet(out)
+    # all finalized windows of the full dataset are present exactly once
+    exp2 = _finalized(_batch_counts(pages), pages)
+    assert got2.join(exp2, ["window_start", "cell", "page_count"],
+                     "left_anti").count() == 0
+    assert exp2.join(got2, ["window_start", "cell", "page_count"],
+                     "left_anti").count() == 0

@@ -1,0 +1,91 @@
+"""GeoQuery pipeline (P1-P7) on the synthetic obs cube vs pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.model import GeoQuery
+from geolake_spark.operators import subset
+
+
+@pytest.fixture(scope="module")
+def obs(spark, synth_paths):
+    return spark.read.parquet(synth_paths["obs"])
+
+
+@pytest.fixture(scope="module")
+def obs_pdf(obs):
+    return obs.toPandas()
+
+
+def test_attribute_filters_prune(obs, obs_pdf):
+    out = subset.apply_filters(obs, {"resolution": "0.1", "version": "v1"})
+    exp = obs_pdf[(obs_pdf.resolution == "0.1") & (obs_pdf.version == "v1")]
+    assert out.count() == len(exp)
+
+
+def test_variable_projection(obs, obs_pdf):
+    out = subset.select_variables(obs, ["tas"])
+    assert out.count() == (obs_pdf["var"] == "tas").sum()
+
+
+def test_bbox(obs, obs_pdf):
+    out = subset.apply_area(obs, {"north": 10.6, "south": 10.0,
+                                  "east": 25.2, "west": 24.0})
+    exp = obs_pdf[(obs_pdf.lat >= 10.0) & (obs_pdf.lat <= 10.6)
+                  & (obs_pdf.lon >= 24.0) & (obs_pdf.lon <= 25.2)]
+    assert out.count() == len(exp)
+
+
+def test_bbox_0_360_normalized(obs):
+    # reference fixture uses east=260/west=240 on 0..360 (fixtures.py:12-16)
+    out = subset.apply_area(obs, {"north": -85, "south": -90,
+                                  "east": 260, "west": 240})
+    assert out.count() == 0  # obs grid lives at lat 10-11
+
+
+def test_location_nearest(obs, obs_pdf):
+    out = subset.apply_location(obs, {"latitude": 10.2, "longitude": 25.1})
+    got = out.select("lat", "lon").distinct().collect()
+    assert len(got) == 1
+    assert (got[0]["lat"], got[0]["lon"]) == (10.0, 25.0)  # nearest grid point
+
+
+def test_time_slice(obs, obs_pdf):
+    out = subset.apply_time(obs, {"start": "2021-06-01", "stop": "2021-06-30"})
+    exp = obs_pdf[(obs_pdf.ts >= "2021-06-01") & (obs_pdf.ts <= "2021-06-30")]
+    assert out.count() == len(exp)
+
+
+def test_time_combinatorial(obs, obs_pdf):
+    sel = {"year": [2021], "month": [3, 6], "day": [23, 27], "hour": [6]}
+    out = subset.apply_time(obs, sel)
+    t = obs_pdf.ts.dt
+    exp = obs_pdf[t.year.isin([2021]) & t.month.isin([3, 6])
+                  & t.day.isin([23, 27]) & t.hour.isin([6])]
+    assert out.count() == len(exp) > 0
+
+
+def test_vertical_slice_and_nearest(obs, obs_pdf):
+    out = subset.apply_vertical(obs, {"start": 400.0, "stop": 900.0})
+    assert out.count() == obs_pdf.level.isin([500.0, 850.0]).sum()
+    near = subset.apply_vertical(obs, 600.0)  # nearest -> 500
+    assert set(r[0] for r in near.select("level").distinct().collect()) == {500.0}
+
+
+def test_full_pipeline_fixed_order(obs, obs_pdf):
+    q = GeoQuery.parse({
+        "variable": "tas",
+        "resolution": "0.1",
+        "area": {"north": 10.6, "south": 10.0, "east": 25.2, "west": 24.0},
+        "time": {"year": [2021], "hour": [0, 6]},
+        "vertical": 600.0,
+    })
+    out = subset.subset(obs, q)
+    t = obs_pdf.ts.dt
+    exp = obs_pdf[(obs_pdf["var"] == "tas") & (obs_pdf.resolution == "0.1")
+                  & (obs_pdf.lat.between(10.0, 10.6)) & (obs_pdf.lon.between(24.0, 25.2))
+                  & t.year.isin([2021]) & t.hour.isin([0, 6])
+                  & (obs_pdf.level == 500.0)]
+    assert out.count() == len(exp) > 0

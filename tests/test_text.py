@@ -1,0 +1,77 @@
+"""Text pipeline: the byte-identical extraction invariant (BASELINE.json
+input_hint), golden hashes, token counts, lang-id, quality, fingerprints."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.functions import text as tx
+
+
+def test_extractor_golden():
+    html = (b"<html><head><title>T</title><script>bad()</script>"
+            b"<style>x{}</style></head><body><!-- c --><h1>Hello</h1>"
+            b"<p>a &amp; b &lt;tag&gt;&nbsp;end</p></body></html>")
+    assert tx.extract_text_bytes(html) == "T Hello a & b <tag> end"
+
+
+def test_extractor_nested_script_and_entities():
+    html = b"<p>x</p><script>if (a<b) { run('</div>') }</script><p>y &#39;q&#39;</p>"
+    out = tx.extract_text_bytes(html)
+    assert out == "x y 'q'"
+
+
+def test_extractor_is_pure_and_stable():
+    html = b"<b>repeat</b> me"
+    h1 = hashlib.sha256(tx.extract_text_bytes(html).encode()).hexdigest()
+    h2 = hashlib.sha256(tx.extract_text_bytes(html).encode()).hexdigest()
+    assert h1 == h2 == hashlib.sha256(b"repeat me").hexdigest()
+
+
+def test_pages_text_invariant_byte_identical(spark, pages):
+    """THE invariant: engine-extracted text == stored text for every url."""
+    re_extracted = pages.withColumn("text2", tx.extract_text_udf(F.col("html")))
+    n_bad = re_extracted.filter(F.col("text") != F.col("text2")).count()
+    assert n_bad == 0
+    assert re_extracted.count() == pages.count()
+
+
+def test_token_count_col(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("  ",), ("", ), ("one",)], ["text"])
+    got = [r[0] for r in
+           df.select(tx.token_count_col(F.col("text"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("hello, world 42",)], ["text"])
+    got = df.select(tx.bpe_token_count_udf(F.col("text"))).first()[0]
+    # hello(2) ,(1) world(2) 4(1) 2(1)
+    assert got == 7
+
+
+def test_lang_id_stopwords(spark):
+    df = spark.createDataFrame([
+        ("the cat and the dog is here of course",),
+        ("il gatto che corre di casa per sempre il",),
+        ("der hund und die katze ist nicht da der und",),
+        ("zzz qqq www",),
+    ], ["text"])
+    got = [r[0] for r in df.select(tx.lang_id_col(F.col("text"))).collect()]
+    assert got == ["en", "it", "de", "und"]
+
+
+def test_quality_monotone_in_length(spark):
+    df = spark.createDataFrame([("word " * 5,), ("the and is of. " * 60,)],
+                               ["text"])
+    lo, hi = [r[0] for r in
+              df.select(tx.quality_score_col(F.col("text"))).collect()]
+    assert hi > lo
+
+
+def test_fingerprint_is_md5(spark):
+    df = spark.createDataFrame([("abc",)], ["text"])
+    assert (df.select(tx.fingerprint_col(F.col("text"))).first()[0]
+            == "900150983cd24fb0d6963f7d28e17f72")
