@@ -32,9 +32,24 @@ def get_spark(app_name: str = "geolake_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("GEOLAKE_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("GEOLAKE_DRIVER_MEM", "24g"))
+        # fixed, pre-touched heap: prevents multi-second kernel stalls from
+        # heap grow/shrink page-fault storms observed under G1 uncommit
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("GEOLAKE_DRIVER_MEM", "24g")
+                + " -XX:+AlwaysPreTouch -XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split scans finer than the 128MB default so wide fact files fan out
+        # across all cores even when column pruning reads a small fraction
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # the inline ray-cast CASE ladder exceeds the default 8000-bytecode
+        # hugeMethodLimit, silently dropping the stage out of whole-stage
+        # codegen (measured 10x slower interpreted). Allow big methods.
+        .config("spark.sql.codegen.hugeMethodLimit", "65535")
+        # shuffle through tmpfs: local-mode shuffle files are ephemeral
+        .config("spark.local.dir", os.environ.get("GEOLAKE_LOCAL_DIR",
+                                                  "/dev/shm/spark-tmp"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -201,7 +201,37 @@ def gen_obs(seed: int = SEED) -> pa.Table:
     })
 
 
-SF_ROWS = {"0.001": 500, "0.01": 5000, "0.1": 50000, "1": 500000}
+SF_ROWS = {"0.001": 500, "0.01": 5000, "0.1": 50000, "1": 500000,
+           "4": 4_000_000}
+
+
+def gen_pages_geo(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Coordinate-scale pages table (url, lat, lon) — fully vectorized, for
+    throughput/scaling benchmarks.  Stands in for the column-pruned scan of
+    the full pages table: the spatial-join job reads exactly these columns
+    off a full-width table anyway (Parquet projection), so physical work is
+    identical while generation stays tractable at 10^7+ rows."""
+    rng = np.random.RandomState(seed + 99)
+    city_lat, city_lon = _city_centers(np.random.RandomState(seed))
+    ranks = rng.zipf(1.3, size=n_rows) % N_HOSTS
+    city = ranks.astype(np.int64) % N_CITIES
+    lat = np.clip(city_lat[city] + rng.normal(0, 0.8, n_rows), -89.9, 89.9)
+    lon = np.clip(city_lon[city] + rng.normal(0, 0.8, n_rows), -179.9, 179.9)
+    ids = np.arange(n_rows, dtype=np.int64)
+    url = np.char.add("https://h", ids.astype("U12"))
+    return pa.table({
+        "url": pa.array(url, pa.string()),
+        "lat": pa.array(lat, pa.float64()),
+        "lon": pa.array(lon, pa.float64()),
+    })
+
+
+def ensure_pages_geo(base_dir: str, n_rows: int) -> str:
+    out = os.path.join(base_dir, f"pages_geo_{n_rows}.parquet")
+    if not os.path.exists(out):
+        pq.write_table(gen_pages_geo(n_rows), out,
+                       row_group_size=max(n_rows // 256, 10000))
+    return out
 
 
 def ensure_local_tables(base_dir: str, sf: str = "0.01") -> dict[str, str]:
@@ -210,14 +240,17 @@ def ensure_local_tables(base_dir: str, sf: str = "0.01") -> dict[str, str]:
     out_dir = os.path.join(base_dir, f"sf{sf}")
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_synth_manifest.json")
-    params = {"seed": SEED, "rows": SF_ROWS[sf], "version": 3}
+    params = {"seed": SEED, "rows": SF_ROWS[sf], "version": 4}
     paths = {t: os.path.join(out_dir, f"{t}.parquet")
              for t in ("pages", "polygons", "query_points", "obs")}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == params and all(os.path.exists(p) for p in paths.values()):
                 return paths
-    pq.write_table(gen_pages(SF_ROWS[sf]), paths["pages"])
+    # small row groups -> many parquet splits -> real scan parallelism
+    # (a single row group would serialize the whole scan onto one task)
+    pq.write_table(gen_pages(SF_ROWS[sf]), paths["pages"],
+                   row_group_size=max(SF_ROWS[sf] // 64, 2000))
     pq.write_table(gen_polygons(), paths["polygons"])
     pq.write_table(gen_query_points(), paths["query_points"])
     pq.write_table(gen_obs(), paths["obs"])
