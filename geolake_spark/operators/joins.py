@@ -207,6 +207,45 @@ def make_pip_refine_udf(polygons: list[dict]):
     return pip_refine
 
 
+# Cover DataFrames are cached per (session, polygon set, res): building one
+# via createDataFrame(pandas-with-nested-arrays) costs >1s of driver time
+# (pickle serialization), while a pyarrow parquet round-trip through tmpfs is
+# ~50ms and the cached read is free on reuse.
+_COVER_CACHE: dict = {}
+
+
+def _cover_df(spark: SparkSession, cover_pdf: pd.DataFrame,
+              polygons: list[dict], res: int) -> DataFrame:
+    import hashlib
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    key = (id(spark._jsparkSession),
+           hashlib.md5(json.dumps([(p["polygon_id"], p["rings"])
+                                   for p in polygons], sort_keys=True)
+                       .encode()).hexdigest(), res)
+    if key in _COVER_CACHE:
+        return _COVER_CACHE[key]
+    tbl = pa.table({
+        "cell": pa.array(cover_pdf["cell"], pa.int64()),
+        "polygon_id": pa.array(cover_pdf["polygon_id"], pa.int64()),
+        "interior": pa.array(cover_pdf["interior"], pa.bool_()),
+        "edges": pa.array(list(cover_pdf["edges"]),
+                          pa.list_(pa.list_(pa.float64()))),
+        "shift": pa.array(cover_pdf["shift"], pa.bool_()),
+    })
+    base = os.environ.get("GEOLAKE_LOCAL_DIR", "/dev/shm/spark-tmp")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"pip-cover-{key[1]}-{res}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(tbl, path)
+    df = spark.read.parquet(path)
+    _COVER_CACHE[key] = df
+    return df
+
+
 def pip_join(points: DataFrame, polygons: list[dict],
              res: int | None = None,
              lat_col: str = "lat", lon_col: str = "lon",
@@ -239,9 +278,7 @@ def pip_join(points: DataFrame, polygons: list[dict],
     # Arithmetic mirrors cells.points_in_ring exactly (same IEEE double ops,
     # same order): crossing iff (y1 > lat) != (y2 > lat) and
     # lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1); odd crossings = inside.
-    cov = F.broadcast(spark.createDataFrame(
-        cover_pdf, schema="cell long, polygon_id long, interior boolean, "
-                          "edges array<array<double>>, shift boolean"))
+    cov = F.broadcast(_cover_df(spark, cover_pdf, polygons, res))
     joined = (pts.join(cov, pts["_cell"] == cov["cell"], "inner")
               .drop("cell", "_cell"))
     lon2 = F.when(F.col("shift") & (lon < 0.0), lon + F.lit(360.0)).otherwise(lon)
@@ -266,86 +303,108 @@ def pip_join(points: DataFrame, polygons: list[dict],
 # ---------------------------------------------------------------------------
 
 
-def _ring_candidates(probes: pd.DataFrame, res: int, k_cheb: dict[int, int]) -> pd.DataFrame:
-    rows = {"query_id": [], "cand_cell": []}
-    for _, r in probes.iterrows():
-        qid = int(r["query_id"])
-        center = int(cells.grid_cell(np.array([r["lat"]]), np.array([r["lon"]]), res)[0])
-        for c in cells.k_ring(center, k_cheb[qid]):
-            rows["query_id"].append(qid)
-            rows["cand_cell"].append(int(c))
-    return pd.DataFrame(rows)
-
-
-def _disk_lower_bound_km(lat: float, res: int, k_cheb: int) -> float:
-    """Min distance from a point in the center cell to outside the disk."""
-    nx, ny = cells.grid_dims(res)
-    cell_h_km = 180.0 / ny * 111.195
-    disk_max_lat = min(abs(lat) + (k_cheb + 1) * 180.0 / ny, 90.0)
-    cell_w_km = 360.0 / nx * 111.195 * max(np.cos(np.radians(disk_max_lat)), 0.0)
-    return k_cheb * min(cell_h_km, cell_w_km)
+def _box_sizes(probes_pdf: pd.DataFrame, k: int, res: int,
+               cell_counts: dict[int, int], k_world: int) -> dict[int, int]:
+    """Per-probe Chebyshev radius (in res-cells) from the per-cell histogram:
+    expand in pandas (no Spark actions) until the disk holds >= 2k points."""
+    out = {}
+    for _, r in probes_pdf.iterrows():
+        center = int(cells.grid_cell(np.array([r["lat"]]),
+                                     np.array([r["lon"]]), res)[0])
+        kc = 1
+        while kc < k_world:
+            total = sum(cell_counts.get(int(c), 0)
+                        for c in cells.k_ring(center, kc))
+            if total >= 2 * k:
+                break
+            kc *= 2
+        out[int(r["query_id"])] = min(kc + 1, k_world)
+    return out
 
 
 def knn_join(points: DataFrame, probes_pdf: pd.DataFrame, k: int,
              res: int = DEFAULT_KNN_RES,
              lat_col: str = "lat", lon_col: str = "lon",
              id_cols: list[str] | None = None,
-             max_iters: int = 12) -> DataFrame:
-    """Exact k nearest ``points`` per probe.
+             max_iters: int = 8) -> DataFrame:
+    """Exact k nearest ``points`` per probe (SURVEY.md §2.3 J2).
 
-    ``probes_pdf``: pandas (query_id, lat, lon).  Returns (query_id, probe
-    lat/lon, point id cols, dist_km, rank).  Iterative ring expansion: each
-    round joins only unresolved probes; exactness certified when the kth
-    distance is below the unexplored-region lower bound.
+    ``probes_pdf``: pandas (query_id, lat, lon).  Returns (query_id, q_lat,
+    q_lon, point id cols, dist_km, rank), deterministic tie-break on
+    (dist, id_cols).
+
+    Physical shape: ONE per-cell histogram aggregation sizes a lat/lon
+    search box per probe driver-side; candidates come from a broadcast
+    range-box join (pure codegen predicates — for small probe sets this
+    beats enumerating candidate cells, whose ring tables explode for probes
+    in sparse regions); then haversine + windowed top-k.  Exactness is
+    certified per probe by the geometric bound (kth distance <= distance
+    from probe to the nearest box edge); only failing probes re-expand.
     """
     spark = points.sparkSession
     id_cols = id_cols or ["url"]
     pts = points.select(lat_col, lon_col, *id_cols)
-
-    unresolved = set(int(q) for q in probes_pdf["query_id"])
-    k_cheb = {int(q): 2 for q in unresolved}
-    results: DataFrame | None = None
     nx, ny = cells.grid_dims(res)
-    k_world = max(nx // 2 + 1, ny)  # Chebyshev radius covering the globe
+    k_world = max(nx // 2 + 1, ny)
+    deg_per_cell = 180.0 / ny
+
+    hist = (pts.groupBy(grid_cell_col(F.col(lat_col), F.col(lon_col), res)
+                        .alias("c")).count().collect())
+    cell_counts = {int(r["c"]): int(r["count"]) for r in hist}
+    radius = _box_sizes(probes_pdf, k, res, cell_counts, k_world)
+
+    out_frames: list[pd.DataFrame] = []
+    unresolved = set(int(q) for q in probes_pdf["query_id"])
 
     for _ in range(max_iters):
-        sub = probes_pdf[probes_pdf["query_id"].isin(unresolved)]
-        cand = _ring_candidates(sub, res, {q: min(kc, k_world)
-                                           for q, kc in k_cheb.items()})
-        cand_df = F.broadcast(
-            spark.createDataFrame(cand)
-            .join(spark.createDataFrame(sub.rename(
-                columns={"lat": "q_lat", "lon": "q_lon"})), "query_id"))
-        cell = grid_cell_col(F.col(lat_col), F.col(lon_col), res)
-        joined = (pts.withColumn("_cell", cell)
-                  .join(cand_df, F.col("_cell") == F.col("cand_cell"), "inner")
-                  .drop("_cell", "cand_cell"))
-        dist = haversine_col(F.col(lat_col), F.col(lon_col),
-                             F.col("q_lat"), F.col("q_lon"))
+        sub = probes_pdf[probes_pdf["query_id"].isin(unresolved)].copy()
+        sub["q_lat"] = sub["lat"]
+        sub["q_lon"] = sub["lon"]
+        sub["dlat"] = [min(radius[int(q)] * deg_per_cell, 180.0)
+                       for q in sub["query_id"]]
+        sub["dlon"] = [
+            min(r * deg_per_cell / max(np.cos(np.radians(
+                min(abs(la) + r * deg_per_cell, 89.9))), 1e-6), 180.0)
+            for q, la, r in zip(sub["query_id"], sub["lat"],
+                                (radius[int(q)] for q in sub["query_id"]))]
+        cand = F.broadcast(spark.createDataFrame(
+            sub[["query_id", "q_lat", "q_lon", "dlat", "dlon"]]))
+        lat, lon = F.col(lat_col), F.col(lon_col)
+        dlon_wrap = F.least(F.abs(lon - F.col("q_lon")),
+                            F.lit(360.0) - F.abs(lon - F.col("q_lon")))
+        joined = pts.join(
+            cand,
+            (lat >= F.col("q_lat") - F.col("dlat"))
+            & (lat <= F.col("q_lat") + F.col("dlat"))
+            & (dlon_wrap <= F.col("dlon")), "inner")
+        dist = haversine_col(lat, lon, F.col("q_lat"), F.col("q_lon"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist_km").asc(), *[F.col(c).asc() for c in id_cols])
-        topk = (joined.withColumn("dist_km", dist)
-                .withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-        stats = {int(r["query_id"]): (int(r["cnt"]), float(r["kth"]))
-                 for r in topk.groupBy("query_id")
-                 .agg(F.count("*").alias("cnt"), F.max("dist_km").alias("kth"))
-                 .collect()}
+        topk_pdf = (joined.withColumn("dist_km", dist)
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .toPandas())  # <= |probes| * k rows — tiny
         done = set()
         for _, pr in sub.iterrows():
             qid = int(pr["query_id"])
-            cnt, kth = stats.get(qid, (0, float("inf")))
-            bound = _disk_lower_bound_km(float(pr["lat"]), res, k_cheb[qid])
-            if (cnt >= k and kth <= bound) or k_cheb[qid] >= k_world:
-                done.add(qid)  # certified exact, or whole world scanned
+            mine = topk_pdf[topk_pdf["query_id"] == qid]
+            kth = float(mine["dist_km"].max()) if len(mine) >= k else float("inf")
+            # distance from probe to nearest box edge (km)
+            lat_edge_km = pr["dlat"] * 111.195
+            worst_lat = min(abs(pr["lat"]) + pr["dlat"], 90.0)
+            lon_edge_km = (pr["dlon"] * 111.195
+                           * max(np.cos(np.radians(worst_lat)), 0.0))
+            bound = min(lat_edge_km, lon_edge_km)
+            covers_world = pr["dlat"] >= 180.0 and pr["dlon"] >= 180.0
+            if kth <= bound or covers_world:
+                done.add(qid)
+                out_frames.append(mine)
             else:
-                k_cheb[qid] *= 2
-        if done:
-            part = topk.filter(F.col("query_id").isin([int(q) for q in done]))
-            results = part if results is None else results.unionByName(part)
-            unresolved -= done
+                radius[qid] = min(radius[qid] * 2, 4 * k_world)
+        unresolved -= done
         if not unresolved:
             break
     if unresolved:
         raise RuntimeError(f"kNN did not converge for probes {sorted(unresolved)}")
-    return results
+    result = pd.concat(out_frames, ignore_index=True)
+    return spark.createDataFrame(result)

@@ -205,32 +205,45 @@ SF_ROWS = {"0.001": 500, "0.01": 5000, "0.1": 50000, "1": 500000,
            "4": 4_000_000}
 
 
-def gen_pages_geo(n_rows: int, seed: int = SEED) -> pa.Table:
+def gen_pages_geo(n_rows: int, seed: int = SEED,
+                  include_url: bool = True) -> pa.Table:
     """Coordinate-scale pages table (url, lat, lon) — fully vectorized, for
     throughput/scaling benchmarks.  Stands in for the column-pruned scan of
     the full pages table: the spatial-join job reads exactly these columns
     off a full-width table anyway (Parquet projection), so physical work is
-    identical while generation stays tractable at 10^7+ rows."""
+    identical while generation stays tractable at 10^8+ rows."""
     rng = np.random.RandomState(seed + 99)
     city_lat, city_lon = _city_centers(np.random.RandomState(seed))
     ranks = rng.zipf(1.3, size=n_rows) % N_HOSTS
     city = ranks.astype(np.int64) % N_CITIES
     lat = np.clip(city_lat[city] + rng.normal(0, 0.8, n_rows), -89.9, 89.9)
     lon = np.clip(city_lon[city] + rng.normal(0, 0.8, n_rows), -179.9, 179.9)
-    ids = np.arange(n_rows, dtype=np.int64)
-    url = np.char.add("https://h", ids.astype("U12"))
-    return pa.table({
-        "url": pa.array(url, pa.string()),
-        "lat": pa.array(lat, pa.float64()),
-        "lon": pa.array(lon, pa.float64()),
-    })
+    cols = {}
+    if include_url:
+        ids = np.arange(n_rows, dtype=np.int64)
+        cols["url"] = pa.array(np.char.add("https://h", ids.astype("U12")),
+                               pa.string())
+    cols["lat"] = pa.array(lat, pa.float64())
+    cols["lon"] = pa.array(lon, pa.float64())
+    return pa.table(cols)
 
 
-def ensure_pages_geo(base_dir: str, n_rows: int) -> str:
-    out = os.path.join(base_dir, f"pages_geo_{n_rows}.parquet")
+def ensure_pages_geo(base_dir: str, n_rows: int,
+                     include_url: bool = True) -> str:
+    suffix = "" if include_url else "_slim"
+    out = os.path.join(base_dir, f"pages_geo_{n_rows}{suffix}.parquet")
     if not os.path.exists(out):
-        pq.write_table(gen_pages_geo(n_rows), out,
-                       row_group_size=max(n_rows // 256, 10000))
+        chunk = 32_000_000
+        writer = None
+        for start in range(0, n_rows, chunk):
+            n = min(chunk, n_rows - start)
+            tbl = gen_pages_geo(n, seed=SEED + start // chunk,
+                                include_url=include_url)
+            if writer is None:
+                writer = pq.ParquetWriter(out, tbl.schema)
+            for batch in tbl.to_batches(max_chunksize=max(n // 32, 10000)):
+                writer.write_batch(batch)
+        writer.close()
     return out
 
 
