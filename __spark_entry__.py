@@ -331,6 +331,33 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def q_media_meta(spark, sf_dir):
+    """multimodal plumbing: binary payload -> typed metadata via Arrow
+    mapInPandas (deterministic fake decode — SQL-mirrorable, so the whole
+    mapInPandas path gets a value-level oracle)."""
+    from geolake_spark.functions import media
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")))
+    out = media.decode_image_meta(d)
+    return out.select("doc_id", F.col("meta.format").alias("format"),
+                      F.col("meta.byte_len").alias("byte_len"),
+                      F.col("meta.width").cast("bigint").alias("width"),
+                      F.col("meta.height").cast("bigint").alias("height"))
+
+
+def q_media_features(spark, sf_dir):
+    """byte-histogram feature extraction (embedding stand-in) + grouped
+    feature norms — rows-only (array aggregation not SQL-mirrored)."""
+    from geolake_spark.functions import media, sim
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")))
+    out = media.extract_image_features(d, dim=16)
+    return (out.withColumn("fnorm", F.round(sim.norm_col(
+        F.col("features").cast("array<double>")), 6))
+        .groupBy("lang").agg(F.count("*").alias("n"),
+                             F.round(F.avg("fnorm"), 6).alias("avg_fnorm")))
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate ANN — rows-only (approximate by design; recall vs the
     exact path is asserted in tests/test_ann.py)."""
@@ -372,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "fingerprints": q_fingerprints,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -523,4 +552,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
+        "media_meta": (
+            "SELECT doc_id, 'unknown' AS format, "
+            "cast(octet_length(encode(text)) as bigint) AS byte_len, "
+            "cast(octet_length(encode(text)) % 640 + 1 as bigint) AS width, "
+            "cast((octet_length(encode(text)) // 640) % 480 + 1 as bigint) AS height "
+            "FROM documents"),
     }

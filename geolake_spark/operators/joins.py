@@ -2,19 +2,23 @@
 
 North-rule operators (BASELINE.json:6,14; SURVEY.md §2.3 J1/J2).  Design:
 
-* **PIP join** — polygons are a small dimension.  On the driver we cover each
-  polygon's bbox with grid cells at a prefilter resolution and *classify*
-  every cover cell as INTERIOR (wholly inside -> no exact test needed) or
-  BOUNDARY (an edge passes through -> ray-cast refine).  The (cell,
-  polygon_id, interior) table is broadcast and equi-joined against the pages'
-  precomputed cell column — a broadcast hash join, no shuffle of the fact
-  table.  Only boundary-cell rows enter the Arrow-batched ray-casting UDF,
-  so the exact test touches a tiny fraction of rows at scale.
-* **kNN join** — query points are broadcast.  Candidates come from grid-cell
-  Chebyshev disks (k-rings) around each probe; after a windowed top-k we
-  verify the *exactness guarantee* (kth distance <= geometric lower bound of
-  the unexplored region) and re-expand only the unresolved probes.
-  Deterministic tie-break on (distance, url).
+* **PIP join** — polygons are a small dimension.  On the driver we cover
+  each polygon's bbox with grid cells at an adaptively-chosen prefilter
+  resolution and *classify* every cover cell as INTERIOR (wholly inside ->
+  no exact test) or BOUNDARY (an edge passes through -> exact refine).  The
+  cover table — including per-row polygon EDGE ARRAYS for boundary cells —
+  is broadcast and equi-joined against the pages' cell column (broadcast
+  hash join, zero shuffle of the fact table); boundary rows then ray-cast
+  inline via higher-order functions over the edge arrays, which keeps the
+  stage in whole-stage codegen at any polygon complexity.  An Arrow-batched
+  pandas-UDF refine (``make_pip_refine_udf``) implements the identical
+  kernel for library callers that want the vectorized-NumPy path.
+* **kNN join** — one per-cell histogram aggregation sizes a lat/lon search
+  box per probe on the driver; candidates come from a broadcast range-box
+  join (codegen predicates), then haversine + windowed top-k.  Exactness is
+  certified per probe by the geometric bound (kth distance <= distance to
+  the nearest box edge); only failing probes re-expand.  Deterministic
+  tie-break on (distance, id).
 
 Reference analogues: geobbox region masking
 (/root/reference/datastore/datastore/datastore.py:429-431) and nearest-location
