@@ -331,6 +331,32 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def q_cube_doc_stats(spark, sf_dir):
+    """grouping sets / cube (SURVEY §2.4 A5 — native Catalyst partial+final
+    hash aggregation)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """anti join (SURVEY §2.3 J6 — the checkpoint-resume primitive):
+    customers with no urgent-priority order."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (cu.join(o, cu.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_customer_semijoin(spark, sf_dir):
+    """semi join: customers having >= 1 urgent-priority order."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (cu.join(o, cu.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
 def q_media_meta(spark, sf_dir):
     """multimodal plumbing: binary payload -> typed metadata via Arrow
     mapInPandas (deterministic fake decode — SQL-mirrorable, so the whole
@@ -399,6 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "fingerprints": q_fingerprints,
+        "cube_doc_stats": q_cube_doc_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "customer_semijoin": q_customer_semijoin,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
@@ -552,6 +581,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
+        "cube_doc_stats": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "round(avg(n_chars), 6) AS avg_chars "
+            "FROM documents GROUP BY CUBE (lang, source)"),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"),
+        "customer_semijoin": (
+            "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT')"),
         "media_meta": (
             "SELECT doc_id, 'unknown' AS format, "
             "cast(octet_length(encode(text)) as bigint) AS byte_len, "
