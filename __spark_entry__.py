@@ -331,6 +331,25 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def q_regrid_values(spark, sf_dir):
+    """geolake to_regular analogue (W4): event values regridded onto the
+    z6 tile pyramid (per-tile nan-skipping mean)."""
+    ev = _events_geo(spark, sf_dir)
+    out = tiles.regrid(ev, zoom=6, value_col="value", operator="nanmean")
+    return out.select("tile_z", "tile_x", "tile_y",
+                      F.round("value", 6).alias("mean_value"), "n_points")
+
+
+def q_json_props(spark, sf_dir):
+    """JSON scalar functions (§2.8): extract props.k, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_cube_doc_stats(spark, sf_dir):
     """grouping sets / cube (SURVEY §2.4 A5 — native Catalyst partial+final
     hash aggregation)."""
@@ -425,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "fingerprints": q_fingerprints,
+        "regrid_values": q_regrid_values,
+        "json_props": q_json_props,
         "cube_doc_stats": q_cube_doc_stats,
         "customers_without_orders": q_customers_without_orders,
         "customer_semijoin": q_customer_semijoin,
@@ -581,6 +602,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
+        "regrid_values": (
+            f"SELECT cast(6 as int) AS tile_z, {cells.tile_x_sql('lon', 6)} AS tile_x, "
+            f"{cells.tile_y_sql('lat', 6)} AS tile_y, "
+            f"round(avg(value), 6) AS mean_value, count(*) AS n_points "
+            f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2, 3"),
+        "json_props": (
+            "SELECT event_type, count(*) AS n, "
+            "round(avg(cast(json_extract_string(props, '$.k') as bigint)), 6) AS avg_k, "
+            "cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS max_k "
+            "FROM events GROUP BY 1"),
         "cube_doc_stats": (
             "SELECT lang, source, count(*) AS n_docs, "
             "round(avg(n_chars), 6) AS avg_chars "

@@ -50,6 +50,23 @@ def rollup_tiles(df: DataFrame, zoom: int,
             .agg(F.sum("_cnt").alias("page_count")))
 
 
+def regrid(df: DataFrame, zoom: int, value_col: str = "value",
+           operator: str = "mean",
+           lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """geolake ``to_regular`` (workflow.py:157-167): resample point values
+    onto the regular tile grid — per-tile aggregate of ``value_col``.
+    Operators mirror the resample whitelist (nan-variants skip NaN)."""
+    from geolake_spark.operators.aggregates import _resolve_agg
+    agg_fn, nan_skipping = _resolve_agg(operator)
+    tiled = assign_tiles(df, zoom, lat_col, lon_col)
+    val = F.col(value_col)
+    if nan_skipping:
+        val = F.when(F.isnan(val), F.lit(None)).otherwise(val)
+    return (tiled.groupBy("tile_z", "tile_x", "tile_y")
+            .agg(agg_fn(val).alias(value_col),
+                 F.count("*").alias("n_points")))
+
+
 def write_tiles(df: DataFrame, path: str, zoom: int, mode: str = "overwrite",
                 lat_col: str = "lat", lon_col: str = "lon") -> None:
     """Materialize tile-partitioned parquet: path/tile_z=/tile_x=/tile_y=/."""
