@@ -11,8 +11,8 @@ Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 flagship job — scan -> grid-cell assign -> PIP broadcast join (6 polygons,
 interior/boundary filter-refine, HOF ray-cast) -> Web-Mercator tile rollup —
 runs over 1.02B page rows (4 passes over a 256M-row coordinate table) at
-local[8] and local[32]; reports pages/sec at both and efficiency
-= (pages/sec @32) / (4 x pages/sec @8); writes BENCH/BASELINE.md.
+local[2], local[8] and local[32]; reports pages/sec at each and the N->4N
+efficiencies (2->8 and 8->32); writes BENCH/BASELINE.md.
 
 Timing protocol notes (hard-won):
 * every measured run builds a FRESH DataFrame — Spark caches materialized
