@@ -331,6 +331,25 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def q_rolling_avg(spark, sf_dir):
+    """analytic window with a rows frame (§2.5): 3-event trailing mean of
+    value per user, deterministic order (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return (ev.withColumn("rolling_avg", F.round(F.avg("value").over(w), 6))
+            .select("event_id", "user_id", "rolling_avg"))
+
+
+def q_tile_distinct_users(spark, sf_dir):
+    """per-tile exact distinct counts (§2.4 A5): distinct users per z6 tile."""
+    ev = _events_geo(spark, sf_dir)
+    t = tiles.assign_tiles(ev, zoom=6)
+    return (t.groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.count_distinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events")))
+
+
 def q_regrid_values(spark, sf_dir):
     """geolake to_regular analogue (W4): event values regridded onto the
     z6 tile pyramid (per-tile nan-skipping mean)."""
@@ -444,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "fingerprints": q_fingerprints,
+        "rolling_avg": q_rolling_avg,
+        "tile_distinct_users": q_tile_distinct_users,
         "regrid_values": q_regrid_values,
         "json_props": q_json_props,
         "cube_doc_stats": q_cube_doc_stats,
@@ -602,6 +623,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
+        "rolling_avg": (
+            "SELECT event_id, user_id, round(avg(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg "
+            "FROM events"),
+        "tile_distinct_users": (
+            f"SELECT cast(6 as int) AS tile_z, {cells.tile_x_sql('lon', 6)} AS tile_x, "
+            f"{cells.tile_y_sql('lat', 6)} AS tile_y, "
+            f"count(DISTINCT user_id) AS n_users, count(*) AS n_events "
+            f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2, 3"),
         "regrid_values": (
             f"SELECT cast(6 as int) AS tile_z, {cells.tile_x_sql('lon', 6)} AS tile_x, "
             f"{cells.tile_y_sql('lat', 6)} AS tile_y, "

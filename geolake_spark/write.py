@@ -85,7 +85,14 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
      .option("partitionOverwriteMode", "dynamic")
      .parquet(table.data_dir))
 
-    metrics = partition_metrics(work, partition_cols, lat_col, lon_col)
+    # lineage metrics from the files just written (column-pruned scan of the
+    # new partitions only): avoids re-running the whole upstream pipeline a
+    # second time (pandas-UDF enrichment is expensive) and doubles as a
+    # read-back validation of the write.
+    spark = df.sparkSession
+    back = spark.read.option("basePath", table.data_dir).parquet(
+        *[table.partition_path(p) for p in planned])
+    metrics = partition_metrics(back, partition_cols, lat_col, lon_col)
     for m in metrics:
         m["byte_size"] = _dir_bytes(table.partition_path(m["partition"]))
     snap_id = table.commit(metrics)
