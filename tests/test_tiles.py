@@ -60,3 +60,17 @@ def test_write_tiles_partition_layout(spark, pages, tmp_path):
     assert zdirs == ["tile_z=3"]
     xdirs = os.listdir(os.path.join(out, "tile_z=3"))
     assert all(d.startswith("tile_x=") for d in xdirs if not d.startswith("_"))
+
+
+def test_pyramid_levels_consistent(spark, pages):
+    pyr = tiles.build_pyramid(pages, max_zoom=6, min_zoom=3)
+    pdf = pyr.toPandas()
+    total = pages.count()
+    for z, grp in pdf.groupby("tile_z"):
+        assert grp["page_count"].sum() == total  # every level covers all pages
+    # every parent equals the sum of its children
+    z6 = pdf[pdf.tile_z == 6]
+    z5 = pdf[pdf.tile_z == 5].set_index(["tile_x", "tile_y"])["page_count"]
+    child_sum = (z6.assign(px=z6.tile_x // 2, py=z6.tile_y // 2)
+                 .groupby(["px", "py"])["page_count"].sum())
+    assert child_sum.to_dict() == z5.to_dict()
