@@ -146,6 +146,21 @@ def q_knn_docs(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_knn_table(spark, sf_dir):
+    """distributed probe-TABLE kNN (J2 at scale): 400 probes as a DataFrame,
+    ring expansion + equi-join on cells + windowed top-k, zero per-probe
+    driver iteration (VERDICT r01 #5)."""
+    d = _docs_geo(spark, sf_dir)
+    probes = (spark.range(400)
+              .select(F.col("id").alias("query_id"),
+                      geo.geocode_lat_col(F.col("id") + 1000000).alias("lat"),
+                      geo.geocode_lon_col(F.col("id") + 1000000).alias("lon")))
+    out = joins.knn_join_table(d, probes, k=5, res=5, id_cols=["doc_id"])
+    return out.select("query_id", "doc_id",
+                      F.round("dist_km", 6).alias("dist_km"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_tile_rollup(spark, sf_dir):
     d = _docs_geo(spark, sf_dir)
     return tiles.rollup_tiles(d, zoom=8)
@@ -284,13 +299,18 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates — rows-only (hash fns not in SQL);
-    exactness of the estimate is property-tested in tests/test_dedup.py."""
+    """MinHash+LSH near-dup candidates — full value-level oracle: the DuckDB
+    side re-derives FNV-1a shingle hashes, the seeded permutations (inlined
+    constants, uint64 wrap emulated via HUGEINT) and band-equality candidate
+    generation (see _minhash_lsh_oracle)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.35)
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash near-dup at hamming <= 8 with 9 bands (> max_hamming =>
+    provably total recall), so the all-pairs DuckDB Hamming filter is an
+    exact value-level oracle (see _simhash_oracle)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, max_hamming=8)
 
@@ -320,10 +340,13 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
+    """multi-table random-hyperplane LSH near-dup: seeded hyperplanes are
+    inlined into the DuckDB oracle, which replicates candidate generation
+    (band tables + bucket cap) exactly — full value-level oracle."""
     e = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(
         e.withColumn("embedding", F.col("embedding").cast("array<double>")),
-        threshold=0.35)
+        threshold=0.35, dim=64)
 
 
 def q_fingerprints(spark, sf_dir):
@@ -420,7 +443,9 @@ def q_media_meta(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """byte-histogram feature extraction (embedding stand-in) + grouped
-    feature norms — rows-only (array aggregation not SQL-mirrored)."""
+    feature norms — value-level oracle: DuckDB re-derives the histogram
+    per byte bucket and emulates the float32 quantization of the feature
+    array (see oracle)."""
     from geolake_spark.functions import media, sim
     d = (_t(spark, sf_dir, "documents")
          .select("doc_id", "lang", F.encode(F.col("text"), "UTF-8").alias("payload")))
@@ -432,14 +457,18 @@ def q_media_features(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF approximate ANN — rows-only (approximate by design; recall vs the
-    exact path is asserted in tests/test_ann.py)."""
+    """IVF ANN with nprobe = n_clusters: probing every inverted list makes
+    the result provably exact, so the brute-force SQL top-k is a full
+    value-level oracle for the IVF machinery (centroid training, list
+    assignment UDF, probe routing, per-list search, merge + rank).
+    Approximate recall at nprobe < n_clusters is asserted separately in
+    tests/test_ann.py."""
     e = _t(spark, sf_dir, "embeddings")
     probes = (e.filter(F.col("vec_id") < 3)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").cast("array<double>").alias("probe_vec")))
     v = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return ann.ivf_topk(v, probes, k=5)
+    return ann.ivf_topk(v, probes, k=5, n_clusters=16, nprobe=16)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -450,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_parent_rollup": q_cell_parent_rollup,
         "pip_rect_join": q_pip_rect_join,
         "knn_docs": q_knn_docs,
+        "knn_table": q_knn_table,
         "tile_rollup": q_tile_rollup,
         "s2_cell_count": q_s2_cell_count,
         "geoquery_subset": q_geoquery_subset,
@@ -495,6 +525,128 @@ def _hav_sql(lat2: str, lon2: str) -> str:
     return cells.haversine_sql("lat", "lon", lat2, lon2)
 
 
+# FNV-1a over a string in pure SQL (DuckDB): identical to sim._hash_shingles
+# for ASCII text (ord == utf-8 byte; the synthetic documents are ASCII —
+# asserted in tests/test_entry.py).  HUGEINT emulates uint64 wraparound.
+_W64 = "18446744073709551616::HUGEINT"
+_MERSENNE_SQL = "2305843009213693951::HUGEINT"
+
+
+def _fnv_sql(s: str) -> str:
+    return ("list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+            f"list_transform(range(1, length({s})+1), "
+            f"i -> ord(substr({s}, i, 1))::HUGEINT)), "
+            f"(h, b) -> (xor(h, b) * 1099511628211) % {_W64})")
+
+
+_TOKS_SQL = (
+    "SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 "
+    "THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w "
+    "FROM documents")
+
+
+def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.35) -> str:
+    """Mirrors dedup.minhash_lsh_pairs exactly: bulk FNV-1a shingle hashes,
+    the seeded permutation constants inlined (with uint64 wrap emulation),
+    band-equality candidates, signature-similarity filter."""
+    a, b = sim._perm_params(num_perm, seed=1)
+    r = num_perm // bands
+    perm_vals = ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+                          for i in range(num_perm))
+    sentinel = "[" + ", ".join(["9223372036854775807"] * num_perm) + "]"
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM toks),
+hx AS (
+  SELECT doc_id, unnest(list_transform(shingles,
+    s -> {_fnv_sql('s')} % {_MERSENNE_SQL})) AS h
+  FROM sh WHERE len(shingles) > 0),
+perms(pi, a, b) AS (VALUES {perm_vals}),
+sig_long AS (
+  SELECT doc_id, pi, min(((a * h) % {_W64} + b) % {_W64} % {_MERSENNE_SQL}) AS sp
+  FROM hx CROSS JOIN perms GROUP BY doc_id, pi),
+sigs0 AS (SELECT doc_id, list(cast(sp as bigint) ORDER BY pi) AS sig
+  FROM sig_long GROUP BY doc_id),
+sigs AS (SELECT d.doc_id, coalesce(s.sig, {sentinel}) AS sig
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id)),
+banded AS (
+  SELECT doc_id, sig, b.band_id,
+    array_to_string(list_slice(sig, b.band_id * {r} + 1,
+                               b.band_id * {r} + {r}), ',') AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS band_id) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c
+  ON a.band_id = c.band_id AND a.band_key = c.band_key
+  WHERE a.doc_id < c.doc_id)
+SELECT id_a, id_b, round(list_sum(list_transform(range(1, {num_perm + 1}),
+  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+  / {float(num_perm)}, 6) AS sig_sim
+FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE list_sum(list_transform(range(1, {num_perm + 1}),
+  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+  / {float(num_perm)} >= {threshold}"""
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """Mirrors dedup.simhash_pairs: per-token FNV-1a, bitwise majority
+    signature (uint64->int64 wrap emulated), all-pairs Hamming filter —
+    a faithful oracle for the operator because bands > max_hamming makes
+    the banded candidate set provably total-recall (pigeonhole)."""
+    bit_vals = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+hx AS (
+  SELECT doc_id, len(w) AS ntok,
+    unnest(list_transform(w, s -> {_fnv_sql('s')})) AS h
+  FROM toks WHERE len(w) > 0),
+bits(bi, pw) AS (VALUES {bit_vals}),
+bitcnt AS (
+  SELECT doc_id, ntok, bi, pw,
+    sum(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE 0 END) AS cnt
+  FROM hx CROSS JOIN bits GROUP BY 1, 2, 3, 4),
+sigs_h AS (
+  SELECT doc_id, sum(CASE WHEN 2 * cnt > ntok THEN pw ELSE 0::HUGEINT END) AS s
+  FROM bitcnt GROUP BY 1),
+sigs AS (
+  SELECT d.doc_id, cast(coalesce(CASE WHEN h.s >= 9223372036854775808::HUGEINT
+    THEN h.s - {_W64} ELSE h.s END, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sigs_h h USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def _embedding_neardup_lsh_oracle() -> str:
+    """Replicates q_embedding_neardup_lsh candidate generation exactly: the
+    seeded hyperplanes are computed here and inlined as SQL literals, the
+    band tables become a UNION ALL, the bucket cap a QUALIFY window."""
+    n_planes, n_tables = sim.rh_params(0.35)
+    planes = sim.rh_planes(64, n_tables, n_planes, seed=dedup.DEFAULT_LSH_SEED)
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, v, {ti} AS table_id, ({expr}) AS bucket FROM e"
+        for ti, expr in enumerate(sim.rh_bucket_sql("v", planes)))
+    return (
+        "WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v "
+        "FROM embeddings), "
+        f"banded AS ({unions}), "
+        f"capped AS (SELECT * FROM banded QUALIFY count(*) OVER "
+        f"(PARTITION BY table_id, bucket) <= {dedup.DEFAULT_BUCKET_CAP}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM capped a JOIN capped b USING (table_id, bucket) "
+        "WHERE a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, "
+        "round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine "
+        "FROM cand JOIN e ea ON ea.vec_id = id_a "
+        "JOIN e eb ON eb.vec_id = id_b "
+        "WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35")
+
+
 def oracle_sql() -> dict[str, str]:
     docs = f"({_DOCS_GEO_SQL})"
     evg = f"({_EVENTS_GEO_SQL})"
@@ -533,6 +685,17 @@ def oracle_sql() -> dict[str, str]:
             f"    ORDER BY {_hav_sql('p.q_lat', 'p.q_lon')} ASC, d.doc_id ASC) AS rank "
             f"  FROM {docs} d CROSS JOIN (VALUES {probe_values}) "
             f"    AS p(query_id, q_lat, q_lon)) WHERE rank <= 5"),
+        "knn_table": (
+            f"SELECT query_id, doc_id, round(dist, 6) AS dist_km, "
+            f"cast(rank as bigint) AS rank FROM ("
+            f"  SELECT p.query_id, d.doc_id, {_hav_sql('p.q_lat', 'p.q_lon')} AS dist, "
+            f"  row_number() OVER (PARTITION BY p.query_id "
+            f"    ORDER BY {_hav_sql('p.q_lat', 'p.q_lon')} ASC, d.doc_id ASC) AS rank "
+            f"  FROM {docs} d CROSS JOIN ("
+            f"    SELECT pid AS query_id, "
+            f"    {geo.geocode_lat_sql('pid + 1000000')} AS q_lat, "
+            f"    {geo.geocode_lon_sql('pid + 1000000')} AS q_lon "
+            f"    FROM range(400) t(pid)) p) WHERE rank <= 5"),
         "tile_rollup": (
             f"SELECT cast(8 as int) AS tile_z, {cells.tile_x_sql('lon', 8)} AS tile_x, "
             f"{cells.tile_y_sql('lat', 8)} AS tile_y, count(*) AS page_count "
@@ -632,6 +795,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
+        "minhash_lsh": _minhash_lsh_oracle(),
+        "simhash": _simhash_oracle(),
+        "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
         "tile_pyramid": (
             f"WITH base AS (SELECT {cells.tile_x_sql('lon', 6)} AS tx, "
@@ -675,6 +841,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderpriority = '1-URGENT')"),
+        "media_features": (
+            "WITH bytes AS (SELECT doc_id, lang, length(text) AS n, "
+            "  unnest(list_transform(range(1, length(text)+1), "
+            "  i -> ord(substr(text, i, 1)) % 16)) AS bkt "
+            "  FROM documents WHERE length(text) > 0), "
+            "hist AS (SELECT doc_id, lang, n, bkt, count(*) AS c "
+            "  FROM bytes GROUP BY 1, 2, 3, 4), "
+            "f AS (SELECT doc_id, round(sqrt(sum(pow(cast(cast("
+            "  cast(c AS DOUBLE) / n AS FLOAT) AS DOUBLE), 2))), 6) AS fnorm "
+            "  FROM hist GROUP BY 1), "
+            "per_doc AS (SELECT d.lang, coalesce(f.fnorm, 0.0) AS fnorm "
+            "  FROM documents d LEFT JOIN f USING (doc_id)) "
+            "SELECT lang, count(*) AS n, round(avg(fnorm), 6) AS avg_fnorm "
+            "FROM per_doc GROUP BY 1"),
+        "ivf_topk": (
+            "SELECT probe_id, vec_id, cosine, cast(rank as bigint) AS rank FROM ("
+            "  SELECT p.vec_id AS probe_id, e.vec_id, "
+            "  round(list_cosine_similarity(cast(e.embedding as double[]), "
+            "    cast(p.embedding as double[])), 6) AS cosine, "
+            "  row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "    list_cosine_similarity(cast(e.embedding as double[]), "
+            "    cast(p.embedding as double[])) DESC, e.vec_id ASC) AS rank "
+            "  FROM embeddings e CROSS JOIN "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) p) "
+            "WHERE rank <= 5"),
         "media_meta": (
             "SELECT doc_id, 'unknown' AS format, "
             "cast(octet_length(encode(text)) as bigint) AS byte_len, "

@@ -68,7 +68,10 @@ def build_flagship(spark, n_passes: int = 1):
     for r in (5, 6, 7, 8, 9):
         enr = enr.withColumn(f"cell_r{r}",
                              grid_cell_col(F.col("lat"), F.col("lon"), r))
-    pip = joins.pip_join(enr, synth.polygon_specs(), cell_col="cell_r5")
+    # res MUST match the cell column's resolution (cell ids embed it in the
+    # high bits); pip_join validates this by sampling the column — passing it
+    # explicitly keeps that limit-1 job out of the timed region.
+    pip = joins.pip_join(enr, synth.polygon_specs(), res=7, cell_col="cell_r7")
     out = (pip.withColumn("tile_x", tile_x_col(F.col("lon"), 8))
            .withColumn("tile_y", tile_y_col(F.col("lat"), 8))
            .groupBy("polygon_id", "tile_x", "tile_y")

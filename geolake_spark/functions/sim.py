@@ -39,14 +39,35 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_FNV_BASIS = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    """Stable 64-bit FNV-1a per shingle."""
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(14695981039346656037)
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    """Stable 64-bit FNV-1a per shingle, bulk-vectorized.
+
+    All strings are UTF-8-encoded into ONE flat byte buffer; the FNV loop
+    then runs column-at-a-time (j-th byte of every string in a single
+    vector op), so Python-level work is O(max_len) instead of
+    O(total_bytes).  Bit-identical to the scalar per-byte FNV-1a (uint64
+    multiply wraps mod 2^64), so pre-vectorization golden signatures are
+    unchanged.
+    """
+    n = len(shingles)
+    out = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    if n == 0:
+        return out
+    enc = [s.encode("utf-8") for s in shingles]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    maxlen = int(lens.max(initial=0))
+    if maxlen == 0:
+        return out
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offs = np.cumsum(lens) - lens
+    for j in range(maxlen):
+        active = np.nonzero(lens > j)[0]
+        b = flat[offs[active] + j].astype(np.uint64)
+        out[active] = (out[active] ^ b) * _FNV_PRIME
     return out
 
 
@@ -69,21 +90,46 @@ def minhash_signature(shingles: list[str], num_perm: int = 64,
     return vals.min(axis=1)
 
 
+# Bound on the (num_perm x shingles) permutation matrix per vector op:
+# 256k shingles x 64 perms x 8B = 128 MB working set.
+_MINHASH_CHUNK_SHINGLES = 262_144
+
+
 def make_minhash_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
         a, b = _perm_params(num_perm, seed)
-        out = []
-        for s in text:
+        # One bulk hash over every shingle in the Arrow batch, then per-doc
+        # signature mins via minimum.reduceat over contiguous doc segments
+        # (duplicate shingles can't change a min, so no per-doc unique()).
+        all_sh: list[str] = []
+        counts = np.empty(len(text), dtype=np.int64)
+        for i, s in enumerate(text):
             toks = s.lower().split()
-            sh = [" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))]
-            if not sh:
-                out.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
-                continue
-            hv = np.unique(_hash_shingles(sh)) % _MERSENNE
-            vals = (np.outer(a, hv) + b[:, None]) % _MERSENNE
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+            counts[i] = max(len(toks) - n + 1, 0)
+            all_sh.extend(" ".join(toks[j:j + n]) for j in range(counts[i]))
+        hv_all = _hash_shingles(all_sh) % _MERSENNE
+        out = np.full((len(text), num_perm), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        nonempty = np.nonzero(counts > 0)[0]
+        i = 0
+        while i < len(nonempty):
+            j, tot = i, 0
+            while j < len(nonempty) and (
+                    tot == 0 or tot + counts[nonempty[j]] <= _MINHASH_CHUNK_SHINGLES):
+                tot += counts[nonempty[j]]
+                j += 1
+            docs = nonempty[i:j]
+            seg_hv = hv_all[np.concatenate(
+                [np.arange(starts[d], ends[d]) for d in docs])]
+            vals = (a[:, None] * seg_hv[None, :] + b[:, None]) % _MERSENNE
+            seg_starts = np.cumsum(counts[docs]) - counts[docs]
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+            out[docs] = mins.T.astype(np.int64)
+            i = j
+        return pd.Series(list(out))
     return minhash_udf
 
 
@@ -108,24 +154,102 @@ def lsh_bands(df, sig_col: str = "minhash", num_perm: int = 64, bands: int = 16)
 
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    out = np.empty(len(text), dtype=np.int64)
-    for row, s in enumerate(text):
+    # Bulk FNV over every token in the Arrow batch; per-doc per-bit counts
+    # via add.reduceat over contiguous doc segments (64 one-dimensional
+    # passes — never materializes an (n_tokens, 64) matrix).
+    all_toks: list[str] = []
+    counts = np.empty(len(text), dtype=np.int64)
+    for i, s in enumerate(text):
         toks = s.lower().split()
-        if not toks:
-            out[row] = 0
-            continue
-        hv = _hash_shingles(toks)
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        score = 2 * bits.sum(axis=0).astype(np.int64) - len(toks)
-        sig = np.uint64(0)
-        for i in np.nonzero(score > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        out[row] = np.int64(sig.astype(np.int64))
+        counts[i] = len(toks)
+        all_toks.extend(toks)
+    out = np.zeros(len(text), dtype=np.int64)
+    nonempty = np.nonzero(counts > 0)[0]
+    if len(nonempty) == 0:
+        return pd.Series(out)
+    hv = _hash_shingles(all_toks)
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    bit_sums = np.empty((len(nonempty), 64), dtype=np.int64)
+    for i in range(64):
+        v = ((hv >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+        bit_sums[:, i] = np.add.reduceat(v, starts)
+    positive = (2 * bit_sums) > counts[nonempty][:, None]
+    sig = (positive.astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
+                                                           dtype=np.uint64)
+    out[nonempty] = sig.view(np.int64)
     return pd.Series(out)
 
 
 def hamming64_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (SimHash-for-vectors) LSH for embeddings
+# ---------------------------------------------------------------------------
+
+
+def rh_planes(dim: int, n_tables: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """(n_tables, n_planes, dim) seeded Gaussian hyperplanes.  Deterministic
+    per seed, so the DuckDB oracle can inline the identical constants."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, n_planes, dim)
+
+
+def rh_params(threshold: float, target_recall: float = 0.95,
+              max_tables: int = 32, max_planes: int = 16) -> tuple[int, int]:
+    """(n_planes per band-table, n_tables) for a cosine threshold.
+
+    P(same side of one random hyperplane) = 1 - theta/pi; a pair at the
+    threshold lands in the same bucket of one table with p^planes, and in
+    >= 1 of T tables with 1 - (1 - p^planes)^T.  We pick the LARGEST band
+    (best selectivity) still reaching target_recall within max_tables.
+    NOTE the selectivity/threshold trade-off is fundamental: at low
+    thresholds (0.35 ~ 70 deg, barely above random-pair angles) any
+    recall-preserving banding passes most pairs through — LSH prunes well
+    only for genuinely-near duplicates (>= 0.8)."""
+    p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+    for b in range(max_planes, 0, -1):
+        pt = p ** b
+        if pt >= 1.0:
+            return b, 1
+        t = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - pt)))
+        if t <= max_tables:
+            return b, t
+    return 1, max_tables
+
+
+def make_rh_bucket_udf(planes: np.ndarray):
+    """Arrow-batched UDF: embedding -> array of n_tables int bucket keys
+    (bit-packed hyperplane signs).  One matmul per batch."""
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T*b)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def rh_buckets(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if len(mat) == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ flat >= 0.0).reshape(len(mat), n_tables, n_planes)
+        keys = (bits * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(keys))
+    return rh_buckets
+
+
+def rh_bucket_sql(vec_expr: str, planes: np.ndarray) -> list[str]:
+    """Per-table bucket-key SQL (DuckDB), hyperplanes inlined as literals —
+    mirrors :func:`make_rh_bucket_udf` for the value-level oracle."""
+    out = []
+    for t in range(planes.shape[0]):
+        terms = []
+        for j in range(planes.shape[1]):
+            lst = "[" + ", ".join(repr(float(x)) for x in planes[t, j]) + "]"
+            terms.append(f"(case when list_dot_product({vec_expr}, {lst}) "
+                         f">= 0 then {1 << j} else 0 end)")
+        out.append(" + ".join(terms))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -55,17 +55,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming; candidate
-    generation by equality on one of four 16-bit chunks (pigeonhole: any pair
-    within Hamming 3 of 64 bits agrees on >= one chunk)."""
+                  max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation by equality on one of ``bands`` disjoint bit chunks
+    covering all 64 bits.  Pigeonhole: a pair differing in at most
+    ``max_hamming`` bits must agree on >= one chunk IFF ``bands >
+    max_hamming`` — so that is enforced (the round-1 version fixed 4 chunks,
+    which silently under-recalled pairs with hamming in [4, max_hamming])."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} gives no recall guarantee for "
+            f"max_hamming={max_hamming}: a pair can differ in every chunk; "
+            f"need bands > max_hamming")
+    if bands > 64:
+        raise ValueError("at most 64 one-bit bands over a 64-bit signature")
     sh = df.select(F.col(id_col).alias("id"),
                    sim.simhash_udf(F.col(text_col)).alias("simhash"))
+    # chunk widths cover all 64 bits (wider chunks first when 64 % bands != 0)
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    shifts = [sum(widths[:i]) for i in range(bands)]
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk_id"),
-                 F.shiftrightunsigned(F.col("simhash"), i * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
-        for i in range(4)])
+                 F.shiftrightunsigned(F.col("simhash"), shifts[i])
+                 .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("chunk_val"))
+        for i in range(bands)])
     banded = (sh.withColumn("c", F.explode(chunks))
               .select("id", "simhash", "c.chunk_id", "c.chunk_val"))
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
@@ -110,24 +126,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+DEFAULT_LSH_SEED = 7
+DEFAULT_BUCKET_CAP = 4096
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            threshold: float = 0.95) -> DataFrame:
-    """Pairs with cosine >= threshold.  Candidates bucketed by sign of the
-    leading components (random-hyperplane-style LSH using the raw axes);
-    near-identical vectors share the bucket, turning O(n^2) into per-bucket
-    joins.  High-threshold near-dup only (stated approximation: pairs
-    differing in a leading-axis sign are missed — acceptable for
-    threshold >= 0.9 near-dup mining; the brute-force path in ann.py is the
-    exact oracle)."""
-    sign_bucket = F.concat_ws("", *[
-        (F.element_at(F.col(vec_col), i + 1) >= 0).cast("int").cast("string")
-        for i in range(8)])
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  sign_bucket.alias("bucket"))
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    return (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
+                            threshold: float = 0.95,
+                            n_tables: int | None = None,
+                            n_planes: int | None = None,
+                            seed: int = DEFAULT_LSH_SEED,
+                            bucket_cap: int = DEFAULT_BUCKET_CAP,
+                            dim: int | None = None) -> DataFrame:
+    """Pairs with cosine >= threshold via multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` band tables hashes a vector to a bucket by the
+    bit-packed signs of ``n_planes`` seeded Gaussian hyperplanes; candidate
+    pairs share a bucket in >= 1 table, then filter by exact cosine.
+    Defaults come from :func:`sim.rh_params` — the largest band reaching
+    95% recall at the threshold (recall/selectivity math in its docstring).
+    Buckets larger than ``bucket_cap`` are dropped entirely (skew guard for
+    degenerate mega-clusters — run exact dedup first so identical vectors
+    collapse before this operator; the drop is a stated recall trade).
+    Shuffles are on (table_id, bucket) keys only — never all-pairs."""
+    if n_planes is None or n_tables is None:
+        auto_b, auto_t = sim.rh_params(threshold)
+        n_planes = n_planes or auto_b
+        n_tables = n_tables or auto_t
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head:
+            dim = 1
+        else:
+            dim = len(head[0][0])
+    planes = sim.rh_planes(dim, n_tables, n_planes, seed)
+    bucketer = sim.make_rh_bucket_udf(planes)
+    e = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   bucketer(F.col(vec_col)).alias("bks"))
+         .select("id", "v", F.posexplode("bks").alias("table_id", "bucket")))
+    counts = e.groupBy("table_id", "bucket").agg(F.count("*").alias("bsz"))
+    capped = (e.join(F.broadcast(counts), ["table_id", "bucket"])
+              .filter(F.col("bsz") <= bucket_cap)
+              .select("id", "v", "table_id", "bucket"))
+    a = capped.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                      "table_id", "bucket")
+    b = capped.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                      "table_id", "bucket")
+    cand = (a.join(b, ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "v_a", "v_b").distinct())
+    return (cand.withColumn("cosine",
+                            F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

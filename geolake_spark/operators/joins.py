@@ -10,9 +10,7 @@ North-rule operators (BASELINE.json:6,14; SURVEY.md §2.3 J1/J2).  Design:
   is broadcast and equi-joined against the pages' cell column (broadcast
   hash join, zero shuffle of the fact table); boundary rows then ray-cast
   inline via higher-order functions over the edge arrays, which keeps the
-  stage in whole-stage codegen at any polygon complexity.  An Arrow-batched
-  pandas-UDF refine (``make_pip_refine_udf``) implements the identical
-  kernel for library callers that want the vectorized-NumPy path.
+  stage in whole-stage codegen at any polygon complexity.
 * **kNN join** — one per-cell histogram aggregation sizes a lat/lon search
   box per probe on the driver; candidates come from a broadcast range-box
   join (codegen predicates), then haversine + windowed top-k.  Exactness is
@@ -31,9 +29,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
-
 from geolake_spark import cells
 from geolake_spark.functions.geo import grid_cell_col, haversine_col
 
@@ -157,60 +152,6 @@ def build_pip_cover(polygons: list[dict], res: int = DEFAULT_PIP_RES) -> pd.Data
     return pd.DataFrame(rows)
 
 
-def pip_inside_expr(rings: list[np.ndarray], lat: F.Column, lon: F.Column):
-    """Even-odd ray-cast as a pure JVM expression (whole-stage codegen).
-
-    Emits exactly the arithmetic of :func:`cells.points_in_ring` —
-    ``(y1 > y) != (y2 > y) AND x < x1 + (y - y1) * (x2 - x1) / (y2 - y1)`` —
-    summed over every ring edge; odd crossing count = inside.  Bit-identical
-    to the NumPy kernel (same IEEE double ops in the same order), so the
-    expression tier and the Arrow-UDF tier are interchangeable.  Used for
-    polygons below the vertex budget; per-row Python never runs for them.
-    """
-    if _crosses_antimeridian(rings):
-        lon = F.when(lon < 0.0, lon + F.lit(360.0)).otherwise(lon)
-    crossings = F.lit(0)
-    for ring in rings:
-        r = np.asarray(ring, dtype=np.float64)
-        if not np.array_equal(r[0], r[-1]):
-            r = np.vstack([r, r[:1]])
-        for (x1, y1), (x2, y2) in zip(r[:-1], r[1:]):
-            if y1 == y2:
-                continue
-            xin = F.lit(float(x1)) + ((lat - F.lit(float(y1)))
-                                      * F.lit(float(x2 - x1))) / F.lit(float(y2 - y1))
-            cond = ((F.lit(float(y1)) > lat) != (F.lit(float(y2)) > lat)) & (lon < xin)
-            crossings = crossings + cond.cast("int")
-    return (crossings % 2) == 1
-
-
-# Polygons with at most this many total vertices refine via the codegen
-# expression; bigger ones (real admin boundaries) go through the Arrow UDF.
-PIP_EXPR_MAX_VERTICES = 64
-
-
-def make_pip_refine_udf(polygons: list[dict]):
-    """Arrow-batched exact ray-cast: (polygon_id, lat, lon) -> bool.
-    Polygon coordinate arrays ride the closure (broadcast with the UDF)."""
-    poly_map = {int(p["polygon_id"]): [np.asarray(r, dtype=np.float64)
-                                       for r in p["rings"]]
-                for p in polygons}
-
-    @pandas_udf(T.BooleanType())
-    def pip_refine(polygon_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
-        out = np.zeros(len(lat), dtype=bool)
-        la = lat.to_numpy(dtype=np.float64)
-        lo = lon.to_numpy(dtype=np.float64)
-        pid = polygon_id.to_numpy()
-        for p in np.unique(pid):
-            rings = poly_map[int(p)]
-            m = pid == p
-            out[m] = cells.points_in_polygon(la[m], _norm_lon_for(rings, lo[m]), rings)
-        return pd.Series(out)
-
-    return pip_refine
-
-
 # Cover DataFrames are cached per (session, polygon set, res): building one
 # via createDataFrame(pandas-with-nested-arrays) costs >1s of driver time
 # (pickle serialization), while a pyarrow parquet round-trip through tmpfs is
@@ -253,18 +194,34 @@ def _cover_df(spark: SparkSession, cover_pdf: pd.DataFrame,
 def pip_join(points: DataFrame, polygons: list[dict],
              res: int | None = None,
              lat_col: str = "lat", lon_col: str = "lon",
-             cell_col: str | None = None,
-             expr_max_vertices: int = PIP_EXPR_MAX_VERTICES) -> DataFrame:
+             cell_col: str | None = None) -> DataFrame:
     """points x polygons -> points rows + ``polygon_id`` (inner, 1 row per
     containing polygon).
 
     Physical shape: broadcast equi-join on the grid cell; INTERIOR cover
     cells pass through untested; BOUNDARY cells refine with the exact
-    ray-cast — as a codegen expression for low-vertex polygons (zero
-    Python in the plan) or an Arrow-batched UDF for high-vertex ones.
-    Three disjoint branches keep the Python eval node off the hot rows.
+    ray-cast evaluated as higher-order functions over the broadcast edge
+    arrays (whole-stage codegen at any polygon complexity).
+
+    ``cell_col``: use a precomputed cell-id column instead of deriving one
+    from lat/lon.  Cell ids encode their resolution in the high bits
+    (``cells.py``: ``id = res<<56 | iy<<28 | ix``), so the polygon cover
+    MUST be built at that same resolution or the equi-join silently matches
+    nothing.  The resolution is therefore sampled from the data and, when
+    ``res`` is also given, validated against it (raises on mismatch).
     """
     spark = points.sparkSession
+    if cell_col is not None and not points.isStreaming:
+        sample = points.select(F.col(cell_col).alias("_c")).head(1)
+        if sample and sample[0]["_c"] is not None:
+            data_res = int(sample[0]["_c"]) >> cells._RES_SHIFT
+            if res is None:
+                res = data_res
+            elif res != data_res:
+                raise ValueError(
+                    f"cell_col {cell_col!r} holds resolution-{data_res} ids "
+                    f"but res={res} was requested — the cover would never "
+                    f"match; pass matching res or omit it")
     if res is None:
         res = choose_pip_res(polygons) if cell_col is None else DEFAULT_PIP_RES
     cover_pdf = build_pip_cover(polygons, res)
@@ -305,6 +262,178 @@ def pip_join(points: DataFrame, polygons: list[dict],
 # ---------------------------------------------------------------------------
 # kNN join (ring expansion, exact)
 # ---------------------------------------------------------------------------
+
+
+def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
+                   res: int = DEFAULT_KNN_RES,
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   id_cols: list[str] | None = None,
+                   max_iters: int = 12,
+                   max_enum_radius: int = 8) -> DataFrame:
+    """Exact kNN for a probe *table* (distributed ring expansion).
+
+    Unlike :func:`knn_join` (driver-orchestrated box join, right for <= a
+    few hundred probes), every per-probe decision here is a DataFrame
+    column: initial search radius from the probe cell's local density,
+    candidate cells enumerated by exploding the Chebyshev ring, candidates
+    found by an equi-join on the cell id (shuffle hash join — scales to
+    millions of probes), top-k via a window, and the exactness certificate
+    (kth distance <= distance to the nearest edge of the guaranteed-covered
+    box) evaluated per row.  Only unresolved probes re-enter the loop with
+    a doubled radius; the driver loop runs O(log world) times over whole
+    DataFrames, never per probe.
+
+    When a probe's radius grows past ``max_enum_radius`` cells, enumeration
+    switches to a coarser resolution (cells are exact quad-tree parents),
+    so the exploded ring stays <= (2*(max_enum_radius+1)+1)^2 rows per
+    probe while still covering the base-resolution disk — sparse regions
+    cannot blow up the candidate row count.
+
+    ``probes``: DataFrame (query_id, lat, lon).  Returns (query_id, q_lat,
+    q_lon, *id_cols, dist_km, rank), ties broken on (dist, id_cols).
+    """
+    spark = points.sparkSession
+    id_cols = id_cols or ["url"]
+    nx, ny = cells.grid_dims(res)
+    deg_per_cell = 180.0 / ny
+    pts = points.select(F.col(lat_col).alias("p_lat"),
+                        F.col(lon_col).alias("p_lon"), *id_cols)
+
+    # --- density-based initial radius: one histogram join + one scalar agg
+    hist = (pts.groupBy(grid_cell_col(F.col("p_lat"), F.col("p_lon"), res)
+                        .alias("c0")).count())
+    avg_density = hist.agg(F.avg("count")).first()[0] or 1.0
+    pr = (probes.select(F.col("query_id"),
+                        F.col(lat_col).alias("q_lat"),
+                        F.col(lon_col).alias("q_lon"))
+          .withColumn("c0", grid_cell_col(F.col("q_lat"), F.col("q_lon"), res))
+          .join(hist, "c0", "left")
+          .withColumn("density", F.greatest(F.coalesce(F.col("count"),
+                                                       F.lit(0.0)),
+                                            F.lit(float(max(avg_density, 1.0)))))
+          .withColumn("radius", F.greatest(F.lit(1), F.ceil(
+              (F.sqrt(F.lit(2.0 * k) / F.col("density")) - 1.0) / 2.0)
+              .cast("int")))
+          .withColumn("ix0", F.col("c0").bitwiseAND(F.lit((1 << 28) - 1)))
+          .withColumn("iy0", F.shiftright("c0", 28)
+                      .bitwiseAND(F.lit((1 << 28) - 1)))
+          .drop("c0", "count", "density"))
+
+    out_parts: list[DataFrame] = []
+    active = pr.localCheckpoint(eager=True)
+
+    for it in range(max_iters):
+        r = F.col("radius")
+        # coarsen enumeration so the exploded ring stays bounded:
+        # h halvings => parent res-h ring of radius ceil(r/2^h)+1 covers the
+        # base-res Chebyshev-r disk (quad-tree parents are exact).
+        h = F.when(r <= max_enum_radius, F.lit(0)).otherwise(
+            F.ceil(F.log2(r.cast("double") / max_enum_radius)).cast("int"))
+        h = F.least(h, F.lit(res))  # res-h >= 0 (res 0 grid is 8x4 — tiny)
+        enum_r = (F.ceil(r.cast("double") / F.pow(F.lit(2.0), h)).cast("int")
+                  + F.when(h > 0, F.lit(1)).otherwise(F.lit(0)))
+        # shiftright needs a literal bit count, so halve via exact double
+        # division (indices < 2^28 << 2^53: floor(x / 2^h) is exact)
+        pow2h = F.pow(F.lit(2.0), F.col("h").cast("double"))
+        stepped = (active
+                   .withColumn("h", h).withColumn("enum_r", enum_r)
+                   .withColumn("e_nx", F.floor(F.lit(float(nx)) / pow2h)
+                               .cast("bigint"))
+                   .withColumn("e_ny", F.floor(F.lit(float(ny)) / pow2h)
+                               .cast("bigint"))
+                   .withColumn("e_ix0", F.floor(F.col("ix0") / pow2h)
+                               .cast("bigint"))
+                   .withColumn("e_iy0", F.floor(F.col("iy0") / pow2h)
+                               .cast("bigint")))
+        ring = (stepped
+                .withColumn("dy", F.explode(F.sequence(-F.col("enum_r"),
+                                                       F.col("enum_r"))))
+                .withColumn("iy", F.col("e_iy0") + F.col("dy"))
+                .filter((F.col("iy") >= 0) & (F.col("iy") < F.col("e_ny")))
+                .withColumn("dx", F.explode(F.sequence(-F.col("enum_r"),
+                                                       F.col("enum_r"))))
+                .withColumn("ix", ((F.col("e_ix0") + F.col("dx"))
+                                   % F.col("e_nx") + F.col("e_nx"))
+                            % F.col("e_nx"))
+                .select("query_id", "q_lat", "q_lon", "radius",
+                        ((F.lit(res).cast("bigint") - F.col("h"))
+                         * F.lit(1 << 56).cast("bigint")
+                         + F.col("iy").cast("bigint")
+                         * F.lit(1 << 28).cast("bigint")
+                         + F.col("ix").cast("bigint")).alias("cell"))
+                .dropDuplicates(["query_id", "cell"]))
+        # per-probe enumeration resolution rides inside the cell id's high
+        # bits, so ONE equi-join handles mixed-resolution probes: the point
+        # side exposes its cell id at every resolution the batch uses.
+        hs = [int(row["h"]) for row in
+              stepped.select("h").distinct().collect()]
+        pts_keyed = pts.withColumn("cell", F.explode(F.array(*[
+            grid_cell_col(F.col("p_lat"), F.col("p_lon"), res - hv)
+            for hv in sorted(set(hs))])))
+        cand = ring.join(pts_keyed, "cell")
+        dist = haversine_col(F.col("p_lat"), F.col("p_lon"),
+                             F.col("q_lat"), F.col("q_lon"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_km").asc(), *[F.col(c).asc() for c in id_cols])
+        topk = (cand.withColumn("dist_km", dist)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "q_lat", "q_lon", *id_cols,
+                        "dist_km", F.col("rank").cast("int").alias("rank"))
+                .localCheckpoint(eager=True))
+        stats = topk.groupBy("query_id").agg(
+            F.count("*").alias("n_found"), F.max("dist_km").alias("kth"))
+        # exactness bound: distance from probe to the nearest edge of the
+        # box guaranteed covered by the BASE-res Chebyshev-r disk
+        # (coarse enumeration covers a superset — base box stays the bound)
+        checked = (active.join(stats, "query_id", "left")
+                   .withColumn("north_open", F.col("iy0") - r > 0)
+                   .withColumn("south_open", F.col("iy0") + r < ny - 1)
+                   .withColumn("lon_open", F.lit(2) * r + 1 < nx)
+                   .withColumn("north_edge",
+                               90.0 - (F.col("iy0") - r) * deg_per_cell)
+                   .withColumn("south_edge",
+                               90.0 - (F.col("iy0") + r + 1) * deg_per_cell)
+                   .withColumn("west_edge",
+                               (F.col("ix0") - r) * (360.0 / nx) - 180.0)
+                   .withColumn("east_edge",
+                               (F.col("ix0") + r + 1) * (360.0 / nx) - 180.0)
+                   .withColumn("worst_lat", F.radians(F.least(
+                       F.greatest(F.abs(F.col("north_edge")),
+                                  F.abs(F.col("south_edge"))), F.lit(90.0))))
+                   .withColumn("bound", F.least(
+                       F.when(F.col("north_open"),
+                              (F.col("north_edge") - F.col("q_lat")) * 111.195)
+                       .otherwise(F.lit(1e12)),
+                       F.when(F.col("south_open"),
+                              (F.col("q_lat") - F.col("south_edge")) * 111.195)
+                       .otherwise(F.lit(1e12)),
+                       F.when(F.col("lon_open"), F.least(
+                           F.col("q_lon") - F.col("west_edge"),
+                           F.col("east_edge") - F.col("q_lon"))
+                           * 111.195 * F.greatest(F.cos(F.col("worst_lat")),
+                                                  F.lit(0.0)))
+                       .otherwise(F.lit(1e12))))
+                   .withColumn("world_covered",
+                               ~F.col("north_open") & ~F.col("south_open")
+                               & ~F.col("lon_open"))
+                   .withColumn("resolved", F.col("world_covered") | (
+                       (F.coalesce(F.col("n_found"), F.lit(0)) >= k)
+                       & (F.col("kth") <= F.col("bound"))))
+                   .localCheckpoint(eager=True))
+        done_ids = checked.filter("resolved").select("query_id")
+        out_parts.append(topk.join(done_ids, "query_id", "semi"))
+        active = (checked.filter(~F.col("resolved"))
+                  .select("query_id", "q_lat", "q_lon", "ix0", "iy0",
+                          (F.col("radius") * 2).alias("radius")))
+        if active.isEmpty():
+            break
+    else:
+        raise RuntimeError("knn_join_table did not converge; raise max_iters")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _box_sizes(probes_pdf: pd.DataFrame, k: int, res: int,

@@ -60,6 +60,44 @@ def test_simhash_planted(docs):
     assert h[(0, 100)] == 0
 
 
+def test_simhash_h8_matches_brute_force(spark):
+    """Brute-force Hamming oracle at max_hamming=8: with bands > max_hamming
+    the banding is guaranteed total-recall (pigeonhole), so the operator
+    output must EQUAL the all-pairs result — regression for the round-1
+    4-band version that silently dropped pairs with hamming in [4, 8]."""
+    rng = np.random.RandomState(11)
+    vocab = [f"word{i}" for i in range(400)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab, 30))))
+    for j, nchg in enumerate([1, 2, 3, 4, 6]):
+        toks = rows[j][1].split()
+        for p in rng.choice(len(toks), nchg, replace=False):
+            toks[p] = "alt%d" % p
+        rows.append((200 + j, " ".join(toks)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sigs = sim.simhash_udf.func(pdf["text"]).to_numpy().astype(np.uint64)
+    ids = pdf["doc_id"].to_numpy()
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(int(sigs[i] ^ sigs[j])).count("1")
+            if h <= 8:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                exp[(a, b)] = h
+    # the fixture must actually exercise the recall hole (hamming in [4, 8])
+    assert any(4 <= h <= 8 for h in exp.values())
+    df = spark.createDataFrame(pdf)
+    out = dedup.simhash_pairs(df, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got == exp
+
+
+def test_simhash_rejects_insufficient_bands(docs):
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_pairs(docs, max_hamming=8, bands=4)
+
+
 def test_ngram_jaccard_exact(docs):
     out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
@@ -75,3 +113,34 @@ def test_embedding_neardup_lsh_high_threshold(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
     out = dedup.embedding_neardup_pairs(df, threshold=0.999).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 100)}
+
+
+def test_embedding_neardup_lsh_recall_sf001(spark):
+    """Recall >= 0.9 vs the exact all-pairs result at threshold 0.35 on the
+    sf0.01 embeddings (VERDICT round-1: single sign-bucket table had
+    unbounded misses; multi-table random-hyperplane LSH bounds them)."""
+    df = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+          .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_neardup_pairs(df, threshold=0.35).collect()}
+    import pyarrow.parquet as pq
+    emb = np.array(pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+                   .column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1)
+    cos = (emb @ emb.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(emb), 1)
+    exp = {(int(i), int(j)) for i, j in zip(*iu) if round(cos[i, j], 6) >= 0.35}
+    # precision: every reported pair is truly above threshold (1-ulp slack)
+    assert all(cos[a, b] >= 0.35 - 1e-9 for a, b in got)
+    assert len(got & exp) / len(exp) >= 0.9, f"recall {len(got & exp)/len(exp)}"
+
+
+def test_embedding_neardup_lsh_bucket_cap(spark):
+    """A degenerate mega-cluster (every vector in one bucket) is dropped by
+    the cap instead of exploding into an all-pairs join."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(16)
+    rows = [(i, list(base + rng.randn(16) * 1e-9)) for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = dedup.embedding_neardup_pairs(df, threshold=0.99, bucket_cap=10)
+    assert out.count() == 0  # all buckets oversized -> dropped, no pairs

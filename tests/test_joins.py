@@ -45,6 +45,30 @@ def test_pip_join_res_invariance(pages, pages_pdf):
         assert got == exp, f"res={res}"
 
 
+def test_pip_join_cell_col_equals_default(pages, pages_pdf):
+    """A precomputed cell column must give the identical result to the
+    lat/lon path — regression for the round-1 bug where a res-5 cell column
+    was joined against a res-7 cover and silently matched nothing."""
+    from geolake_spark.functions.geo import grid_cell_col
+    import pyspark.sql.functions as F
+    polys = synth.polygon_specs()
+    exp = brute_pip(pages_pdf, polys)
+    for r in (5, 7):
+        with_cell = pages.withColumn(
+            "cell_pre", grid_cell_col(F.col("lat"), F.col("lon"), r))
+        # res inferred from the column's ids
+        got = {(row["url"], row["polygon_id"]) for row in
+               joins.pip_join(with_cell, polys, cell_col="cell_pre")
+               .select("url", "polygon_id").collect()}
+        assert got == exp, f"inferred res={r}"
+        assert len(got) > 0
+    # explicit mismatching res must raise, not silently return empty
+    with_cell = pages.withColumn(
+        "cell_pre", grid_cell_col(F.col("lat"), F.col("lon"), 5))
+    with pytest.raises(ValueError, match="resolution"):
+        joins.pip_join(with_cell, polys, res=7, cell_col="cell_pre")
+
+
 def test_pip_cover_classification():
     """Interior cells must contain no polygon edge; together interior+boundary
     cover every member point's cell."""
@@ -79,6 +103,41 @@ def test_knn_matches_brute_force(pages, pages_pdf):
         exp = [u for _, u in sorted(zip(d, pages_pdf["url"]))[:4]]
         got = list(res[res["query_id"] == pr["query_id"]]["url"])
         assert got == exp
+
+
+def test_knn_table_matches_brute_force(spark, pages, pages_pdf):
+    """Distributed probe-table kNN (no per-probe driver work) vs brute
+    force, 60 probes spread worldwide including polar/antimeridian."""
+    from geolake_spark.functions.geo import geocode_lat_col, geocode_lon_col
+    import pyspark.sql.functions as F
+    probes = (spark.range(60)
+              .select(F.col("id").alias("query_id"),
+                      geocode_lat_col(F.col("id") + 1000000).alias("lat"),
+                      geocode_lon_col(F.col("id") + 1000000).alias("lon")))
+    out = joins.knn_join_table(pages, probes, k=4, res=5)
+    got = (out.select("query_id", "url", "rank").toPandas()
+           .sort_values(["query_id", "rank"]))
+    probes_pd = probes.toPandas()
+    assert sorted(got["query_id"].unique()) == sorted(probes_pd["query_id"])
+    for _, pr in probes_pd.iterrows():
+        d = cells.haversine_km(pages_pdf["lat"].to_numpy(),
+                               pages_pdf["lon"].to_numpy(),
+                               pr["lat"], pr["lon"])
+        exp = [u for _, u in sorted(zip(d, pages_pdf["url"]))[:4]]
+        mine = list(got[got["query_id"] == pr["query_id"]]["url"])
+        assert mine == exp, f"probe {pr['query_id']}"
+
+
+def test_knn_table_k_exceeds_points(spark):
+    """k > |points| resolves via world coverage and returns all points."""
+    import pyspark.sql.functions as F
+    pdf = pd.DataFrame({"url": ["a", "b"], "lat": [10.0, -50.0],
+                        "lon": [20.0, 170.0]})
+    pts = spark.createDataFrame(pdf)
+    probes = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1], "lat": [0.0], "lon": [0.0]}))
+    out = joins.knn_join_table(pts, probes, k=5, res=4).collect()
+    assert len(out) == 2
 
 
 def test_knn_deterministic_tiebreak(spark):
