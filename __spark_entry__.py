@@ -167,8 +167,10 @@ def q_tile_rollup(spark, sf_dir):
 
 
 def q_s2_cell_count(spark, sf_dir):
-    """canonical S2 level-12 ids (pandas-UDF kernel) — rows-only check
-    (Hilbert math is not SQL-expressible)."""
+    """canonical S2 level-12 ids (pandas-UDF Hilbert kernel) — full
+    value-level oracle: the DuckDB side re-derives the ids with the Hilbert
+    fold unrolled into SQL CTEs over the inlined lookup table
+    (cells.s2_cell_sql_query, verified bit-identical on 100k points)."""
     d = _docs_geo(spark, sf_dir)
     return (d.withColumn("s2_cell", geo.s2_cell_udf(F.col("lat"), F.col("lon")))
             .groupBy("s2_cell").agg(F.count("*").alias("n_docs")))
@@ -700,6 +702,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT cast(8 as int) AS tile_z, {cells.tile_x_sql('lon', 8)} AS tile_x, "
             f"{cells.tile_y_sql('lat', 8)} AS tile_y, count(*) AS page_count "
             f"FROM {docs} d GROUP BY 1, 2, 3"),
+        "s2_cell_count": (
+            f"SELECT s2_cell, count(*) AS n_docs FROM ("
+            f"{cells.s2_cell_sql_query(_DOCS_GEO_SQL, 'doc_id', 12)}"
+            f") GROUP BY 1"),
         "geoquery_subset": (
             f"SELECT event_id, event_type, round(value, 6) AS value_r "
             f"FROM {evg} e WHERE event_type = 'purchase' "

@@ -97,8 +97,13 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
 
     pages_small = _pages(spark, BENCH_PAGES_SF)
 
+    flagship_rows = {"n": None}
+
     def pip_tiles():
         df, n = build_flagship(spark, n_passes=1)
+        if flagship_rows["n"] is None:  # guard: the PIP join must be real
+            flagship_rows["n"] = df.count()
+            assert flagship_rows["n"] > 0, "flagship PIP join produced 0 rows"
         _noop(df)
         return n
 
@@ -140,9 +145,19 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
             pages_small.selectExpr("url as doc_id", "text")))
         return synth.SF_ROWS[BENCH_PAGES_SF]
 
+    def minhash_sigs():
+        # signature computation throughput (the round-1 scale-killer: per-
+        # byte Python FNV; now bulk-vectorized column-at-a-time NumPy)
+        from geolake_spark.functions import sim
+        mh = sim.make_minhash_udf(num_perm=64)
+        _noop(pages_small.select(mh(F.col("text")).alias("mh"),
+                                 sim.simhash_udf(F.col("text")).alias("sh")))
+        return synth.SF_ROWS[BENCH_PAGES_SF]
+
     jobs = {"pip_tiles": pip_tiles, "cell_hist": cell_hist, "knn": knn,
             "text_pipeline": text_pipeline, "tpch_q1": tpch_q1,
-            "top_revenue": top_revenue, "dedup_exact": dedup_exact}
+            "top_revenue": top_revenue, "dedup_exact": dedup_exact,
+            "minhash_sigs": minhash_sigs}
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
     for name, fn in jobs.items():
@@ -179,9 +194,13 @@ def run_scaling(runs: int = 3) -> None:
     from geolake_spark.session import get_spark
     results = {}
     n_rows = None
+    out_rows = None
     for cores in (2, 8, 32):
         spark = get_spark(f"geolake_scaling_{cores}", cores=cores)
         df, n_rows = build_flagship(spark, SCALE_PASSES)
+        if out_rows is None:  # certify the measured job does real work
+            out_rows = df.count()
+            assert out_rows > 0, "flagship PIP join produced 0 rows"
         _noop(df)  # warm: JIT, page cache, broadcast
         times = []
         for _ in range(2 if cores == 2 else runs):
@@ -208,6 +227,7 @@ def run_scaling(runs: int = 3) -> None:
                        "8_to_32": round(eff_8_32, 3)},
         "detail": results,
         "pages_per_action": n_rows,
+        "output_rows": out_rows,
     }
     print(json.dumps(out))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -225,7 +245,10 @@ cells exact ray-cast via higher-order functions over broadcast edge arrays)
 -> Web-Mercator z8 tile rollup with per-resolution cell stats.
 Input: {n_rows:,} page rows per action ({SCALE_PASSES} passes over a 256M-row
 zipf-skewed coordinate table — the column-pruned scan equivalent of the
-full Common-Crawl-style pages table).  Fresh query plan per run (Spark
+full Common-Crawl-style pages table).  Output: {out_rows:,} result rows
+(asserted > 0 before timing — the round-1 run was invalidated by a
+silently-empty PIP join; the cover resolution is now validated against the
+cell column inside pip_join itself).  Fresh query plan per run (Spark
 caches materialized AQE stages on reused DataFrames — that would fake the
 numbers); plan built outside the timed region; best of the runs reported
 (robust to intermittent host-level stalls observed on this shared box).

@@ -6,18 +6,31 @@ Endpoint -> function map (SURVEY.md §2.12; /root/reference/api/app/main.py):
 * ``GET  /datasets/{d}``                     -> :meth:`Catalog.dataset_info`
 * ``GET  /datasets/{d}/{p}/metadata``        -> :meth:`Catalog.product_metadata`
 * ``POST /datasets/{d}/{p}/estimate``        -> :meth:`Catalog.estimate`
-* ``POST /datasets/{d}/{p}/execute``         -> :meth:`Catalog.execute`
-* ``POST /datasets/workflow``                -> :meth:`Catalog.run_workflow`
+* ``POST /datasets/{d}/{p}/execute``         -> :meth:`Catalog.execute` (sync,
+  lazy DataFrame) / :meth:`Catalog.submit_execute` (async request id)
+* ``POST /datasets/workflow``                -> :meth:`Catalog.run_workflow` /
+  :meth:`Catalog.submit_workflow`
+* ``GET  /requests``                          -> :meth:`Catalog.get_requests`
+* ``GET  /requests/{id}/status``              -> :meth:`Catalog.get_request_status`
+* ``GET  /download/{id}``                     -> :meth:`Catalog.download`
 
 Role-based visibility follows the reference (datastore.py:396-416): a
 dataset with a ``role`` is hidden unless the caller's roles include it or
 the caller is "admin".  ``execute`` applies the estimate-then-admit guard
-(dataset.py:253-267) before running; results return as lazy DataFrames
-instead of files-on-a-volume (async jobs map to Spark's own scheduler).
+(dataset.py:253-267) before running.  Async submission runs the plan under
+a per-request Spark job group with PENDING/RUNNING/DONE/FAILED/TIMEOUT
+tracking (requests.py; reference dbmanager.py:42-49,102-132), honouring the
+query's ``format`` for the result sink (executor/app/main.py:115-121).
+
+``Catalog.from_file`` loads a YAML/JSON catalog tree (datasets -> products
+with roles, size limits and ``{{ PARAM }}``-templated paths — reference
+catalog/catalog.yaml, era5_downscaled.yaml).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -27,6 +40,7 @@ from geolake_spark.model import GeoQuery, TaskList
 from geolake_spark.operators import subset
 from geolake_spark.plans import estimate as est
 from geolake_spark.plans.workflow import Workflow
+from geolake_spark.requests import RequestManager
 
 
 @dataclass
@@ -46,9 +60,76 @@ class Dataset:
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, store_dir: str | None = None):
         self.spark = spark
         self._datasets: dict[str, Dataset] = {}
+        self._store_dir = store_dir
+        self._requests: RequestManager | None = None
+        self._meta_cache: dict[tuple, dict] = {}
+
+    @property
+    def requests(self) -> RequestManager:
+        if self._requests is None:
+            if self._store_dir is None:
+                raise ValueError("async requests need a store_dir "
+                                 "(Catalog(spark, store_dir=...))")
+            self._requests = RequestManager(self.spark, self._store_dir)
+        return self._requests
+
+    # -- file-driven catalog (reference catalog/catalog.yaml tree) ------------
+
+    @classmethod
+    def from_file(cls, spark: SparkSession, path: str,
+                  parameters: dict[str, str] | None = None,
+                  store_dir: str | None = None) -> "Catalog":
+        """Load a YAML/JSON catalog: ``datasets.<id>`` with description /
+        role / ``products.<id>`` carrying a templated ``path``, ``format``
+        and ``maximum_query_size_gb`` (mirrors catalog.yaml:1-13 +
+        era5_downscaled.yaml:1-12 with parquet/json sources instead of
+        NetCDF drivers).  ``{{ NAME }}`` placeholders resolve from
+        ``parameters`` (defaults declared in ``metadata.parameters``,
+        reference cache.py CACHE_DIR pattern); ``CATALOG_DIR`` is implicit."""
+        import json as _json
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            data = yaml.safe_load(text)
+        else:
+            data = _json.loads(text)
+        params = {"CATALOG_DIR": os.path.dirname(os.path.abspath(path))}
+        for name, spec in (data.get("metadata", {})
+                           .get("parameters", {}) or {}).items():
+            if isinstance(spec, dict) and "default" in spec:
+                params[name] = str(spec["default"])
+        params.update(parameters or {})
+
+        def template(s: str) -> str:
+            for k, v in params.items():
+                s = s.replace("{{ " + k + " }}", v).replace(
+                    "{{" + k + "}}", v)
+            return s
+
+        cat = cls(spark, store_dir=store_dir)
+        for ds_id, ds_spec in (data.get("datasets", {}) or {}).items():
+            ds = Dataset(dataset_id=ds_id,
+                         description=str(ds_spec.get("description", "")).strip(),
+                         role=ds_spec.get("role"))
+            for p_id, p_spec in (ds_spec.get("products", {}) or {}).items():
+                p_path = template(p_spec["path"])
+                p_fmt = p_spec.get("format", "parquet")
+
+                def loader(spark, _p=p_path, _f=p_fmt):
+                    return spark.read.format(_f).load(_p)
+
+                ds.products[p_id] = Product(
+                    product_id=p_id, loader=loader,
+                    description=str(p_spec.get("description", "")).strip(),
+                    maximum_query_size_gb=float(p_spec.get(
+                        "maximum_query_size_gb",
+                        est.DEFAULT_MAX_REQUEST_SIZE_GB)))
+            cat.register(ds)
+        return cat
 
     # -- registration (the intake-YAML analogue) -----------------------------
 
@@ -87,12 +168,30 @@ class Catalog:
         ds = self._datasets[dataset_id]
         if not self._visible(ds, roles):
             raise PermissionError(dataset_id)
+        key = (dataset_id, product_id)
+        if key in self._meta_cache:
+            return self._meta_cache[key]
         p = ds.products[product_id]
         df = p.loader(self.spark)
-        return {"product_id": p.product_id, "description": p.description,
+        meta = {"product_id": p.product_id, "description": p.description,
                 "schema": [(f.name, f.dataType.simpleString())
                            for f in df.schema.fields],
                 "maximum_query_size_gb": p.maximum_query_size_gb}
+        self._meta_cache[key] = meta
+        return meta
+
+    def warm_cache(self, roles: list[str] | None = None) -> list[tuple]:
+        """Pre-open every visible product once and cache its metadata —
+        the reference warms product schema/coords at API startup
+        (api/app/callbacks/on_startup.py:9-15 backed by the offline
+        generator catalog/cache.py:15-22) so metadata endpoints never pay a
+        cold file-open.  Returns the cached (dataset, product) keys."""
+        warmed = []
+        for ds_id in self.list_datasets(roles=roles or ["admin"]):
+            for p_id in sorted(self._datasets[ds_id].products):
+                self.product_metadata(ds_id, p_id, roles=roles or ["admin"])
+                warmed.append((ds_id, p_id))
+        return warmed
 
     # -- query endpoints ------------------------------------------------------
 
@@ -135,3 +234,40 @@ class Catalog:
         wf = (Workflow(tasklist, load) if isinstance(tasklist, TaskList)
               else Workflow.from_json(tasklist, load))
         return wf.result(self.spark)
+
+    # -- async request endpoints (main.py:214-357) -----------------------------
+
+    def submit_execute(self, dataset_id: str, product_id: str,
+                       query: GeoQuery | dict | str,
+                       roles: list[str] | None = None,
+                       user_id: str = "anonymous",
+                       timeout_s: float | None = None) -> int:
+        """POST /execute async flavour: admission-check the plan, then hand
+        it to the request manager; the query's ``format`` picks the sink."""
+        df, p = self._load(dataset_id, product_id, roles)
+        q = query if isinstance(query, GeoQuery) else GeoQuery.parse(query)
+        result = subset.subset(df, q)
+        n = est.estimate_df_bytes(result)
+        est.admit(n, max_gb=p.maximum_query_size_gb)
+        return self.requests.submit(
+            lambda: result, dataset_id, product_id,
+            query=json.loads(q.to_json()), user_id=user_id,
+            estimate_size_bytes=n, timeout_s=timeout_s,
+            result_format=q.format)
+
+    def submit_workflow(self, tasklist: TaskList | list | dict | str,
+                        roles: list[str] | None = None,
+                        user_id: str = "anonymous",
+                        timeout_s: float | None = None) -> int:
+        return self.requests.submit(
+            lambda: self.run_workflow(tasklist, roles),
+            "workflow", "workflow", user_id=user_id, timeout_s=timeout_s)
+
+    def get_requests(self, user_id: str | None = None):
+        return self.requests.get_requests(user_id)
+
+    def get_request_status(self, request_id: int):
+        return self.requests.get_request_status(request_id)
+
+    def download(self, request_id: int) -> str:
+        return self.requests.download(request_id)

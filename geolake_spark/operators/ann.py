@@ -35,6 +35,63 @@ def cosine_topk(vectors: DataFrame, probes: DataFrame, k: int,
             .select(probe_id, id_col, "cosine", "rank"))
 
 
+def kmeans_fit_distributed(vectors: DataFrame, dim: int,
+                           n_clusters: int | None = None,
+                           vec_col: str = "embedding", iters: int = 6,
+                           id_col: str = "vec_id") -> np.ndarray:
+    """Distributed spherical k-means: the 100 TB-scale IVF trainer.
+
+    Per iteration: ONE scan assigning every vector to its nearest centroid
+    (Arrow UDF, centroids ride the closure/broadcast) and ONE partial+final
+    hash aggregation computing per-cluster per-dimension means as ``dim``
+    plain ``avg`` columns — no explode, no driver-side data beyond the
+    (n_clusters x dim) center matrix (sqrt(1e9) x 64 doubles = 16 MB,
+    comfortably broadcastable).  Initial centers are the first
+    ``n_clusters`` rows by id (deterministic).  ``n_clusters=None`` picks
+    ~sqrt(N) (the classic IVF list-count rule)."""
+    if n_clusters is None:
+        n = vectors.count()
+        n_clusters = max(4, int(np.sqrt(n)))
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda a, x: a + x * x))
+    nv = vectors.select(
+        F.transform(F.col(vec_col),
+                    lambda x: x / F.greatest(norm, F.lit(1e-12))).alias("nv"),
+        F.col(id_col)).cache()
+    centers = np.array(
+        [r["nv"] for r in nv.orderBy(id_col).limit(n_clusters).collect()],
+        dtype=np.float64)
+    for _ in range(iters):
+        assign = _make_assign_udf(centers)
+        stats = (nv.withColumn("list_id", assign(F.col("nv")))
+                 .groupBy("list_id")
+                 .agg(F.count("*").alias("cnt"),
+                      *[F.avg(F.element_at(F.col("nv"), i + 1)).alias(f"c{i}")
+                        for i in range(dim)])
+                 .collect())
+        new_centers = centers.copy()
+        for r in stats:
+            c = np.array([r[f"c{i}"] for i in range(dim)], dtype=np.float64)
+            nrm = np.linalg.norm(c)
+            if nrm > 0:
+                new_centers[r["list_id"]] = c / nrm
+        centers = new_centers
+    nv.unpersist()
+    return centers
+
+
+def _make_assign_udf(centers: np.ndarray):
+    """vector -> nearest-centroid index (cosine on normalized inputs)."""
+    c = centers.copy()
+
+    @pandas_udf(T.IntegerType())
+    def assign_udf(vec: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+    return assign_udf
+
+
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
                  seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
@@ -57,24 +114,28 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int,
              n_clusters: int = 16, nprobe: int = 3,
              vec_col: str = "embedding", id_col: str = "vec_id",
              probe_id: str = "probe_id", probe_vec: str = "probe_vec",
-             sample_rows: int = 2000, seed: int = 42) -> DataFrame:
+             sample_rows: int = 2000, seed: int = 42,
+             centers: np.ndarray | None = None) -> DataFrame:
     """IVF-bucketed approximate top-k: vectors partitioned into centroid
-    lists; each probe scans only its ``nprobe`` nearest lists."""
-    sample = np.array([r[0] for r in
-                       vectors.select(id_col, vec_col).orderBy(id_col)
-                       .limit(sample_rows).select(vec_col).collect()],
-                      dtype=np.float64)  # ordered -> deterministic centroids
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    sample = sample / np.clip(norms, 1e-12, None)
-    centers = _kmeans_lite(sample, n_clusters, seed=seed)
+    lists; each probe scans only its ``nprobe`` nearest lists.
 
-    @pandas_udf(T.IntegerType())
-    def assign_udf(vec: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
-        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
-        return pd.Series((m @ centers.T).argmax(axis=1).astype(np.int32))
+    Pass ``centers`` from :func:`kmeans_fit_distributed` for the 100 TB
+    path (sqrt(N) lists trained over the full table); the default
+    driver-sample trainer is the small-data convenience."""
+    if centers is None:
+        sample = np.array([r[0] for r in
+                           vectors.select(id_col, vec_col).orderBy(id_col)
+                           .limit(sample_rows).select(vec_col).collect()],
+                          dtype=np.float64)  # ordered -> deterministic
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        sample = sample / np.clip(norms, 1e-12, None)
+        centers = _kmeans_lite(sample, n_clusters, seed=seed)
+    else:
+        n_clusters = len(centers)
+        nprobe = min(nprobe, n_clusters)
 
-    assigned = vectors.withColumn("list_id", assign_udf(F.col(vec_col)))
+    assigned = vectors.withColumn("list_id",
+                                  _make_assign_udf(centers)(F.col(vec_col)))
 
     probe_rows = probes.collect()
     cand = []

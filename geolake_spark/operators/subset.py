@@ -41,7 +41,13 @@ def select_variables(df: DataFrame, variables: list[str]) -> DataFrame:
 
 def apply_area(df: DataFrame, area: dict) -> DataFrame:
     """geobbox (datastore.py:429-431); keys north/south/east/west.
-    Longitudes given on 0..360 are normalized to -180..180 first."""
+    Longitudes given on 0..360 are normalized to -180..180 first; a span
+    covering the full circle ({west: 0, east: 360}) keeps every longitude
+    instead of degenerating to a single meridian."""
+    lat_only = F.col(LAT).between(area["south"], area["north"])
+    if area["east"] - area["west"] >= 360.0:
+        return df.filter(lat_only)
+
     def norm(x: float) -> float:
         return x - 360.0 if x > 180.0 else x
     return df.filter(bbox_filter(F.col(LAT), F.col(LON),

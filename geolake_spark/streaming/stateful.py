@@ -79,28 +79,58 @@ DEDUP_STATE = T.StructType([
 ])
 
 
-def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
-              state: GroupState) -> Iterator[pd.DataFrame]:
-    import hashlib
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in pdfs:
-        for _, r in pdf.iterrows():
-            fp = hashlib.md5(r["text"].encode()).hexdigest()
-            if fp not in seen:
-                seen.add(fp)
-                out.append({"host": key[0], "url": r["url"], "fp": fp})
-    state.update((sorted(seen),))
-    yield pd.DataFrame(out, columns=["host", "url", "fp"])
+# Per-host seen-set cap: at 100 TB the state store is the scaling limit of
+# any streaming dedup — an unbounded set per host grows forever.  The cap
+# keeps the newest fingerprints (crawl repeats cluster in time, so recency
+# is the right eviction), and an optional processing-time TTL drops idle
+# hosts outright.
+DEDUP_MAX_STATE = 100_000
 
 
-def streaming_exact_dedup(pages: DataFrame) -> DataFrame:
+def _make_dedup_fn(max_state: int, ttl_ms: int | None):
+    def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        import hashlib
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["host", "url", "fp"])
+            return
+        seen_list = list(state.get[0]) if state.exists else []
+        seen = set(seen_list)
+        out = []
+        for pdf in pdfs:
+            fps = [hashlib.md5(t.encode()).hexdigest() for t in pdf["text"]]
+            for url, fp in zip(pdf["url"], fps):
+                if fp not in seen:
+                    seen.add(fp)
+                    seen_list.append(fp)  # insertion order = recency order
+                    out.append({"host": key[0], "url": url, "fp": fp})
+        if len(seen_list) > max_state:
+            seen_list = seen_list[-max_state:]
+        state.update((seen_list,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["host", "url", "fp"])
+    return _dedup_fn
+
+
+def streaming_exact_dedup(pages: DataFrame,
+                          max_state: int = DEDUP_MAX_STATE,
+                          ttl_minutes: float | None = None) -> DataFrame:
     """First occurrence of each (host, text-fingerprint) survives; repeats —
-    including across micro-batches — are dropped via per-host state."""
+    including across micro-batches — are dropped via per-host state.
+
+    State is BOUNDED: at most ``max_state`` fingerprints per host (oldest
+    evicted — an evicted repeat re-emits, the stated trade for bounded
+    memory), and with ``ttl_minutes`` idle hosts are evicted wholesale via
+    processing-time timeout."""
     with_host = pages.withColumn(
         "host", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_minutes is not None else GroupStateTimeout.NoTimeout)
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
     return (with_host
             .groupBy("host")
             .applyInPandasWithState(
-                _dedup_fn, DEDUP_OUTPUT, DEDUP_STATE,
-                "append", GroupStateTimeout.NoTimeout))  # emits new rows only
+                _make_dedup_fn(max_state, ttl_ms), DEDUP_OUTPUT, DEDUP_STATE,
+                "append", timeout))  # emits new rows only

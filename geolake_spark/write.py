@@ -61,17 +61,26 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
         table.init(df.schema.json(), partition_cols)
 
     committed = table.committed_partitions() if resume else []
-    skip_keys = {tuple(str(p[c]) for c in partition_cols) for p in committed}
+    skip_keys = {tuple(p[c] for c in partition_cols) for p in committed}
 
     work = df
     if skip_keys:
-        # metadata-level anti-join: one tiny isin-style predicate per level.
-        # (exceptAll/left_anti against a lifted partition DF would shuffle the
-        # fact table; a literal NOT IN on partition tuples prunes at the scan)
-        key = F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                      for c in partition_cols])
-        lits = ["\x1f".join(k) for k in skip_keys]
-        work = work.filter(~key.isin(lits))
+        # metadata-level anti-join as TYPED null-safe equality literals (the
+        # committed JSON round-trips bool/int/float/str/null exactly, while
+        # the earlier string-key compare broke on Python-vs-Spark renderings
+        # — 'True' vs 'true' — and a null made the ~isin predicate null,
+        # silently dropping the rows).  exceptAll/left_anti against a lifted
+        # partition DF would shuffle the fact table; a literal predicate
+        # prunes at the scan.  Partition counts are metadata-bounded.
+        import functools
+        import operator
+        def match(key: tuple):
+            return functools.reduce(operator.and_, [
+                F.col(c).eqNullSafe(F.lit(v))
+                for c, v in zip(partition_cols, key)])
+        any_committed = functools.reduce(operator.or_,
+                                         [match(k) for k in skip_keys])
+        work = work.filter(~any_committed)
 
     planned = [r.asDict() for r in
                work.select(*partition_cols).distinct().collect()]

@@ -50,3 +50,29 @@ def test_ivf_recall(vectors, probes):
     a = approx.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
     recalls = [len(e[p] & a[p]) / 10 for p in e]
     assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ivf_full_probe_is_exact(vectors, probes):
+    """nprobe = n_clusters searches every list -> must equal brute force
+    (the invariant backing the driver's ivf_topk value oracle)."""
+    exact = ann.cosine_topk(vectors, probes, k=5).collect()
+    full = ann.ivf_topk(vectors, probes, k=5, n_clusters=8, nprobe=8).collect()
+    key = lambda r: (r["probe_id"], r["rank"])
+    assert sorted(((r["probe_id"], r["rank"], r["vec_id"]) for r in exact)) \
+        == sorted(((r["probe_id"], r["rank"], r["vec_id"]) for r in full))
+
+
+def test_ivf_distributed_kmeans(vectors, probes):
+    """The scale path: sqrt(N)-ish centers trained by distributed k-means
+    (one assign scan + one dim-wise avg aggregation per iteration); recall
+    at nprobe=4 must hold up."""
+    centers = ann.kmeans_fit_distributed(vectors, dim=32, n_clusters=12)
+    assert centers.shape == (12, 32)
+    # centers are unit-normalized
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0, atol=1e-9)
+    exact = ann.cosine_topk(vectors, probes, k=10)
+    approx = ann.ivf_topk(vectors, probes, k=10, nprobe=4, centers=centers)
+    e = exact.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    a = approx.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    recalls = [len(e[p] & a[p]) / 10 for p in e]
+    assert np.mean(recalls) >= 0.7, recalls

@@ -45,6 +45,14 @@ def test_bbox_0_360_normalized(obs):
     assert out.count() == 0  # obs grid lives at lat 10-11
 
 
+def test_bbox_full_globe_span(obs, obs_pdf):
+    """{west: 0, east: 360} means ALL longitudes, not the single meridian
+    the 0..360 normalization would otherwise collapse it to."""
+    out = subset.apply_area(obs, {"north": 90, "south": -90,
+                                  "east": 360, "west": 0})
+    assert out.count() == len(obs_pdf)
+
+
 def test_location_nearest(obs, obs_pdf):
     out = subset.apply_location(obs, {"latitude": 10.2, "longitude": 25.1})
     got = out.select("lat", "lon").distinct().collect()
