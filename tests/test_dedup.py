@@ -76,18 +76,21 @@ def test_simhash_h8_matches_brute_force(spark):
             toks[p] = "alt%d" % p
         rows.append((200 + j, " ".join(toks)))
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
-    sigs = sim.simhash_udf.func(pdf["text"]).to_numpy().astype(np.uint64)
-    ids = pdf["doc_id"].to_numpy()
+    df = spark.createDataFrame(pdf)
+    # brute force over the operator's own signature definition
+    sig_vals = sim.simhash_udf.func(pdf["text"]).to_numpy()
+    sigs = {int(d): np.uint64(np.int64(v))
+            for d, v in zip(pdf["doc_id"], sig_vals)}
+    ids = sorted(sigs)
     exp = {}
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
-            h = bin(int(sigs[i] ^ sigs[j])).count("1")
+            h = bin(int(sigs[ids[i]] ^ sigs[ids[j]])).count("1")
             if h <= 8:
-                a, b = sorted((int(ids[i]), int(ids[j])))
+                a, b = sorted((ids[i], ids[j]))
                 exp[(a, b)] = h
     # the fixture must actually exercise the recall hole (hamming in [4, 8])
     assert any(4 <= h <= 8 for h in exp.values())
-    df = spark.createDataFrame(pdf)
     out = dedup.simhash_pairs(df, max_hamming=8).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert got == exp

@@ -1,0 +1,80 @@
+"""Range/interval + as-of joins vs pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.operators import ranges
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rng = np.random.RandomState(3)
+    return spark.createDataFrame(pd.DataFrame({
+        "fid": range(500),
+        "v": np.round(rng.uniform(0, 100, 500), 3)}))
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rng = np.random.RandomState(4)
+    lo = np.round(rng.uniform(0, 90, 30), 3)
+    return spark.createDataFrame(pd.DataFrame({
+        "band_id": range(30), "lo": lo,
+        "hi": np.round(lo + rng.uniform(1, 25, 30), 3)}))  # overlapping
+
+
+def test_range_join_matches_brute_force(facts, intervals):
+    got = {(r["fid"], r["band_id"]) for r in
+           ranges.range_join(facts, intervals, "v").collect()}
+    f = facts.toPandas()
+    iv = intervals.toPandas()
+    exp = {(int(fr.fid), int(ir.band_id))
+           for _, fr in f.iterrows() for _, ir in iv.iterrows()
+           if ir.lo <= fr.v <= ir.hi}
+    assert got == exp and len(exp) > 0
+
+
+def test_range_join_explicit_width(facts, intervals):
+    got = ranges.range_join(facts, intervals, "v", bucket_width=3.0)
+    default = ranges.range_join(facts, intervals, "v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple,
+                                                           default.collect()))
+
+
+def test_asof_join_matches_merge_asof(spark):
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({
+        "lid": range(200),
+        "key": rng.randint(0, 5, 200),
+        "ts": rng.randint(0, 1000, 200)}).astype("int64")
+    right = (pd.DataFrame({
+        "key": rng.randint(0, 5, 80),
+        "ts": rng.randint(0, 1000, 80),
+        "payload": np.round(rng.randn(80), 4)})
+        .drop_duplicates(["key", "ts"]).astype({"key": "int64", "ts": "int64"}))
+    out = ranges.asof_join(spark.createDataFrame(left),
+                           spark.createDataFrame(right),
+                           on="ts", by="key", right_cols=["payload"])
+    got = (out.select("lid", "payload_r").toPandas()
+           .set_index("lid")["payload_r"].to_dict())
+    exp_df = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                           on="ts", by="key", direction="backward")
+    exp = exp_df.set_index("lid")["payload"].to_dict()
+    assert set(got) == set(exp)
+    for k in exp:
+        if pd.isna(exp[k]):
+            assert got[k] is None or pd.isna(got[k])
+        else:
+            assert got[k] == pytest.approx(exp[k])
+
+
+def test_asof_tie_takes_equal_timestamp(spark):
+    left = spark.createDataFrame(pd.DataFrame(
+        {"lid": [1], "ts": [100]}).astype("int64"))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"ts": [100, 50], "payload": [7.0, 3.0]}).astype({"ts": "int64"}))
+    out = ranges.asof_join(left, right, on="ts",
+                           right_cols=["payload"]).collect()
+    assert out[0]["payload_r"] == 7.0  # <= semantics: equal ts matches
