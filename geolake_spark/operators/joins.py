@@ -264,12 +264,51 @@ def pip_join(points: DataFrame, polygons: list[dict],
 # ---------------------------------------------------------------------------
 
 
+KNN_BASE_RES = 11  # histogram resolution the density stats derive from
+
+
+def _parent_cell_col(cell: F.Column, from_res: int, to_res: int) -> F.Column:
+    """Exact quad-tree ancestor as a JVM expression (cells.cell_parent)."""
+    s = from_res - to_res
+    ix = cell.bitwiseAND(F.lit((1 << 28) - 1))
+    iy = F.shiftright(cell, 28).bitwiseAND(F.lit((1 << 28) - 1))
+    return (F.lit(to_res) * F.lit(1 << 56).cast("bigint")
+            + F.shiftright(iy, s) * F.lit(1 << 28).cast("bigint")
+            + F.shiftright(ix, s))
+
+
+def choose_knn_res(points: DataFrame, k: int,
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   base_res: int = KNN_BASE_RES) -> int:
+    """Finest resolution whose occupied cells average >= ~2k points.
+
+    Too coarse and one urban cell holds 10^4-10^5 points — every probe then
+    drags them all into the per-probe top-k window (measured: res 6 on a
+    4M-row city-clustered table made a 10k-probe join exceed 10 minutes;
+    the adaptive choice finishes in seconds).  One scan builds the base-res
+    histogram; occupancy at every coarser resolution comes from ONE
+    aggregation of that histogram via exact quad-tree parents."""
+    hist = (points.groupBy(grid_cell_col(F.col(lat_col), F.col(lon_col),
+                                         base_res).alias("c")).count())
+    stats = hist.agg(
+        F.sum("count").alias("n"),
+        *[F.countDistinct(_parent_cell_col(F.col("c"), base_res, r))
+          .alias(f"occ{r}") for r in range(base_res + 1)]).first()
+    n = stats["n"] or 0
+    target = max(2 * k, 16)
+    for r in range(base_res, -1, -1):
+        if n / max(stats[f"occ{r}"], 1) >= target:
+            return r
+    return 0
+
+
 def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
-                   res: int = DEFAULT_KNN_RES,
+                   res: int | None = None,
                    lat_col: str = "lat", lon_col: str = "lon",
                    id_cols: list[str] | None = None,
                    max_iters: int = 12,
-                   max_enum_radius: int = 8) -> DataFrame:
+                   max_enum_radius: int = 8,
+                   verbose: bool = False) -> DataFrame:
     """Exact kNN for a probe *table* (distributed ring expansion).
 
     Unlike :func:`knn_join` (driver-orchestrated box join, right for <= a
@@ -291,36 +330,112 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
 
     ``probes``: DataFrame (query_id, lat, lon).  Returns (query_id, q_lat,
     q_lon, *id_cols, dist_km, rank), ties broken on (dist, id_cols).
+    ``res=None`` picks the finest resolution whose occupied cells average
+    >= ~2k points (:func:`choose_knn_res`) — the coarse-res failure mode is
+    quadratic candidate blowup in dense cells.
     """
     spark = points.sparkSession
     id_cols = id_cols or ["url"]
+    if res is None:
+        res = choose_knn_res(points, k, lat_col, lon_col)
     nx, ny = cells.grid_dims(res)
     deg_per_cell = 180.0 / ny
     pts = points.select(F.col(lat_col).alias("p_lat"),
                         F.col(lon_col).alias("p_lon"), *id_cols)
 
-    # --- density-based initial radius: one histogram join + one scalar agg
-    hist = (pts.groupBy(grid_cell_col(F.col("p_lat"), F.col("p_lon"), res)
-                        .alias("c0")).count())
-    avg_density = hist.agg(F.avg("count")).first()[0] or 1.0
+    # ONE cached histogram at the base res guides everything: candidate-cell
+    # pruning each iteration and coarse-res variants (exact parent rollups).
+    hist0 = (pts.groupBy(grid_cell_col(F.col("p_lat"), F.col("p_lon"), res)
+                         .alias("cell")).agg(F.count("*").alias("cnt"))
+             .localCheckpoint(eager=True))
+    hist_by_h: dict[int, DataFrame] = {0: hist0}
+
+    def hist_at(hv: int) -> DataFrame:
+        if hv not in hist_by_h:
+            hist_by_h[hv] = (hist0.groupBy(
+                _parent_cell_col(F.col("cell"), res, res - hv).alias("cell"))
+                .agg(F.sum("cnt").alias("cnt")).localCheckpoint(eager=True))
+        return hist_by_h[hv]
+
     pr = (probes.select(F.col("query_id"),
                         F.col(lat_col).alias("q_lat"),
                         F.col(lon_col).alias("q_lon"))
           .withColumn("c0", grid_cell_col(F.col("q_lat"), F.col("q_lon"), res))
-          .join(hist, "c0", "left")
-          .withColumn("density", F.greatest(F.coalesce(F.col("count"),
-                                                       F.lit(0.0)),
-                                            F.lit(float(max(avg_density, 1.0)))))
-          .withColumn("radius", F.greatest(F.lit(1), F.ceil(
-              (F.sqrt(F.lit(2.0 * k) / F.col("density")) - 1.0) / 2.0)
-              .cast("int")))
           .withColumn("ix0", F.col("c0").bitwiseAND(F.lit((1 << 28) - 1)))
           .withColumn("iy0", F.shiftright("c0", 28)
                       .bitwiseAND(F.lit((1 << 28) - 1)))
-          .drop("c0", "count", "density"))
+          .withColumn("radius", F.lit(max_enum_radius))
+          .withColumn("target", F.lit(2 * k))
+          .drop("c0"))
 
     out_parts: list[DataFrame] = []
     active = pr.localCheckpoint(eager=True)
+
+    def dmin_km(ix, iy, h_col):
+        """Great-circle LOWER bound (km) from the probe to cell (ix, iy) at
+        resolution res - h: lat/lon index gaps minus one cell (the probe
+        sits somewhere inside its own cell), longitudinal km scaled by the
+        cosine at the highest |lat| either endpoint touches (a parallel arc
+        at that latitude is the shortest way to traverse the lon gap)."""
+        pow2h = F.pow(F.lit(2.0), h_col.cast("double"))
+        e_nx = F.floor(F.lit(float(nx)) / pow2h).cast("bigint")
+        deg = F.lit(deg_per_cell) * pow2h
+        e_ix0 = F.floor(F.col("ix0") / pow2h).cast("bigint")
+        e_iy0 = F.floor(F.col("iy0") / pow2h).cast("bigint")
+        dxa = F.abs(ix - e_ix0)
+        dx_cells = F.greatest(F.least(dxa, e_nx - dxa) - 1, F.lit(0))
+        dy_cells = F.greatest(F.abs(iy - e_iy0) - 1, F.lit(0))
+        lat_n = 90.0 - iy.cast("double") * deg
+        lat_s = 90.0 - (iy.cast("double") + 1) * deg
+        maxphi = F.least(F.greatest(F.abs(F.col("q_lat")), F.abs(lat_n),
+                                    F.abs(lat_s)), F.lit(90.0))
+        return F.greatest(
+            dy_cells.cast("double") * deg * 111.195,
+            dx_cells.cast("double") * deg * 111.195
+            * F.greatest(F.cos(F.radians(maxphi)), F.lit(0.0)))
+
+    def rank_and_keep(cells_df, probe_cols):
+        """Keep per probe the occupied cells that can possibly hold a top-k
+        point; returns (kept, theta) with theta = min dmin over the PRUNED
+        cells (null if none pruned).
+
+        The certificate is built to be self-fulfilling: cells are ranked by
+        ``dnear`` (haversine to the coordinate-clamped nearest cell point)
+        and accumulated until `target` points (the count-kept set); U = the
+        max EXACT per-cell upper bound (dnear + cell diagonal arc) over
+        that set, so the k <= target nearest points all lie within U.  We
+        then keep every cell whose LOWER bound dmin <= U — any pruned cell
+        has all its points beyond U >= kth, so `kth <= theta` holds by
+        construction whenever >= k points were found (no ping-pong between
+        kth and a granularity-loose bound; that ping-pong made far probes
+        expand forever in an earlier version)."""
+        diag = haversine_col(F.col("lat_s"), F.col("lon_w"),
+                             F.col("lat_n"), F.col("lon_e"))
+        wrap = ((F.col("q_lon") - F.col("lon_w") + 540.0) % 360.0) - 180.0
+        wrap_e = ((F.col("q_lon") - F.col("lon_e") + 540.0) % 360.0) - 180.0
+        inside = (F.col("q_lon") >= F.col("lon_w")) & \
+            (F.col("q_lon") <= F.col("lon_e"))
+        clamp_lon = F.when(inside, F.col("q_lon")).otherwise(
+            F.when(F.abs(wrap) <= F.abs(wrap_e), F.col("lon_w"))
+            .otherwise(F.col("lon_e")))
+        clamp_lat = F.least(F.greatest(F.col("q_lat"), F.col("lat_s")),
+                            F.col("lat_n"))
+        dnear = haversine_col(F.col("q_lat"), F.col("q_lon"),
+                              clamp_lat, clamp_lon)
+        scored = cells_df.withColumn("dnear", dnear) \
+            .withColumn("ub", F.col("dnear") + diag)
+        w_cum = (Window.partitionBy("query_id")
+                 .orderBy(F.col("dnear").asc(), F.col("cell").asc())
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        w_probe = Window.partitionBy("query_id")
+        with_cum = scored.withColumn("cum", F.sum("cnt").over(w_cum))
+        u = F.max(F.when(F.col("cum") - F.col("cnt") < F.col("target"),
+                         F.col("ub"))).over(w_probe)
+        flagged = with_cum.withColumn("_keep", F.col("dmin") <= u)
+        kept = flagged.filter(F.col("_keep"))
+        theta = (flagged.filter(~F.col("_keep"))
+                 .groupBy("query_id").agg(F.min("dmin").alias("theta")))
+        return kept.select("query_id", *probe_cols, "cell", "cnt"), theta
 
     for it in range(max_iters):
         r = F.col("radius")
@@ -355,22 +470,63 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                 .withColumn("ix", ((F.col("e_ix0") + F.col("dx"))
                                    % F.col("e_nx") + F.col("e_nx"))
                             % F.col("e_nx"))
-                .select("query_id", "q_lat", "q_lon", "radius",
+                .select("query_id", "q_lat", "q_lon", "ix0", "iy0", "h",
+                        "target",
                         ((F.lit(res).cast("bigint") - F.col("h"))
                          * F.lit(1 << 56).cast("bigint")
                          + F.col("iy").cast("bigint")
                          * F.lit(1 << 28).cast("bigint")
                          + F.col("ix").cast("bigint")).alias("cell"))
                 .dropDuplicates(["query_id", "cell"]))
-        # per-probe enumeration resolution rides inside the cell id's high
-        # bits, so ONE equi-join handles mixed-resolution probes: the point
-        # side exposes its cell id at every resolution the batch uses.
-        hs = [int(row["h"]) for row in
-              stepped.select("h").distinct().collect()]
-        pts_keyed = pts.withColumn("cell", F.explode(F.array(*[
-            grid_cell_col(F.col("p_lat"), F.col("p_lon"), res - hv)
-            for hv in sorted(set(hs))])))
-        cand = ring.join(pts_keyed, "cell")
+        hs = sorted({int(row["h"]) for row in
+                     stepped.select("h").distinct().collect()})
+        # histogram-guided pruning (cell-level metadata only): keep, per
+        # probe, the occupied cells NEAREST by great-circle lower bound
+        # until their cumulative count reaches `target` — candidate volume
+        # stays O(target) per probe no matter how far the search expanded.
+        hist_all = hist_at(hs[0])
+        for hv in hs[1:]:
+            hist_all = hist_all.unionByName(hist_at(hv))
+        def with_geom(df, h_col):
+            deg = F.lit(deg_per_cell) * F.pow(F.lit(2.0),
+                                              h_col.cast("double"))
+            return (df
+                    .withColumn("iy", F.shiftright("cell", 28)
+                                .bitwiseAND(F.lit((1 << 28) - 1)))
+                    .withColumn("ix", F.col("cell")
+                                .bitwiseAND(F.lit((1 << 28) - 1)))
+                    .withColumn("lat_n", 90.0 - F.col("iy") * deg)
+                    .withColumn("lat_s", 90.0 - (F.col("iy") + 1) * deg)
+                    .withColumn("lon_w", F.col("ix") * deg - 180.0)
+                    .withColumn("lon_e", (F.col("ix") + 1) * deg - 180.0)
+                    .withColumn("dmin", dmin_km(F.col("ix"), F.col("iy"),
+                                                h_col)))
+
+        occ = with_geom(ring.join(hist_all, "cell"), F.col("h"))
+        probe_cols = ("q_lat", "q_lon", "ix0", "iy0", "h", "target")
+        kept_c, theta_c = rank_and_keep(occ, probe_cols)
+        # refine kept COARSE cells to their base-res occupied children (an
+        # exact quad-tree parent join per distinct h — cell metadata only),
+        # then re-rank at base res: without this a coarse city-sized cell
+        # would drag its 10^4-10^5 points into the candidate join.
+        base_parts = [kept_c.filter(F.col("h") == 0)]
+        for hv in hs:
+            if hv == 0:
+                continue
+            kc = (kept_c.filter(F.col("h") == hv)
+                  .withColumnRenamed("cell", "pcell").drop("cnt"))
+            child = hist0.withColumn(
+                "pcell", _parent_cell_col(F.col("cell"), res, res - hv))
+            base_parts.append(kc.join(child, "pcell").drop("pcell"))
+        base_cells = base_parts[0]
+        for p in base_parts[1:]:
+            base_cells = base_cells.unionByName(p)
+        base_occ = with_geom(base_cells, F.lit(0))
+        kept_b, theta_b = rank_and_keep(base_occ, probe_cols)
+        pts_keyed = pts.withColumn(
+            "cell", grid_cell_col(F.col("p_lat"), F.col("p_lon"), res))
+        cand = (kept_b.select("query_id", "q_lat", "q_lon", "cell")
+                .join(pts_keyed, "cell"))
         dist = haversine_col(F.col("p_lat"), F.col("p_lon"),
                              F.col("q_lat"), F.col("q_lon"))
         w = Window.partitionBy("query_id").orderBy(
@@ -383,10 +539,15 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                 .localCheckpoint(eager=True))
         stats = topk.groupBy("query_id").agg(
             F.count("*").alias("n_found"), F.max("dist_km").alias("kth"))
-        # exactness bound: distance from probe to the nearest edge of the
-        # box guaranteed covered by the BASE-res Chebyshev-r disk
-        # (coarse enumeration covers a superset — base box stays the bound)
+        # exactness: every point either sat in a searched cell, in a PRUNED
+        # occupied cell (distance >= theta), or outside the enumerated box
+        # (distance >= the box bound from the full base radius r); so
+        # kth <= min(theta_c, theta_b, box) certifies the answer.
         checked = (active.join(stats, "query_id", "left")
+                   .join(theta_c.withColumnRenamed("theta", "theta_c"),
+                         "query_id", "left")
+                   .join(theta_b.withColumnRenamed("theta", "theta_b"),
+                         "query_id", "left")
                    .withColumn("north_open", F.col("iy0") - r > 0)
                    .withColumn("south_open", F.col("iy0") + r < ny - 1)
                    .withColumn("lon_open", F.lit(2) * r + 1 < nx)
@@ -402,6 +563,8 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                        F.greatest(F.abs(F.col("north_edge")),
                                   F.abs(F.col("south_edge"))), F.lit(90.0))))
                    .withColumn("bound", F.least(
+                       F.coalesce(F.col("theta_c"), F.lit(1e12)),
+                       F.coalesce(F.col("theta_b"), F.lit(1e12)),
                        F.when(F.col("north_open"),
                               (F.col("north_edge") - F.col("q_lat")) * 111.195)
                        .otherwise(F.lit(1e12)),
@@ -414,18 +577,38 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                            * 111.195 * F.greatest(F.cos(F.col("worst_lat")),
                                                   F.lit(0.0)))
                        .otherwise(F.lit(1e12))))
-                   .withColumn("world_covered",
+                   .withColumn("all_searched",
                                ~F.col("north_open") & ~F.col("south_open")
-                               & ~F.col("lon_open"))
-                   .withColumn("resolved", F.col("world_covered") | (
+                               & ~F.col("lon_open")
+                               & F.col("theta_c").isNull()
+                               & F.col("theta_b").isNull())
+                   .withColumn("resolved", F.col("all_searched") | (
                        (F.coalesce(F.col("n_found"), F.lit(0)) >= k)
                        & (F.col("kth") <= F.col("bound"))))
                    .localCheckpoint(eager=True))
         done_ids = checked.filter("resolved").select("query_id")
         out_parts.append(topk.join(done_ids, "query_id", "semi"))
+        # unresolved probes: 4x the search radius when nothing was pruned
+        # (the enumerated region lacks the data — race towards it), else 2x;
+        # the candidate target doubles so the kept-cell disk can grow.
+        grow = F.when(F.col("theta_c").isNull() & F.col("theta_b").isNull(),
+                      F.lit(4)).otherwise(F.lit(2))
         active = (checked.filter(~F.col("resolved"))
                   .select("query_id", "q_lat", "q_lon", "ix0", "iy0",
-                          (F.col("radius") * 2).alias("radius")))
+                          (F.col("radius") * grow).alias("radius"),
+                          (F.col("target") * 2).alias("target")))
+        if verbose:
+            import time as _t
+            print(f"knn_join_table it={it} res={res} hs={hs} "
+                  f"active_next={active.count()} t={_t.time():.1f}",
+                  flush=True)
+            (checked.filter(~F.col("resolved"))
+             .select("query_id", "radius", "target", "n_found",
+                     F.round("kth", 1).alias("kth"),
+                     F.round("bound", 1).alias("bound"),
+                     F.round("theta_c", 1).alias("th_c"),
+                     F.round("theta_b", 1).alias("th_b"))
+             .show(5, truncate=False))
         if active.isEmpty():
             break
     else:
