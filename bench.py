@@ -146,12 +146,14 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         return synth.SF_ROWS[BENCH_PAGES_SF]
 
     def minhash_sigs():
-        # signature computation throughput (the round-1 scale-killer: per-
-        # byte Python FNV).  Production path is now pure JVM: explode ->
-        # md5 hash -> per-permutation min / per-bit sum aggregates.
+        # signature throughput (the round-1 scale-killer: per-byte Python
+        # FNV + shingle-string assembly).  Production path: Arrow-batched
+        # token-hash combination (see sim.make_minhash_udf; the JVM
+        # formulations benchmarked slower — BENCH/PLANS.md §9).
         from geolake_spark.functions import sim
-        d = pages_small.selectExpr("url as doc_id", "text")
-        _noop(sim.minhash_sigs_df(d).join(sim.simhash_sigs_df(d), "id"))
+        mh = sim.make_minhash_udf(num_perm=64)
+        _noop(pages_small.select(mh(F.col("text")).alias("mh"),
+                                 sim.simhash_udf(F.col("text")).alias("sh")))
         return synth.SF_ROWS[BENCH_PAGES_SF]
 
     jobs = {"pip_tiles": pip_tiles, "cell_hist": cell_hist, "knn": knn,
