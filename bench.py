@@ -42,6 +42,69 @@ SCALE_ROWS = 256_000_000      # slim coordinate table for throughput/scaling
 SCALE_PASSES = 4              # passes per action -> 1.02B page rows
 
 
+def _ancestor_pids() -> set[int]:
+    pids, pid = set(), os.getpid()
+    while pid > 1:
+        pids.add(pid)
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                pid = next(int(line.split()[1]) for line in f
+                           if line.startswith("PPid:"))
+        except (OSError, StopIteration):
+            break
+    pids.add(pid)
+    return pids
+
+
+def _rival_processes() -> list[str]:
+    """Concurrent Spark JVMs / pytest / other bench runs (own ancestry
+    excluded — the invoking shell's command line mentions bench.py)."""
+    import subprocess
+    mine = _ancestor_pids()
+    out = subprocess.run(["ps", "-eo", "pid,args", "--no-headers"],
+                         capture_output=True, text=True).stdout
+    rivals = []
+    for line in out.splitlines():
+        parts = line.strip().split(None, 1)
+        if len(parts) != 2 or not parts[0].isdigit():
+            continue
+        pid, args = int(parts[0]), parts[1]
+        if pid in mine:
+            continue
+        low = args.lower()
+        if ("org.apache.spark" in low or "pytest" in low
+                or "bench.py" in low or "spark-submit" in low):
+            rivals.append(f"{pid}:{args[:100]}")
+    return rivals
+
+
+def host_guard(max_wait_s: int = 900) -> dict:
+    """Refuse to measure on a contended host.
+
+    The committed round-2 bench artifact was invalidated by exactly this
+    failure mode: a concurrent pytest/Spark job inflated scan-bound queries
+    2-4x (judge's solo re-run: pip_tiles 4.29s vs the committed 15.45s).
+    Waits for rival Spark/pytest/bench processes to exit (up to
+    ``max_wait_s``), then stamps load + provenance into the bench JSON so
+    a stalled run is self-identifying."""
+    waited = 0
+    while True:
+        rivals = _rival_processes()
+        if not rivals:
+            break
+        if waited >= max_wait_s:
+            print(f"bench: REFUSING to run — concurrent measurable-workload "
+                  f"processes still alive after {waited}s: {rivals}",
+                  file=sys.stderr)
+            sys.exit(2)
+        print(f"bench: waiting for concurrent processes: {rivals}",
+              file=sys.stderr)
+        time.sleep(15)
+        waited += 15
+    return {"load1_at_start": round(os.getloadavg()[0], 2),
+            "guard_waited_s": waited}
+
+
 def _pages(spark, sf: str):
     from geolake_spark.sources import synth
     paths = synth.ensure_local_tables("/root/repo/data", sf)
@@ -147,13 +210,15 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
 
     def minhash_sigs():
         # signature throughput (the round-1 scale-killer: per-byte Python
-        # FNV + shingle-string assembly).  Production path: Arrow-batched
-        # token-hash combination (see sim.make_minhash_udf; the JVM
-        # formulations benchmarked slower — BENCH/PLANS.md §9).
+        # FNV + shingle-string assembly).  Production path: ONE Arrow UDF
+        # computing MinHash AND SimHash from shared token FNV hashes
+        # (round 2 ran two UDFs that each tokenized + hashed every doc —
+        # the double work was the dominant headline cost; the JVM
+        # formulations benchmarked slower still — BENCH/PLANS.md §9).
         from geolake_spark.functions import sim
-        mh = sim.make_minhash_udf(num_perm=64)
-        _noop(pages_small.select(mh(F.col("text")).alias("mh"),
-                                 sim.simhash_udf(F.col("text")).alias("sh")))
+        sig = sim.make_signature_udf(num_perm=64)
+        _noop(pages_small.select(sig(F.col("text")).alias("s"))
+              .select("s.minhash", "s.simhash"))
         return synth.SF_ROWS[BENCH_PAGES_SF]
 
     jobs = {"pip_tiles": pip_tiles, "cell_hist": cell_hist, "knn": knn,
@@ -173,27 +238,80 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     return timings, rates
 
 
-def run_default() -> None:
+def extra_queries(spark) -> tuple[dict, dict]:
+    """Scale-evidence jobs beyond the round-1/2 headline set (NOT summed
+    into ``value`` so cross-round totals stay comparable):
+
+    * dedup_e2e — MinHash LSH near-dup END TO END at sf1 (500k pages):
+      signatures + band bucket join + signature-similarity filter.  Round 2
+      benchmarked only the signature tier; the band-join half of the scale
+      story was unmeasured.  Also reports the candidate-pairs/doc ratio.
+    * ivf_train / ivf_query — distributed spherical k-means (sqrt(N) lists)
+      over 500k 64-dim synthetic embeddings, then a 32-probe nprobe=16
+      IVF top-10 query against the trained lists.  (Recall >= 0.9 vs brute
+      force is asserted in tests/test_ann.py::test_ivf_sf1_scale — marked
+      slow — not here; the bench measures wall time only.)
+    """
+    from geolake_spark.operators import ann, dedup
+    from geolake_spark.sources import synth
+    timings: dict[str, float] = {}
+    info: dict[str, float] = {}
+
+    pages = _pages(spark, BENCH_PAGES_SF)
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(
+        pages.selectExpr("url as doc_id", "text"), threshold=0.5)
+    n_pairs = pairs.count()
+    timings["dedup_e2e"] = round(time.time() - t0, 3)
+    info["dedup_e2e_pairs"] = n_pairs
+    info["dedup_e2e_pairs_per_doc"] = round(
+        n_pairs / synth.SF_ROWS[BENCH_PAGES_SF], 4)
+
+    emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
+    emb = spark.read.parquet(emb_path)
+    t0 = time.time()
+    centers = ann.kmeans_fit_distributed(emb, dim=synth.EMB_DIM,
+                                         n_clusters=707, iters=4)
+    timings["ivf_train"] = round(time.time() - t0, 3)
+    probes = (emb.filter(F.col("vec_id") % 15625 == 7)
+              .selectExpr("vec_id as probe_id", "embedding as probe_vec")
+              .limit(32))
+    t0 = time.time()
+    res = ann.ivf_topk(emb, probes, k=10, nprobe=16, centers=centers)
+    info["ivf_rows"] = res.count()
+    timings["ivf_query"] = round(time.time() - t0, 3)
+    return timings, info
+
+
+def run_default(with_extras: bool = True) -> None:
     from geolake_spark.session import get_spark
+    guard = host_guard()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("geolake_bench", cores=cores)
     timings, rates = headline_queries(spark, sf_dir)
+    extras, extra_info = extra_queries(spark) if with_extras else ({}, {})
     spark.stop()
     out = {
         "metric": "headline_total_sec",
+        # value = the round-1/2-comparable headline set only; the jobs
+        # added in round 3 are reported under queries/extra_info but not
+        # summed (totals stay comparable across BENCH_r{N}.json)
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, **extras},
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "throughput": rates,
         "cores": cores,
+        "extra_info": extra_info,
+        "host": {**guard, "load1_at_end": round(os.getloadavg()[0], 2)},
     }
     print(json.dumps(out))
 
 
 def run_scaling(runs: int = 3) -> None:
     from geolake_spark.session import get_spark
+    guard = host_guard()
     results = {}
     n_rows = None
     out_rows = None
@@ -236,6 +354,7 @@ def run_scaling(runs: int = 3) -> None:
         "detail": results,
         "pages_per_action": n_rows,
         "output_rows": out_rows,
+        "host": {**guard, "load1_at_end": round(os.getloadavg()[0], 2)},
     }
     print(json.dumps(out))
     os.makedirs("/root/repo/BENCH", exist_ok=True)

@@ -122,69 +122,129 @@ def minhash_signature(shingles: list[str], num_perm: int = 64,
 _MINHASH_CHUNK_SHINGLES = 16_384
 
 
+def _tokenize_batch(text: pd.Series) -> tuple[list[str], np.ndarray]:
+    """(all tokens concatenated batch-wide, per-doc token counts)."""
+    all_toks: list[str] = []
+    counts = np.empty(len(text), dtype=np.int64)
+    for i, s in enumerate(text):
+        toks = s.lower().split()
+        counts[i] = len(toks)
+        all_toks.extend(toks)
+    return all_toks, counts
+
+
+def _minhash_from_token_hashes(hv: np.ndarray, tok_counts: np.ndarray,
+                               n_docs: int, num_perm: int, n: int,
+                               seed: int) -> np.ndarray:
+    """(n_docs, num_perm) int64 signatures from batch-flat token FNV hashes.
+
+    Token-hash combination: a shingle's hash is an arithmetic combination
+    of its n token hashes computed over the flat batch array (cross-doc
+    positions masked out) — no shingle string is ever built.  Signature
+    mins via minimum.reduceat over contiguous doc segments (duplicate
+    shingles can't change a min, so no per-doc unique())."""
+    a, b = _perm_params31(num_perm, seed)
+    th = hv % np.uint64(M31)
+    total = len(th)
+    m = total - n + 1
+    if m > 0:
+        sh_flat = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            sh_flat += th[j:j + m] * np.uint64(_SHINGLE_C[j])
+        sh_flat %= np.uint64(M31)
+        doc_of = np.repeat(np.arange(n_docs), tok_counts)
+        sh_all = sh_flat[doc_of[:m] == doc_of[n - 1:]]
+    else:
+        sh_all = np.zeros(0, dtype=np.uint64)
+    counts = np.maximum(tok_counts - (n - 1), 0)
+    out = np.full((n_docs, num_perm), _SIG_SENTINEL, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    nonempty = np.nonzero(counts > 0)[0]
+    buf = np.empty((num_perm, _MINHASH_CHUNK_SHINGLES), dtype=np.uint64)
+    a_col = a[:, None]
+    b_col = b[:, None]
+    m31 = np.uint64(M31)
+    i = 0
+    while i < len(nonempty):
+        j, tot = i, 0
+        while j < len(nonempty) and (
+                tot == 0 or tot + counts[nonempty[j]] <= _MINHASH_CHUNK_SHINGLES):
+            tot += counts[nonempty[j]]
+            j += 1
+        docs = nonempty[i:j]
+        seg_hv = sh_all[np.concatenate(
+            [np.arange(starts[d], ends[d]) for d in docs])]
+        # in-place into a reused buffer: no fresh 8 MB temporaries per
+        # chunk (see _MINHASH_CHUNK_SHINGLES note); a single giant doc
+        # can exceed the chunk budget — spill to a one-off buffer
+        if len(seg_hv) <= _MINHASH_CHUNK_SHINGLES:
+            vals = buf[:, :len(seg_hv)]
+        else:
+            vals = np.empty((num_perm, len(seg_hv)), dtype=np.uint64)
+        np.multiply(a_col, seg_hv[None, :], out=vals)
+        np.add(vals, b_col, out=vals)
+        np.mod(vals, m31, out=vals)
+        seg_starts = np.cumsum(counts[docs]) - counts[docs]
+        mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+        out[docs] = mins.T.astype(np.int64)
+        i = j
+    return out
+
+
+def _simhash_from_token_hashes(hv: np.ndarray, counts: np.ndarray,
+                               n_docs: int) -> np.ndarray:
+    """(n_docs,) int64 SimHash from batch-flat token FNV hashes: per-doc
+    per-bit counts via add.reduceat over contiguous doc segments (64
+    one-dimensional passes — never materializes an (n_tokens, 64) matrix)."""
+    out = np.zeros(n_docs, dtype=np.int64)
+    nonempty = np.nonzero(counts > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    starts = (np.cumsum(counts) - counts)[nonempty]
+    bit_sums = np.empty((len(nonempty), 64), dtype=np.int64)
+    for i in range(64):
+        v = ((hv >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+        bit_sums[:, i] = np.add.reduceat(v, starts)
+    positive = (2 * bit_sums) > counts[nonempty][:, None]
+    sig = (positive.astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
+                                                           dtype=np.uint64)
+    out[nonempty] = sig.view(np.int64)
+    return out
+
+
 def make_minhash_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        a, b = _perm_params31(num_perm, seed)
-        # Token-hash combination: hash every TOKEN once (bulk FNV), then a
-        # shingle's hash is an arithmetic combination of its n token hashes
-        # computed over the flat batch array (cross-doc positions masked
-        # out) — no shingle string is ever built.  Signature mins via
-        # minimum.reduceat over contiguous doc segments (duplicate shingles
-        # can't change a min, so no per-doc unique()).
-        all_toks: list[str] = []
-        tok_counts = np.empty(len(text), dtype=np.int64)
-        for i, s in enumerate(text):
-            toks = s.lower().split()
-            tok_counts[i] = len(toks)
-            all_toks.extend(toks)
-        th = _hash_shingles(all_toks) % np.uint64(M31)
-        total = len(th)
-        m = total - n + 1
-        if m > 0:
-            sh_flat = np.zeros(m, dtype=np.uint64)
-            for j in range(n):
-                sh_flat += th[j:j + m] * np.uint64(_SHINGLE_C[j])
-            sh_flat %= np.uint64(M31)
-            doc_of = np.repeat(np.arange(len(text)), tok_counts)
-            sh_all = sh_flat[doc_of[:m] == doc_of[n - 1:]]
-        else:
-            sh_all = np.zeros(0, dtype=np.uint64)
-        counts = np.maximum(tok_counts - (n - 1), 0)
-        out = np.full((len(text), num_perm), _SIG_SENTINEL, dtype=np.int64)
-        ends = np.cumsum(counts)
-        starts = ends - counts
-        nonempty = np.nonzero(counts > 0)[0]
-        buf = np.empty((num_perm, _MINHASH_CHUNK_SHINGLES), dtype=np.uint64)
-        a_col = a[:, None]
-        b_col = b[:, None]
-        m31 = np.uint64(M31)
-        i = 0
-        while i < len(nonempty):
-            j, tot = i, 0
-            while j < len(nonempty) and (
-                    tot == 0 or tot + counts[nonempty[j]] <= _MINHASH_CHUNK_SHINGLES):
-                tot += counts[nonempty[j]]
-                j += 1
-            docs = nonempty[i:j]
-            seg_hv = sh_all[np.concatenate(
-                [np.arange(starts[d], ends[d]) for d in docs])]
-            # in-place into a reused buffer: no fresh 8 MB temporaries per
-            # chunk (see _MINHASH_CHUNK_SHINGLES note); a single giant doc
-            # can exceed the chunk budget — spill to a one-off buffer
-            if len(seg_hv) <= _MINHASH_CHUNK_SHINGLES:
-                vals = buf[:, :len(seg_hv)]
-            else:
-                vals = np.empty((num_perm, len(seg_hv)), dtype=np.uint64)
-            np.multiply(a_col, seg_hv[None, :], out=vals)
-            np.add(vals, b_col, out=vals)
-            np.mod(vals, m31, out=vals)
-            seg_starts = np.cumsum(counts[docs]) - counts[docs]
-            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
-            out[docs] = mins.T.astype(np.int64)
-            i = j
+        all_toks, tok_counts = _tokenize_batch(text)
+        hv = _hash_shingles(all_toks)
+        out = _minhash_from_token_hashes(hv, tok_counts, len(text),
+                                         num_perm, n, seed)
         return pd.Series(list(out))
     return minhash_udf
+
+
+def make_signature_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
+    """MinHash AND SimHash from ONE tokenize + bulk-FNV pass (struct UDF).
+
+    The two signatures share the per-token 64-bit FNV hashes — computing
+    them in separate UDFs tokenizes and hashes every document twice, which
+    was the dominant cost of the round-2 signature tier (the two kernels
+    themselves are cheap reduceat passes over the shared hash array).
+    Outputs are bit-identical to :func:`make_minhash_udf` / `simhash_udf`.
+    """
+    @pandas_udf(T.StructType([
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType())]))
+    def signature_udf(text: pd.Series) -> pd.DataFrame:
+        all_toks, tok_counts = _tokenize_batch(text)
+        hv = _hash_shingles(all_toks)
+        mh = _minhash_from_token_hashes(hv, tok_counts, len(text),
+                                        num_perm, n, seed)
+        sh = _simhash_from_token_hashes(hv, tok_counts, len(text))
+        return pd.DataFrame({"minhash": list(mh), "simhash": sh})
+    return signature_udf
 
 
 def lsh_bands(df, sig_col: str = "minhash", num_perm: int = 64, bands: int = 16):
@@ -208,31 +268,9 @@ def lsh_bands(df, sig_col: str = "minhash", num_perm: int = 64, bands: int = 16)
 
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    # Bulk FNV over every token in the Arrow batch; per-doc per-bit counts
-    # via add.reduceat over contiguous doc segments (64 one-dimensional
-    # passes — never materializes an (n_tokens, 64) matrix).
-    all_toks: list[str] = []
-    counts = np.empty(len(text), dtype=np.int64)
-    for i, s in enumerate(text):
-        toks = s.lower().split()
-        counts[i] = len(toks)
-        all_toks.extend(toks)
-    out = np.zeros(len(text), dtype=np.int64)
-    nonempty = np.nonzero(counts > 0)[0]
-    if len(nonempty) == 0:
-        return pd.Series(out)
+    all_toks, counts = _tokenize_batch(text)
     hv = _hash_shingles(all_toks)
-    starts = (np.cumsum(counts) - counts)[nonempty]
-    bit_sums = np.empty((len(nonempty), 64), dtype=np.int64)
-    for i in range(64):
-        v = ((hv >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
-        bit_sums[:, i] = np.add.reduceat(v, starts)
-    positive = (2 * bit_sums) > counts[nonempty][:, None]
-    sig = (positive.astype(np.uint64)
-           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
-                                                           dtype=np.uint64)
-    out[nonempty] = sig.view(np.int64)
-    return pd.Series(out)
+    return pd.Series(_simhash_from_token_hashes(hv, counts, len(text)))
 
 
 def hamming64_col(a: Column, b: Column) -> Column:

@@ -40,20 +40,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Signatures are Arrow-batched vectorized NumPy (token-hash combination,
     no per-shingle Python — see sim.make_minhash_udf; the JVM explode-agg
     and per-row-HOF formulations were benchmarked and are 2-10x slower)."""
+    from pyspark import StorageLevel
     mh = sim.make_minhash_udf(num_perm=num_perm)
-    sigs = df.select(F.col(id_col).alias("id"),
-                     mh(F.col(text_col)).alias("minhash"))
-    banded = sim.lsh_bands(sigs, "minhash", num_perm, bands)
-    a = banded.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"),
-                      "band_id", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b"),
-                      "band_id", "band_hash")
+    # Signatures are persisted: they feed the band explode AND the two
+    # payload re-joins below; without persist Spark would re-run the UDF
+    # (the dominant cost) once per consumer.  At 100 TB this tier would be
+    # written to a signatures table — MEMORY_AND_DISK is the local analogue.
+    sigs = (df.select(F.col(id_col).alias("id"),
+                      mh(F.col(text_col)).alias("minhash"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    banded = (sim.lsh_bands(sigs, "minhash", num_perm, bands)
+              .select("id", "band_id", "band_hash"))
+    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
+    # candidate distinct carries ONLY (id_a, id_b) — 16 B/pair; round 2
+    # shuffled both 64-long signatures (~1 KB/pair) through this distinct.
+    # Signatures re-attach via two hash joins against the persisted tier.
     cand = (a.join(b, ["band_id", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "mh_a", "mh_b").distinct())
+            .select("id_a", "id_b").distinct())
+    pairs = (cand
+             .join(sigs.select(F.col("id").alias("id_a"),
+                               F.col("minhash").alias("mh_a")), "id_a")
+             .join(sigs.select(F.col("id").alias("id_b"),
+                               F.col("minhash").alias("mh_b")), "id_b"))
     matches = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y:
                                          (x == y).cast("int")), lambda v: v == 1))
-    return (cand.withColumn("sig_sim", matches / F.lit(float(num_perm)))
+    return (pairs.withColumn("sig_sim", matches / F.lit(float(num_perm)))
             .filter(F.col("sig_sim") >= threshold)
             .select("id_a", "id_b", F.round("sig_sim", 6).alias("sig_sim")))
 
@@ -163,23 +176,34 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             dim = 1
         else:
             dim = len(head[0][0])
+    from pyspark import StorageLevel
     planes = sim.rh_planes(dim, n_tables, n_planes, seed)
     bucketer = sim.make_rh_bucket_udf(planes)
-    e = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   bucketer(F.col(vec_col)).alias("bks"))
-         .select("id", "v", F.posexplode("bks").alias("table_id", "bucket")))
+    # persisted: feeds the bucket explode AND the two vector re-joins (the
+    # bucketing UDF would otherwise re-run per consumer)
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      bucketer(F.col(vec_col)).alias("bks"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    e = base.select("id", F.posexplode("bks").alias("table_id", "bucket"))
     counts = e.groupBy("table_id", "bucket").agg(F.count("*").alias("bsz"))
     capped = (e.join(F.broadcast(counts), ["table_id", "bucket"])
               .filter(F.col("bsz") <= bucket_cap)
-              .select("id", "v", "table_id", "bucket"))
-    a = capped.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                      "table_id", "bucket")
-    b = capped.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                      "table_id", "bucket")
+              .select("id", "table_id", "bucket"))
+    a = capped.select(F.col("id").alias("id_a"), "table_id", "bucket")
+    b = capped.select(F.col("id").alias("id_b"), "table_id", "bucket")
+    # candidate distinct on (id_a, id_b) ONLY — 16 B/pair; round 2 carried
+    # both full vectors through it (~16 KB/pair at 1k dims).  Vectors
+    # re-attach via two hash joins against the persisted base.
     cand = (a.join(b, ["table_id", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "v_a", "v_b").distinct())
-    return (cand.withColumn("cosine",
-                            F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
+            .select("id_a", "id_b").distinct())
+    vecs = base.select("id", "v")
+    pairs = (cand
+             .join(vecs.select(F.col("id").alias("id_a"),
+                               F.col("v").alias("v_a")), "id_a")
+             .join(vecs.select(F.col("id").alias("id_b"),
+                               F.col("v").alias("v_b")), "id_b"))
+    return (pairs.withColumn("cosine",
+                             F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -247,6 +247,46 @@ def ensure_pages_geo(base_dir: str, n_rows: int,
     return out
 
 
+EMB_DIM = 64
+
+
+def gen_embeddings(n_rows: int, dim: int = EMB_DIM, n_clusters: int = 256,
+                   seed: int = SEED + 9) -> pa.Table:
+    """Clustered unit-ish embeddings (vec_id, embedding array<double>) for
+    ANN-at-scale benchmarks: a mixture of ``n_clusters`` spherical Gaussians
+    so IVF lists have real structure to find."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_clusters, n_rows)
+    v = centers[assign] + 0.25 * rng.randn(n_rows, dim)
+    flat = v.reshape(-1)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), dim).cast(pa.list_(pa.float64())),
+    })
+
+
+def ensure_embeddings(base_dir: str, n_rows: int, dim: int = EMB_DIM) -> str:
+    out = os.path.join(base_dir, f"embeddings_{n_rows}_{dim}.parquet")
+    if not os.path.exists(out):
+        chunk = 250_000
+        writer = None
+        for start in range(0, n_rows, chunk):
+            n = min(chunk, n_rows - start)
+            tbl = gen_embeddings(n, dim, seed=SEED + 9 + start // chunk)
+            tbl = tbl.set_column(0, "vec_id",
+                                 pa.array(np.arange(start, start + n,
+                                                    dtype=np.int64)))
+            if writer is None:
+                writer = pq.ParquetWriter(out, tbl.schema)
+            for batch in tbl.to_batches(max_chunksize=max(n // 16, 10000)):
+                writer.write_batch(batch)
+        writer.close()
+    return out
+
+
 def ensure_local_tables(base_dir: str, sf: str = "0.01") -> dict[str, str]:
     """Materialize the synthetic tables under ``base_dir/sf{sf}/`` once;
     returns {table: path}.  Idempotent (keyed by a manifest of params)."""
