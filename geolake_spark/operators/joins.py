@@ -364,35 +364,82 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
           .withColumn("ix0", F.col("c0").bitwiseAND(F.lit((1 << 28) - 1)))
           .withColumn("iy0", F.shiftright("c0", 28)
                       .bitwiseAND(F.lit((1 << 28) - 1)))
-          .withColumn("radius", F.lit(max_enum_radius))
-          .withColumn("target", F.lit(2 * k))
-          .drop("c0"))
+          .withColumn("target", F.lit(2 * k)))
+
+    # Density-seeded initial radius: the smallest sampled coarsening level
+    # h whose PARENT CELL of the probe is occupied yields radius 2^h (a
+    # Chebyshev radius of 2^h base cells covers the entire parent, hence
+    # whatever data it holds).  Probes in empty regions — the round-2
+    # sparse-probe tail, which spent its first rounds enumerating empty
+    # rings before the 4x growth kicked in — start at a radius that can
+    # actually reach data.  Equi-joins on parent ids only (histogram
+    # metadata, no point data); dense probes keep the old default.
+    seed_hs = [h for h in (2, 4, 6, 8) if h < res]
+    if seed_hs:
+        par = (pr.select("query_id", F.explode(F.array(*[
+            F.struct(F.lit(h).alias("h"),
+                     _parent_cell_col(F.col("c0"), res, res - h).alias("cell"))
+            for h in seed_hs])).alias("p"))
+            .select("query_id", F.col("p.h").alias("h"),
+                    F.col("p.cell").alias("cell")))
+        occ_all = hist_at(seed_hs[0]).select(F.lit(seed_hs[0]).alias("h"),
+                                             "cell")
+        for hv in seed_hs[1:]:
+            occ_all = occ_all.unionByName(
+                hist_at(hv).select(F.lit(hv).alias("h"), "cell"))
+        found = (par.join(occ_all, ["h", "cell"])
+                 .groupBy("query_id").agg(F.min("h").alias("h_occ")))
+        pr = (pr.join(found, "query_id", "left")
+              .withColumn("radius", F.greatest(
+                  F.lit(max_enum_radius),
+                  F.coalesce(F.pow(F.lit(2.0), F.col("h_occ")).cast("int"),
+                             F.lit(1 << (seed_hs[-1] + 2)))))
+              .drop("h_occ"))
+    else:
+        pr = pr.withColumn("radius", F.lit(max_enum_radius))
+    pr = pr.drop("c0")
 
     out_parts: list[DataFrame] = []
     active = pr.localCheckpoint(eager=True)
 
-    def dmin_km(ix, iy, h_col):
-        """Great-circle LOWER bound (km) from the probe to cell (ix, iy) at
-        resolution res - h: lat/lon index gaps minus one cell (the probe
-        sits somewhere inside its own cell), longitudinal km scaled by the
-        cosine at the highest |lat| either endpoint touches (a parallel arc
-        at that latitude is the shortest way to traverse the lon gap)."""
-        pow2h = F.pow(F.lit(2.0), h_col.cast("double"))
-        e_nx = F.floor(F.lit(float(nx)) / pow2h).cast("bigint")
-        deg = F.lit(deg_per_cell) * pow2h
-        e_ix0 = F.floor(F.col("ix0") / pow2h).cast("bigint")
-        e_iy0 = F.floor(F.col("iy0") / pow2h).cast("bigint")
-        dxa = F.abs(ix - e_ix0)
-        dx_cells = F.greatest(F.least(dxa, e_nx - dxa) - 1, F.lit(0))
-        dy_cells = F.greatest(F.abs(iy - e_iy0) - 1, F.lit(0))
-        lat_n = 90.0 - iy.cast("double") * deg
-        lat_s = 90.0 - (iy.cast("double") + 1) * deg
-        maxphi = F.least(F.greatest(F.abs(F.col("q_lat")), F.abs(lat_n),
-                                    F.abs(lat_s)), F.lit(90.0))
-        return F.greatest(
-            dy_cells.cast("double") * deg * 111.195,
-            dx_cells.cast("double") * deg * 111.195
-            * F.greatest(F.cos(F.radians(maxphi)), F.lit(0.0)))
+    def dmin_km():
+        """EXACT great-circle min distance (km) from the probe to the cell
+        rectangle [lat_s, lat_n] x [lon_w, lon_e] — used as the pruning
+        lower bound, so it must never exceed the true distance.
+
+        The round-2 bound (lon-gap arc scaled by cos at the max endpoint
+        |lat|) was UNSOUND at high latitudes: geodesics swing poleward of
+        their endpoints, so e.g. two points at lat 85 with dlon 180 are
+        ~1110 km apart over the pole while the parallel-arc "bound" said
+        ~1470 km — a cell holding a true neighbor could be pruned and the
+        exactness certificate would confirm a wrong answer.
+
+        Exact construction: for any rect point, great-circle distance is
+        monotonically increasing in the wrap-aware lon gap at fixed lat, so
+        the nearest rect point lies on the meridian edge with the smaller
+        gap dlam (or at dlam=0 when the probe's lon is inside the span).
+        Along that meridian segment, distance to the probe has a single
+        stationary point at the geodesic foot latitude tan(phi*) =
+        tan(phi1)/cos(dlam) (computed as atan2(sin phi1, cos phi1 cos dlam)
+        so the over-pole regime cos(dlam) <= 0 clamps to +-90); the minimum
+        is therefore attained at the clamped foot or a segment endpoint.
+        All three candidates are actual rect points, so the min of their
+        haversines is the exact rect distance — sound AND tight (a probe
+        inside the cell yields 0)."""
+        gap_w = F.abs(((F.col("q_lon") - F.col("lon_w") + 540.0) % 360.0)
+                      - 180.0)
+        gap_e = F.abs(((F.col("q_lon") - F.col("lon_e") + 540.0) % 360.0)
+                      - 180.0)
+        inside = (F.col("q_lon") >= F.col("lon_w")) & \
+            (F.col("q_lon") <= F.col("lon_e"))
+        dlam = F.when(inside, F.lit(0.0)).otherwise(F.least(gap_w, gap_e))
+        phi1 = F.radians(F.col("q_lat"))
+        foot = F.degrees(F.atan2(F.sin(phi1),
+                                 F.cos(phi1) * F.cos(F.radians(dlam))))
+        cands = [F.least(F.greatest(foot, F.col("lat_s")), F.col("lat_n")),
+                 F.col("lat_n"), F.col("lat_s")]
+        return F.least(*[haversine_col(F.col("q_lat"), F.lit(0.0), c, dlam)
+                         for c in cands])
 
     def rank_and_keep(cells_df, probe_cols):
         """Keep per probe the occupied cells that can possibly hold a top-k
@@ -499,8 +546,7 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                     .withColumn("lat_s", 90.0 - (F.col("iy") + 1) * deg)
                     .withColumn("lon_w", F.col("ix") * deg - 180.0)
                     .withColumn("lon_e", (F.col("ix") + 1) * deg - 180.0)
-                    .withColumn("dmin", dmin_km(F.col("ix"), F.col("iy"),
-                                                h_col)))
+                    .withColumn("dmin", dmin_km()))
 
         occ = with_geom(ring.join(hist_all, "cell"), F.col("h"))
         probe_cols = ("q_lat", "q_lon", "ix0", "iy0", "h", "target")

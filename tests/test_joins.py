@@ -128,6 +128,38 @@ def test_knn_table_matches_brute_force(spark, pages, pages_pdf):
         assert mine == exp, f"probe {pr['query_id']}"
 
 
+def test_knn_table_over_pole_exact(spark):
+    """Regression (round-3 advisor, medium): the pruning lower bound must
+    never exceed the true great-circle distance.  Geodesics swing poleward
+    of their endpoints, so for a probe at lat 85 the point at (85, 180) is
+    ~1112 km away OVER the pole while the round-2 parallel-arc "bound"
+    claimed ~1470 km — its cell got pruned, theta overstated, and the
+    exactness certificate confirmed the wrong (decoy) neighbor."""
+    # Geometry that makes the old bound decide wrongly: k=1 and an
+    # 8-point decoy cell at ~1167 km, so even after the candidate target
+    # doubles to 8 on the way to the world-covering radius, the kept-set
+    # upper bound U ~ 1330 km falls between the over-pole point's true
+    # distance (1112) and the old overstated bound (~1450) — old code
+    # pruned the over-pole cell at the base-res re-rank, certified against
+    # theta_b ~ 1450, and returned a decoy.  Far-south fillers keep the
+    # histogram non-trivial.
+    decoy_lats = [74.5, 74.3, 74.45, 74.40, 74.35, 74.48, 74.42, 74.37]
+    pdf = pd.DataFrame({
+        "url": ["overpole"] + [f"decoy{i}" for i in range(8)]
+               + [f"far{i}" for i in range(8)],
+        "lat": [85.0] + decoy_lats + [-60.0 + 2.0 * i for i in range(8)],
+        "lon": [179.99] + [0.0] * 8 + [15.0 * i - 120.0 for i in range(8)]})
+    pts = spark.createDataFrame(pdf)
+    probes = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1], "lat": [85.0], "lon": [0.0]}))
+    out = (joins.knn_join_table(pts, probes, k=1, res=5)
+           .orderBy("rank").collect())
+    d = cells.haversine_km(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(),
+                           85.0, 0.0)
+    assert [r["url"] for r in out] == ["overpole"]
+    assert abs(out[0]["dist_km"] - sorted(d)[0]) < 1e-6
+
+
 def test_knn_table_k_exceeds_points(spark):
     """k > |points| resolves via world coverage and returns all points."""
     import pyspark.sql.functions as F
