@@ -11,6 +11,7 @@ already accept.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import secrets
@@ -26,10 +27,14 @@ class ImproperUserToken(ValueError):
     pass
 
 
+def _key_hash(api_key: str) -> str:
+    return hashlib.sha256(api_key.encode("utf-8")).hexdigest()
+
+
 @dataclass
 class User:
     user_id: str
-    api_key: str
+    key_hash: str  # sha256 of the api key — plaintext never persists
     contact_name: str = ""
     roles: list[str] = field(default_factory=list)
 
@@ -49,14 +54,18 @@ class UserStore:
             with open(store_file) as f:
                 for line in f:
                     if line.strip():
-                        u = User(**json.loads(line))
+                        rec = json.loads(line)
+                        if "api_key" in rec:  # pre-round-3 plaintext format
+                            rec["key_hash"] = _key_hash(rec.pop("api_key"))
+                        u = User(**rec)
                         self._users[u.user_id] = u
 
     def _flush(self) -> None:
         if not self._store_file:
             return
         tmp = self._store_file + ".tmp"
-        with open(tmp, "w") as f:
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "w") as f:
             for u in self._users.values():
                 f.write(json.dumps(u.__dict__) + "\n")
         os.replace(tmp, self._store_file)
@@ -68,7 +77,7 @@ class UserStore:
         (api_key generated as in dbmanager.generate_key)."""
         uid = user_id or str(uuid.uuid4())
         key = secrets.token_urlsafe(32)
-        self._users[uid] = User(user_id=uid, api_key=key,
+        self._users[uid] = User(user_id=uid, key_hash=_key_hash(key),
                                 contact_name=contact_name,
                                 roles=list(roles or []))
         self._flush()
@@ -76,20 +85,32 @@ class UserStore:
 
     @staticmethod
     def parse_token(token: str) -> tuple[str, str]:
-        """backend.py get_authorization_scheme_param: exactly one colon."""
+        """backend.py get_authorization_scheme_param: exactly one colon;
+        auth/manager.py additionally requires the user_id to parse as a
+        UUID (malformed ids are rejected before any store lookup)."""
         if token is None or not token.strip():
             raise ImproperUserToken("empty user token")
         parts = token.split(":")
         if len(parts) != 2:
             raise ImproperUserToken("token must be '<user_id>:<api_key>'")
+        try:
+            uuid.UUID(parts[0], version=4)
+        except ValueError:
+            raise ImproperUserToken(
+                f"user_id {parts[0]!r} is not a valid UUID") from None
         return parts[0], parts[1]
 
     def authenticate(self, token: str | None) -> list[str]:
-        """Token -> role list; None -> anonymous (public scope only)."""
+        """Token -> role list; None -> anonymous (public scope only).
+        Key comparison is constant-time over sha256 digests (no plaintext
+        keys in memory-resident store or on disk; no timing side channel),
+        and unknown users burn the same compare as known ones."""
         if token is None:
             return []
         user_id, api_key = self.parse_token(token)
         user = self._users.get(user_id)
-        if user is None or user.api_key != api_key:
+        expected = user.key_hash if user else _key_hash("")
+        ok = secrets.compare_digest(_key_hash(api_key), expected)
+        if user is None or not ok:
             raise AuthenticationFailed(f"bad credentials for {user_id!r}")
         return list(user.roles)

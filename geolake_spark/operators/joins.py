@@ -211,9 +211,17 @@ def pip_join(points: DataFrame, polygons: list[dict],
     ``res`` is also given, validated against it (raises on mismatch).
     """
     spark = points.sparkSession
+    if cell_col is not None and points.isStreaming and res is None:
+        # no batch to sample from — a silently-guessed resolution is the
+        # exact empty-join bug this validation exists to prevent
+        raise ValueError(
+            f"streaming input with cell_col={cell_col!r} requires an "
+            f"explicit res= (cell ids embed their resolution; a mismatched "
+            f"cover matches nothing)")
     if cell_col is not None and not points.isStreaming:
-        sample = points.select(F.col(cell_col).alias("_c")).head(1)
-        if sample and sample[0]["_c"] is not None:
+        sample = (points.where(F.col(cell_col).isNotNull())
+                  .select(F.col(cell_col).alias("_c")).head(1))
+        if sample:
             data_res = int(sample[0]["_c"]) >> cells._RES_SHIFT
             if res is None:
                 res = data_res

@@ -28,29 +28,54 @@ from pyspark.sql import functions as F
 def range_join(facts: DataFrame, intervals: DataFrame,
                value_col: str, lo_col: str = "lo", hi_col: str = "hi",
                bucket_width: float | None = None,
-               how: str = "inner") -> DataFrame:
-    """facts rows + interval columns where lo <= value <= hi (inner).
+               how: str = "inner",
+               max_buckets_per_interval: int = 1024,
+               broadcast_rows: int = 1_000_000) -> DataFrame:
+    """facts rows + interval columns where lo <= value <= hi.
 
-    ``intervals`` is the small side (a dimension of bands/windows); it is
-    exploded to one row per covered bucket and broadcast when Spark deems
-    it small enough — the fact table never shuffles on a theta condition.
+    ``intervals`` is the small side (a dimension of bands/windows),
+    exploded to one row per covered bucket — the fact table never shuffles
+    on a theta condition.  ``how`` may be ``inner`` or ``left`` (the exact
+    BETWEEN predicate lives in the JOIN CONDITION, so unmatched left facts
+    survive with null interval columns); right/full are rejected because an
+    interval's per-bucket explode rows would each surface as a separate
+    unmatched row.  One pathologically wide interval cannot explode
+    unboundedly: the bucket width is floored at
+    ``max_span / max_buckets_per_interval``.  The exploded interval side is
+    broadcast only while its estimated row count stays under
+    ``broadcast_rows``; above that it falls back to a shuffle hash join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r} — "
+            "right/outer would emit one unmatched row PER EXPLODED BUCKET "
+            "of an interval")
+    stats = intervals.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col(hi_col) - F.col(lo_col)).alias("avg_w"),
+        F.max(F.col(hi_col) - F.col(lo_col)).alias("max_w")).first()
+    n_iv = int(stats["n"] or 0)
+    avg_w = float(stats["avg_w"]) if stats["avg_w"] is not None else 1.0
+    max_w = float(stats["max_w"]) if stats["max_w"] is not None else 0.0
     if bucket_width is None:
-        row = intervals.agg(
-            F.avg(F.col(hi_col) - F.col(lo_col)).alias("w")).first()
-        bucket_width = float(row["w"]) if row["w"] else 1.0
-        bucket_width = max(bucket_width, 1e-9)
-    w = float(bucket_width)
+        bucket_width = avg_w or 1.0
+    w = max(float(bucket_width), max_w / max_buckets_per_interval, 1e-9)
     iv = intervals.withColumn(
         "_bucket",
         F.explode(F.sequence(F.floor(F.col(lo_col) / w).cast("bigint"),
                              F.floor(F.col(hi_col) / w).cast("bigint"))))
-    fx = facts.withColumn("_bucket",
-                          F.floor(F.col(value_col) / w).cast("bigint"))
-    joined = (fx.join(F.broadcast(iv), "_bucket", how)
-              .filter(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
-              .drop("_bucket"))
-    return joined
+    est_exploded = n_iv * (avg_w / w + 2.0)
+    if est_exploded <= broadcast_rows:
+        iv = F.broadcast(iv)
+    fxa = facts.withColumn(
+        "_bucket", F.floor(F.col(value_col) / w).cast("bigint")).alias("_f")
+    iva = iv.alias("_i")
+    cond = ((F.col("_f._bucket") == F.col("_i._bucket"))
+            & F.col(f"_f.{value_col}").between(F.col(f"_i.{lo_col}"),
+                                               F.col(f"_i.{hi_col}")))
+    return (fxa.join(iva, cond, how)
+            .select(*[F.col(f"_f.{c}") for c in facts.columns],
+                    *[F.col(f"_i.{c}") for c in intervals.columns]))
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -64,10 +89,19 @@ def asof_join(left: DataFrame, right: DataFrame,
     Physical shape: union(left-tagged, right-tagged) -> ONE window over
     (by, on, tag) carrying the right payload forward -> filter back to left
     rows.  Ties on ``on`` resolve to the right row (tag orders right rows
-    first at equal timestamps), matching ASOF <= semantics.
+    first at equal timestamps), matching ASOF <= semantics.  When the right
+    side has duplicate (by, on) rows the winner is the row with the
+    greatest payload tuple (the window orders right rows by their payload
+    columns too) — deterministic per run, unlike pandas merge_asof's
+    "last input row" which has no distributed analogue.
     """
     right_cols = right_cols or [c for c in right.columns
                                 if c not in (on, by)]
+    clash = [c for c in right_cols if f"{c}{suffix}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"left already has column(s) {[f'{c}{suffix}' for c in clash]} "
+            f"— pass a different suffix")
     lcols = left.columns
     l_tag = left.withColumn("_tag", F.lit(1))
     for c in right_cols:
@@ -82,8 +116,14 @@ def asof_join(left: DataFrame, right: DataFrame,
         if c != on and c != by:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=False)
+    # payload columns as tiebreakers: duplicate-(by, on) right rows would
+    # otherwise resolve arbitrarily per run (asc + carry-forward-last means
+    # the greatest payload tuple wins; left rows sort after right at equal
+    # ts via _tag, and their null payloads sort first, never winning a tie)
     wspec = (Window.partitionBy(*([by] if by else []))
-             .orderBy(F.col(on).asc(), F.col("_tag").asc())
+             .orderBy(F.col(on).asc(), F.col("_tag").asc(),
+                      *[F.col(f"{c}{suffix}").asc_nulls_first()
+                        for c in right_cols])
              .rowsBetween(Window.unboundedPreceding, 0))
     out = unioned
     for c in right_cols:

@@ -20,12 +20,15 @@ def test_anonymous_is_public_only():
 
 
 def test_bad_tokens():
+    import uuid
     store = UserStore()
     token = store.add_user("bob", roles=["admin"])
     uid = token.split(":")[0]
     with pytest.raises(AuthenticationFailed):
         store.authenticate(f"{uid}:wrong-key")
-    with pytest.raises(AuthenticationFailed):
+    with pytest.raises(AuthenticationFailed):  # unknown but well-formed user
+        store.authenticate(f"{uuid.uuid4()}:key")
+    with pytest.raises(ImproperUserToken):  # reference rejects non-UUID ids
         store.authenticate("nobody:key")
     with pytest.raises(ImproperUserToken):
         store.authenticate("no-colon-token")
@@ -33,6 +36,29 @@ def test_bad_tokens():
         store.authenticate("a:b:c")
     with pytest.raises(ImproperUserToken):
         store.authenticate("  ")
+
+
+def test_keys_hashed_at_rest(tmp_path):
+    """The persisted store holds sha256 digests, never the api key; file
+    mode is owner-only.  Pre-round-3 plaintext records still load."""
+    import json
+    import os
+    path = tmp_path / "users.jsonl"
+    store = UserStore(str(path))
+    token = store.add_user("alice", roles=["internal"])
+    key = token.split(":", 1)[1]
+    raw = path.read_text()
+    assert key not in raw and '"key_hash"' in raw
+    assert (os.stat(path).st_mode & 0o777) == 0o600
+    # legacy plaintext record migrates on load
+    import uuid
+    legacy_uid = str(uuid.uuid4())
+    with open(path, "a") as f:
+        f.write(json.dumps({"user_id": legacy_uid, "api_key": "old-key",
+                            "contact_name": "", "roles": ["admin"]}) + "\n")
+    again = UserStore(str(path))
+    assert again.authenticate(f"{legacy_uid}:old-key") == ["admin"]
+    assert again.authenticate(token) == ["internal"]
 
 
 def test_auth_gates_catalog_visibility(spark, synth_paths):

@@ -70,6 +70,51 @@ def test_asof_join_matches_merge_asof(spark):
             assert got[k] == pytest.approx(exp[k])
 
 
+def test_range_join_left_keeps_unmatched(spark, facts, intervals):
+    """how='left': facts outside every interval survive with null bands
+    (round-3 advisor: the BETWEEN predicate lives in the join condition,
+    not a post-filter that silently degraded left to inner)."""
+    out = ranges.range_join(facts, intervals, "v", how="left").toPandas()
+    f = facts.toPandas()
+    iv = intervals.toPandas()
+    matched = {int(fr.fid) for _, fr in f.iterrows()
+               for _, ir in iv.iterrows() if ir.lo <= fr.v <= ir.hi}
+    unmatched = set(f["fid"].astype(int)) - matched
+    got_null = set(out[out["band_id"].isnull()]["fid"].astype(int))
+    assert got_null == unmatched
+    with pytest.raises(ValueError):
+        ranges.range_join(facts, intervals, "v", how="right")
+
+
+def test_range_join_wide_interval_bounded_explode(spark):
+    """One interval 10^9 wide must not explode into 10^9 bucket rows."""
+    f = spark.createDataFrame(pd.DataFrame({"fid": [1, 2],
+                                            "v": [5.0, 2e8]}))
+    iv = spark.createDataFrame(pd.DataFrame(
+        {"band_id": [0, 1], "lo": [0.0, 3.0], "hi": [1e9, 4.0]}))
+    got = {(r["fid"], r["band_id"]) for r in
+           ranges.range_join(f, iv, "v").collect()}
+    assert got == {(1, 0), (2, 0)}
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Duplicate (by, on) right rows resolve to the greatest payload tuple,
+    identically across runs (round-3 advisor: the window previously ordered
+    only by (on, tag), leaving ties arbitrary)."""
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": ["a"] * 3, "ts": [5, 10, 20]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": ["a"] * 4, "ts": [1, 1, 10, 10],
+         "px": [3.0, 7.0, 2.0, 9.0]}))
+    for _ in range(3):
+        got = (ranges.asof_join(left, right, on="ts", by="k")
+               .orderBy("ts").collect())
+        assert [r["px_r"] for r in got] == [7.0, 9.0, 9.0]
+    with pytest.raises(ValueError):  # suffix collision guard
+        ranges.asof_join(left.withColumn("px_r", F.lit(0.0)), right,
+                         on="ts", by="k")
+
+
 def test_asof_tie_takes_equal_timestamp(spark):
     left = spark.createDataFrame(pd.DataFrame(
         {"lid": [1], "ts": [100]}).astype("int64"))
