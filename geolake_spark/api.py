@@ -49,6 +49,9 @@ class Product:
     loader: Callable[[SparkSession], DataFrame]
     description: str = ""
     maximum_query_size_gb: float = est.DEFAULT_MAX_REQUEST_SIZE_GB
+    # filename-pattern products only: (spark, attr_filters) -> DataFrame
+    # with non-matching FILES pruned before the scan (adapters.read_patterned)
+    attr_loader: Callable[[SparkSession, dict], DataFrame] | None = None
 
 
 @dataclass
@@ -118,16 +121,38 @@ class Catalog:
             for p_id, p_spec in (ds_spec.get("products", {}) or {}).items():
                 p_path = template(p_spec["path"])
                 p_fmt = p_spec.get("format", "parquet")
+                # a {field}-templated final path component is a filename
+                # pattern (reference netcdf.py:8-60 / test_catalog.yaml:20):
+                # name parts lift into columns, attr filters prune files
+                p_pattern = p_spec.get("pattern")
+                if p_pattern is None and "{" in os.path.basename(p_path):
+                    p_pattern = os.path.basename(p_path)
+                    p_dir = os.path.dirname(p_path)
+                else:
+                    p_dir = p_path
+                if p_pattern:
+                    from geolake_spark.sources.adapters import read_patterned
 
-                def loader(spark, _p=p_path, _f=p_fmt):
-                    return spark.read.format(_f).load(_p)
+                    def loader(spark, _d=p_dir, _pt=p_pattern, _f=p_fmt):
+                        return read_patterned(spark, _d, _pt, _f)
+
+                    def attr_loader(spark, attr_filters, _d=p_dir,
+                                    _pt=p_pattern, _f=p_fmt):
+                        return read_patterned(spark, _d, _pt, _f,
+                                              attr_filters)
+                else:
+                    attr_loader = None
+
+                    def loader(spark, _p=p_path, _f=p_fmt):
+                        return spark.read.format(_f).load(_p)
 
                 ds.products[p_id] = Product(
                     product_id=p_id, loader=loader,
                     description=str(p_spec.get("description", "")).strip(),
                     maximum_query_size_gb=float(p_spec.get(
                         "maximum_query_size_gb",
-                        est.DEFAULT_MAX_REQUEST_SIZE_GB)))
+                        est.DEFAULT_MAX_REQUEST_SIZE_GB)),
+                    attr_loader=attr_loader)
             cat.register(ds)
         return cat
 
@@ -196,11 +221,17 @@ class Catalog:
     # -- query endpoints ------------------------------------------------------
 
     def _load(self, dataset_id: str, product_id: str,
-              roles: list[str] | None) -> tuple[DataFrame, Product]:
+              roles: list[str] | None,
+              attr_filters: dict | None = None) -> tuple[DataFrame, Product]:
         ds = self._datasets[dataset_id]
         if not self._visible(ds, roles):
             raise PermissionError(dataset_id)
         p = ds.products[product_id]
+        if attr_filters and p.attr_loader is not None:
+            # pattern products prune whole FILES from the scan when the
+            # query filters on pattern-derived attributes (the same filters
+            # still apply row-level downstream — harmless re-check)
+            return p.attr_loader(self.spark, attr_filters), p
         return p.loader(self.spark), p
 
     def estimate(self, dataset_id: str, product_id: str,
@@ -208,8 +239,10 @@ class Catalog:
                  roles: list[str] | None = None) -> dict:
         """Metadata-only size estimate (datastore.py:363-394 + unit
         formatting with the 0.01 floor, api_utils.py:33-73)."""
-        df, _ = self._load(dataset_id, product_id, roles)
-        result = subset.subset(df, query)
+        q = query if isinstance(query, GeoQuery) else GeoQuery.parse(query)
+        df, _ = self._load(dataset_id, product_id, roles,
+                           attr_filters=q.filters or None)
+        result = subset.subset(df, q)
         n = est.estimate_df_bytes(result)
         val, unit = est.human_size(n)
         return {"value": val, "units": unit, "bytes": n}
@@ -219,8 +252,10 @@ class Catalog:
                 roles: list[str] | None = None) -> DataFrame:
         """Estimate-then-execute with the GB admission guard
         (dataset.py:253-267); returns the lazy result DataFrame."""
-        df, p = self._load(dataset_id, product_id, roles)
-        result = subset.subset(df, query)
+        q = query if isinstance(query, GeoQuery) else GeoQuery.parse(query)
+        df, p = self._load(dataset_id, product_id, roles,
+                           attr_filters=q.filters or None)
+        result = subset.subset(df, q)
         est.admit(est.estimate_df_bytes(result),
                   max_gb=p.maximum_query_size_gb)
         return result
@@ -244,8 +279,9 @@ class Catalog:
                        timeout_s: float | None = None) -> int:
         """POST /execute async flavour: admission-check the plan, then hand
         it to the request manager; the query's ``format`` picks the sink."""
-        df, p = self._load(dataset_id, product_id, roles)
         q = query if isinstance(query, GeoQuery) else GeoQuery.parse(query)
+        df, p = self._load(dataset_id, product_id, roles,
+                           attr_filters=q.filters or None)
         result = subset.subset(df, q)
         n = est.estimate_df_bytes(result)
         est.admit(n, max_gb=p.maximum_query_size_gb)
@@ -269,5 +305,5 @@ class Catalog:
     def get_request_status(self, request_id: int):
         return self.requests.get_request_status(request_id)
 
-    def download(self, request_id: int) -> str:
-        return self.requests.download(request_id)
+    def download(self, request_id: int, as_zip: bool = False) -> str:
+        return self.requests.download(request_id, as_zip=as_zip)

@@ -56,6 +56,25 @@ class Request:
     download_uri: str | None = None
     size_bytes: int | None = None
 
+    @staticmethod
+    def _human(n: int | None) -> str | None:
+        if n is None:
+            return None
+        from geolake_spark.plans.estimate import human_size
+        val, unit = human_size(n)
+        return f"{val} {unit}"
+
+    @property
+    def estimate_human(self) -> str | None:
+        """Pre-run size estimate, unit-formatted like the reference's
+        request rows (api_utils.py size formatting)."""
+        return self._human(self.estimate_size_bytes)
+
+    @property
+    def size_human(self) -> str | None:
+        """Final materialized size, unit-formatted."""
+        return self._human(self.size_bytes)
+
 
 class RequestManager:
     """Submit, track, time out and download query jobs.
@@ -195,14 +214,32 @@ class RequestManager:
     def get_request_size(self, request_id: int) -> int | None:
         return self._requests[request_id].size_bytes
 
-    def download(self, request_id: int) -> str:
+    def download(self, request_id: int, as_zip: bool = False) -> str:
         """Result location for a DONE request (GET /download/{id});
-        raises for any other state — mirrors the 404 path."""
+        raises for any other state — mirrors the 404 path.
+
+        ``as_zip=True`` packages the (usually multi-partition) result
+        directory into ONE artifact, mirroring the reference executor's
+        zip-when-more-than-one-file behavior
+        (executor/app/main.py:127-195); the zip is built once and cached
+        next to the result."""
         r = self._requests[request_id]
         if r.status != RequestStatus.DONE.value or not r.download_uri:
             raise FileNotFoundError(
                 f"request {request_id} is {r.status}, no result to download")
-        return r.download_uri
+        if not as_zip:
+            return r.download_uri
+        zpath = os.path.join(self.store_dir, f"request-{request_id}.zip")
+        if not os.path.exists(zpath):
+            import zipfile
+            tmp = zpath + ".tmp"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+                for dp, _, fns in os.walk(r.download_uri):
+                    for fn in sorted(fns):
+                        full = os.path.join(dp, fn)
+                        z.write(full, os.path.relpath(full, r.download_uri))
+            os.replace(tmp, zpath)
+        return zpath
 
     def wait(self, request_id: int, timeout_s: float = 300.0,
              poll_s: float = 0.05) -> str:

@@ -70,3 +70,75 @@ def add_projection(df: DataFrame, crs: str = CRS) -> DataFrame:
     """Attach the CRS as a constant metadata column (the reference attaches
     a grid-mapping coordinate; a table property serves the same contract)."""
     return df.withColumn("crs", F.lit(crs))
+
+
+# ---------------------------------------------------------------------------
+# Filename-pattern sources (reference drivers/intake_geokube/netcdf.py:8-60
+# `pattern` arg; drivers/tests/resources/test_catalog.yaml:20): name parts
+# like ``{var}_ens_spread_{res}deg.nc`` lift into attribute columns, and
+# attribute filters prune FILES before any scan — the foreign-file-drop
+# analogue of partition pruning.
+# ---------------------------------------------------------------------------
+
+
+def pattern_regex(pattern: str) -> tuple[str, list[str]]:
+    """``{var}_ens_spread_{res}deg.nc`` -> (anchored regex with one group
+    per field, field names).  Fields match non-greedily so literal
+    separators between them bind first."""
+    import re
+    fields: list[str] = []
+    parts: list[str] = []
+    i = 0
+    for m in re.finditer(r"\{(\w+)\}", pattern):
+        parts.append(re.escape(pattern[i:m.start()]))
+        parts.append("(.*?)")
+        fields.append(m.group(1))
+        i = m.end()
+    parts.append(re.escape(pattern[i:]))
+    return "^" + "".join(parts) + "$", fields
+
+
+def read_patterned(spark, directory: str, pattern: str,
+                   fmt: str = "parquet",
+                   attr_filters: dict | None = None) -> DataFrame:
+    """Read a directory of pattern-named files with name parts as columns.
+
+    * files are enumerated and matched DRIVER-SIDE; ``attr_filters``
+      ({field: value-or-list}) drops non-matching files before Spark ever
+      sees them — scan-level pruning exactly like the reference's
+      partition-attribute handling (unknown filter keys are ignored here
+      and applied row-level by the subset operator downstream);
+    * the surviving files load as ONE multi-path scan (full parallelism,
+      not a union of per-file plans);
+    * attribute columns derive from ``input_file_name()`` via a JVM
+      ``regexp_extract`` on the basename — ordinary codegen columns, no
+      Python in the scan path.
+    """
+    import os
+    import re
+    regex, fields = pattern_regex(pattern)
+    rx = re.compile(regex)
+    chosen = []
+    for fn in sorted(os.listdir(directory)):
+        m = rx.match(fn)
+        if not m:
+            continue
+        attrs = dict(zip(fields, m.groups()))
+        keep = True
+        for k, v in (attr_filters or {}).items():
+            if k in attrs:
+                allowed = (v if isinstance(v, (list, tuple, set)) else [v])
+                if attrs[k] not in {str(x) for x in allowed}:
+                    keep = False
+                    break
+        if keep:
+            chosen.append(os.path.join(directory, fn))
+    if not chosen:
+        raise FileNotFoundError(
+            f"no files under {directory} match pattern {pattern!r} "
+            f"with filters {attr_filters}")
+    df = spark.read.format(fmt).load(chosen)
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    for i, name in enumerate(fields):
+        df = df.withColumn(name, F.regexp_extract(base, regex, i + 1))
+    return df

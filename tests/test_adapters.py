@@ -57,3 +57,56 @@ def test_choose_variables_wide_form(curvi):
 def test_add_projection(curvi):
     out = adapters.add_projection(curvi)
     assert out.select("crs").first()[0] == "EPSG:4326"
+
+
+def _write_patterned_drop(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "drop"
+    d.mkdir()
+    for var, res, vals in (("tmax", "0.5", [1.0, 2.0]),
+                           ("tmin", "0.5", [3.0]),
+                           ("tmax", "1", [4.0, 5.0, 6.0])):
+        pq.write_table(pa.table({"value": pa.array(vals)}),
+                       d / f"{var}_ens_spread_{res}deg.parquet")
+    (d / "README.txt").write_text("ignored: does not match the pattern")
+    return d
+
+
+def test_read_patterned_lifts_attrs_and_prunes_files(spark, tmp_path):
+    """Filename pattern -> attribute columns; attr filters drop FILES
+    before the scan (reference netcdf.py:8-60 `pattern`)."""
+    d = _write_patterned_drop(tmp_path)
+    df = adapters.read_patterned(spark, str(d),
+                                 "{var}_ens_spread_{res}deg.parquet")
+    pdf = df.toPandas()
+    assert len(pdf) == 6
+    assert set(zip(pdf["var"], pdf["res"])) == {
+        ("tmax", "0.5"), ("tmin", "0.5"), ("tmax", "1")}
+    filt = adapters.read_patterned(spark, str(d),
+                                   "{var}_ens_spread_{res}deg.parquet",
+                                   attr_filters={"var": "tmax"})
+    assert len(filt.inputFiles()) == 2  # file-level pruning, not row filter
+    assert filt.count() == 5
+    with pytest.raises(FileNotFoundError):
+        adapters.read_patterned(spark, str(d),
+                                "{var}_ens_spread_{res}deg.parquet",
+                                attr_filters={"var": "nope"})
+
+
+def test_catalog_pattern_product_prunes_at_scan(spark, tmp_path):
+    """A {field}-templated catalog path becomes a pattern product: query
+    filters on derived attrs prune files inside Catalog.execute."""
+    from geolake_spark.api import Catalog
+    d = _write_patterned_drop(tmp_path)
+    (tmp_path / "cat.json").write_text("""{
+      "datasets": {"clim": {"products": {"spread": {
+        "path": "{{ CATALOG_DIR }}/drop/{var}_ens_spread_{res}deg.parquet",
+        "format": "parquet"}}}}}""")
+    cat = Catalog.from_file(spark, str(tmp_path / "cat.json"))
+    out = cat.execute("clim", "spread",
+                      {"filters": {"var": "tmax", "res": "0.5"}})
+    assert len(out.inputFiles()) == 1
+    assert sorted(r["value"] for r in out.collect()) == [1.0, 2.0]
+    # unfiltered loads everything with attrs attached
+    assert cat.execute("clim", "spread", {}).count() == 6

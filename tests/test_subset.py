@@ -97,3 +97,22 @@ def test_full_pipeline_fixed_order(obs, obs_pdf):
                   & t.year.isin([2021]) & t.hour.isin([0, 6])
                   & (obs_pdf.level == 500.0)]
     assert out.count() == len(exp) > 0
+
+
+def test_apply_location_windowed_equals_per_probe(obs):
+    """The many-probe windowed 1-NN path (round 3) selects exactly the
+    same grid points as the per-probe limit-1 path."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    lats = list(np.round(rng.uniform(9.5, 11.5, 150), 4))
+    lons = list(np.round(rng.uniform(23.5, 26.5, 150), 4))
+    loc = {"latitude": lats, "longitude": lons}
+    per_probe = subset.apply_location(obs, loc, windowed=False)
+    windowed = subset.apply_location(obs, loc, windowed=True)
+    key = ["lat", "lon"]
+    a = {tuple(r) for r in per_probe.select(*key).distinct().collect()}
+    b = {tuple(r) for r in windowed.select(*key).distinct().collect()}
+    assert a == b and len(a) > 0
+    assert per_probe.count() == windowed.count()
+    # auto-switch kicks in above the threshold (no per-probe plan union)
+    assert subset.MANY_LOCATION_PROBES < 150
