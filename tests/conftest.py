@@ -25,3 +25,8 @@ def synth_paths():
 @pytest.fixture(scope="session")
 def pages(spark, synth_paths):
     return spark.read.parquet(synth_paths["pages"])
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute scale-evidence tests (run by default)")

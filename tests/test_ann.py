@@ -76,3 +76,25 @@ def test_ivf_distributed_kmeans(vectors, probes):
     a = approx.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
     recalls = [len(e[p] & a[p]) / 10 for p in e]
     assert np.mean(recalls) >= 0.7, recalls
+
+
+@pytest.mark.slow
+def test_ivf_sf1_scale(spark):
+    """100 TB-path wiring at sf1: distributed spherical k-means (~sqrt(N)
+    lists) over 500k 64-dim clustered embeddings + IVF query, recall@10
+    >= 0.9 vs the exact brute force on the same probes (VERDICT r2 #7;
+    wall time reported by bench.py's ivf_train/ivf_query lines)."""
+    from geolake_spark.sources import synth
+    emb = spark.read.parquet(
+        synth.ensure_embeddings("/root/repo/data", 500_000))
+    probes = (emb.filter(F.col("vec_id") % 15625 == 7)
+              .selectExpr("vec_id as probe_id", "embedding as probe_vec")
+              .limit(32))
+    centers = ann.kmeans_fit_distributed(emb, dim=synth.EMB_DIM,
+                                         n_clusters=707, iters=4)
+    approx = ann.ivf_topk(emb, probes, k=10, nprobe=16, centers=centers)
+    exact = ann.cosine_topk(emb, probes, k=10)
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"recall@10 = {recall}"
