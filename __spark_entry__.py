@@ -506,6 +506,22 @@ def q_ivf_topk(spark, sf_dir):
     return ann.ivf_topk(v, probes, k=5, n_clusters=16, nprobe=16)
 
 
+def q_ivf_table(spark, sf_dir):
+    """Distributed probe-TABLE IVF (ann.ivf_topk_table): probes explode to
+    their nprobe nearest lists via an Arrow routing UDF and candidates come
+    from a list_id equi-join — no driver collect (the 100 TB probe-table
+    path).  nprobe = n_clusters again makes the result provably exact, so
+    the same brute-force SQL top-k fully value-checks the routing UDF,
+    list assignment and merge/rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = (e.filter(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").cast("array<double>").alias("probe_vec")))
+    v = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    centers = ann.sample_centers(v, n_clusters=16)
+    return ann.ivf_topk_table(v, probes, k=5, nprobe=16, centers=centers)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_bbox": q_geo_bbox,
@@ -550,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
+        "ivf_table": q_ivf_table,
     }
 
 
@@ -915,6 +932,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n, round(avg(fnorm), 6) AS avg_fnorm "
             "FROM per_doc GROUP BY 1"),
         "ivf_topk": (
+            "SELECT probe_id, vec_id, cosine, cast(rank as bigint) AS rank FROM ("
+            "  SELECT p.vec_id AS probe_id, e.vec_id, "
+            "  round(list_cosine_similarity(cast(e.embedding as double[]), "
+            "    cast(p.embedding as double[])), 6) AS cosine, "
+            "  row_number() OVER (PARTITION BY p.vec_id ORDER BY "
+            "    list_cosine_similarity(cast(e.embedding as double[]), "
+            "    cast(p.embedding as double[])) DESC, e.vec_id ASC) AS rank "
+            "  FROM embeddings e CROSS JOIN "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) p) "
+            "WHERE rank <= 5"),
+        "ivf_table": (
             "SELECT probe_id, vec_id, cosine, cast(rank as bigint) AS rank FROM ("
             "  SELECT p.vec_id AS probe_id, e.vec_id, "
             "  round(list_cosine_similarity(cast(e.embedding as double[]), "

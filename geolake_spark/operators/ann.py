@@ -92,6 +92,58 @@ def _make_assign_udf(centers: np.ndarray):
     return assign_udf
 
 
+def _make_route_udf(centers: np.ndarray, nprobe: int):
+    """probe vector -> its ``nprobe`` nearest list ids (Arrow-batched)."""
+    c = centers.copy()
+    npq = min(nprobe, len(c))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def route_udf(vec: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        sims = m @ c.T
+        top = np.argpartition(-sims, npq - 1, axis=1)[:, :npq]
+        out = []
+        for i in range(len(m)):
+            ids = top[i]
+            # deterministic order: similarity desc, then list id
+            ids = ids[np.lexsort((ids, -sims[i, ids]))]
+            out.append(ids.astype(np.int32))
+        return pd.Series(out)
+    return route_udf
+
+
+def ivf_topk_table(vectors: DataFrame, probes: DataFrame, k: int,
+                   nprobe: int, centers: np.ndarray,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   probe_id: str = "probe_id",
+                   probe_vec: str = "probe_vec") -> DataFrame:
+    """IVF top-k for probe TABLES of any size — fully distributed routing.
+
+    :func:`ivf_topk` collects the probes and routes them driver-side
+    (right for the reference's small probe sets); here each probe explodes
+    to its ``nprobe`` nearest lists via an Arrow UDF and candidates come
+    from a shuffle hash equi-join on ``list_id`` — no driver collect, no
+    per-probe plans, millions of probes are fine.  Candidate volume is
+    |probes| x nprobe x N/nlist; skewed (popular) lists are handled by
+    AQE's skew-join splitting.  Results identical to :func:`ivf_topk`
+    given the same ``centers``/``nprobe``."""
+    assigned = vectors.withColumn(
+        "list_id", _make_assign_udf(centers)(F.col(vec_col)))
+    route = _make_route_udf(centers, nprobe)
+    pr = (probes.select(probe_id, probe_vec)
+          .withColumn("list_id", F.explode(route(F.col(probe_vec)))))
+    j = assigned.join(pr, "list_id")
+    cos = sim.cosine_col(F.col(vec_col),
+                         F.col(probe_vec).cast(T.ArrayType(T.DoubleType())))
+    w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(),
+                                             F.col(id_col).asc())
+    return (j.withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, id_col, "cosine", "rank"))
+
+
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
                  seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
@@ -110,6 +162,20 @@ def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,
     return centers
 
 
+def sample_centers(vectors: DataFrame, n_clusters: int = 16,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   sample_rows: int = 2000, seed: int = 42) -> np.ndarray:
+    """Driver-sample k-means centers (the small-data trainer): first
+    ``sample_rows`` rows by id (deterministic), normalized, k-means-lite."""
+    sample = np.array([r[0] for r in
+                       vectors.select(id_col, vec_col).orderBy(id_col)
+                       .limit(sample_rows).select(vec_col).collect()],
+                      dtype=np.float64)  # ordered -> deterministic
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.clip(norms, 1e-12, None)
+    return _kmeans_lite(sample, n_clusters, seed=seed)
+
+
 def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int,
              n_clusters: int = 16, nprobe: int = 3,
              vec_col: str = "embedding", id_col: str = "vec_id",
@@ -121,15 +187,11 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int,
 
     Pass ``centers`` from :func:`kmeans_fit_distributed` for the 100 TB
     path (sqrt(N) lists trained over the full table); the default
-    driver-sample trainer is the small-data convenience."""
+    driver-sample trainer is the small-data convenience.  For probe
+    TABLES (no driver collect) use :func:`ivf_topk_table`."""
     if centers is None:
-        sample = np.array([r[0] for r in
-                           vectors.select(id_col, vec_col).orderBy(id_col)
-                           .limit(sample_rows).select(vec_col).collect()],
-                          dtype=np.float64)  # ordered -> deterministic
-        norms = np.linalg.norm(sample, axis=1, keepdims=True)
-        sample = sample / np.clip(norms, 1e-12, None)
-        centers = _kmeans_lite(sample, n_clusters, seed=seed)
+        centers = sample_centers(vectors, n_clusters, vec_col, id_col,
+                                 sample_rows, seed)
     else:
         n_clusters = len(centers)
         nprobe = min(nprobe, n_clusters)
