@@ -67,32 +67,39 @@ _FNV_BASIS = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    """Stable 64-bit FNV-1a per shingle, bulk-vectorized.
+def _fnv_flat(flat: np.ndarray, offs: np.ndarray,
+              lens: np.ndarray) -> np.ndarray:
+    """FNV-1a per (offset, length) slice of a flat uint8 buffer.
 
-    All strings are UTF-8-encoded into ONE flat byte buffer; the FNV loop
-    then runs column-at-a-time (j-th byte of every string in a single
+    The loop runs column-at-a-time (j-th byte of every string in a single
     vector op), so Python-level work is O(max_len) instead of
     O(total_bytes).  Bit-identical to the scalar per-byte FNV-1a (uint64
-    multiply wraps mod 2^64), so pre-vectorization golden signatures are
-    unchanged.
-    """
-    n = len(shingles)
+    multiply wraps mod 2^64)."""
+    n = len(offs)
     out = np.full(n, _FNV_BASIS, dtype=np.uint64)
     if n == 0:
         return out
-    enc = [s.encode("utf-8") for s in shingles]
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
     maxlen = int(lens.max(initial=0))
-    if maxlen == 0:
-        return out
-    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    offs = np.cumsum(lens) - lens
     for j in range(maxlen):
         active = np.nonzero(lens > j)[0]
         b = flat[offs[active] + j].astype(np.uint64)
         out[active] = (out[active] ^ b) * _FNV_PRIME
     return out
+
+
+def _hash_shingles(shingles: list[str]) -> np.ndarray:
+    """Stable 64-bit FNV-1a per shingle, bulk-vectorized: all strings are
+    UTF-8-encoded into ONE flat byte buffer, then :func:`_fnv_flat`."""
+    n = len(shingles)
+    if n == 0:
+        return np.full(0, _FNV_BASIS, dtype=np.uint64)
+    enc = [s.encode("utf-8") for s in shingles]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    if int(lens.max(initial=0)) == 0:
+        return np.full(n, _FNV_BASIS, dtype=np.uint64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offs = np.cumsum(lens) - lens
+    return _fnv_flat(flat, offs, lens)
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -131,6 +138,58 @@ def _tokenize_batch(text: pd.Series) -> tuple[list[str], np.ndarray]:
         counts[i] = len(toks)
         all_toks.extend(toks)
     return all_toks, counts
+
+
+def _tokenize_flat(text: pd.Series):
+    """Vectorized tokenizer for pure-ASCII batches: (flat uint8 buffer,
+    token offsets, token lengths, per-doc token counts) — NO per-token
+    Python objects (the per-token str+encode churn was the real hot-path
+    cost: ~70 tokens/doc means 35M transient strings per 500k-doc pass).
+
+    Docs are lowered per-doc (C level), joined with ``\\n`` separators into
+    one buffer; token boundaries come from byte masks over Python
+    ``str.split()``'s ASCII whitespace set {\\t..\\r, \\x1c..\\x1f, space}.
+    Returns ``None`` when any doc is non-ASCII — ``str.split()`` also
+    splits on Unicode whitespace there, so those batches take the exact
+    per-token path (:func:`_tokenize_batch` + :func:`_hash_shingles`)."""
+    docs = list(text)
+    if not all(type(s) is str and s.isascii() for s in docs):
+        return None
+    n = len(docs)
+    if n == 0:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+    blob = "\n".join(s.lower() for s in docs).encode("ascii")
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    dlens = np.fromiter((len(s) for s in docs), dtype=np.int64, count=n)
+    ws = ((buf >= 9) & (buf <= 13)) | ((buf >= 28) & (buf <= 32))
+    nonws = ~ws
+    starts_mask = nonws.copy()
+    starts_mask[1:] &= ws[:-1]
+    offs = np.flatnonzero(starts_mask)
+    ends_mask = nonws
+    ends_mask[:-1] &= ws[1:]
+    ends = np.flatnonzero(ends_mask) + 1
+    lens = ends - offs
+    doc_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        doc_starts[1:] = np.cumsum(dlens + 1)[:-1]
+    doc_of = np.searchsorted(doc_starts, offs, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    return buf, offs, lens, counts
+
+
+def _token_hashes_batch(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(64-bit FNV hash per token batch-flat, per-doc token counts) —
+    vectorized byte path for ASCII batches, exact per-token fallback
+    otherwise.  Both paths are bit-identical for ASCII input (same bytes,
+    same FNV), so golden signatures are unchanged."""
+    fast = _tokenize_flat(text)
+    if fast is not None:
+        flat, offs, lens, counts = fast
+        return _fnv_flat(flat, offs, lens), counts
+    toks, counts = _tokenize_batch(text)
+    return _hash_shingles(toks), counts
 
 
 def _minhash_from_token_hashes(hv: np.ndarray, tok_counts: np.ndarray,
@@ -217,8 +276,7 @@ def _simhash_from_token_hashes(hv: np.ndarray, counts: np.ndarray,
 def make_minhash_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        all_toks, tok_counts = _tokenize_batch(text)
-        hv = _hash_shingles(all_toks)
+        hv, tok_counts = _token_hashes_batch(text)
         out = _minhash_from_token_hashes(hv, tok_counts, len(text),
                                          num_perm, n, seed)
         return pd.Series(list(out))
@@ -238,8 +296,7 @@ def make_signature_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
         T.StructField("minhash", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType())]))
     def signature_udf(text: pd.Series) -> pd.DataFrame:
-        all_toks, tok_counts = _tokenize_batch(text)
-        hv = _hash_shingles(all_toks)
+        hv, tok_counts = _token_hashes_batch(text)
         mh = _minhash_from_token_hashes(hv, tok_counts, len(text),
                                         num_perm, n, seed)
         sh = _simhash_from_token_hashes(hv, tok_counts, len(text))
@@ -268,8 +325,7 @@ def lsh_bands(df, sig_col: str = "minhash", num_perm: int = 64, bands: int = 16)
 
 @pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    all_toks, counts = _tokenize_batch(text)
-    hv = _hash_shingles(all_toks)
+    hv, counts = _token_hashes_batch(text)
     return pd.Series(_simhash_from_token_hashes(hv, counts, len(text)))
 
 

@@ -147,3 +147,28 @@ def test_embedding_neardup_lsh_bucket_cap(spark):
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
     out = dedup.embedding_neardup_pairs(df, threshold=0.99, bucket_cap=10)
     assert out.count() == 0  # all buckets oversized -> dropped, no pairs
+
+
+def test_fast_tokenizer_bit_identical_to_python_split():
+    """The vectorized byte-mask tokenizer (round 3) must produce the same
+    token FNV hashes and per-doc counts as the per-token Python path for
+    any ASCII input, including str.split()'s control-char whitespace; a
+    non-ASCII doc in the batch falls back to the exact path."""
+    import numpy as np
+    import pandas as pd
+    from geolake_spark.functions import sim
+    cases = ["", " ", "a", "  a  b  ", "a\tb\nc\x0bd\x0ce\rf",
+             "x\x1cy\x1dz\x1eq\x1fw", "Hello WORLD  MiXeD", "end space ",
+             " lead", "\n\n", "a" * 300, "tok " * 500, "\x1c\x1d  \x1f"]
+    t = pd.Series(cases)
+    hv_fast, c_fast = sim._token_hashes_batch(t)
+    toks, c_slow = sim._tokenize_batch(t)
+    assert np.array_equal(c_fast, c_slow)
+    assert np.array_equal(hv_fast, sim._hash_shingles(toks))
+    assert list(c_fast) == [len(s.split()) for s in cases]
+    t2 = pd.Series(["tëst ünïcode", "plain ascii"])
+    assert sim._tokenize_flat(t2) is None  # unicode -> exact fallback
+    hv2, c2 = sim._token_hashes_batch(t2)
+    toks2, c2s = sim._tokenize_batch(t2)
+    assert np.array_equal(hv2, sim._hash_shingles(toks2))
+    assert np.array_equal(c2, c2s)
