@@ -101,6 +101,13 @@ def host_guard(max_wait_s: int = 900) -> dict:
               file=sys.stderr)
         time.sleep(15)
         waited += 15
+    # also let 1-min load decay from recently-exited jobs (a warm start on
+    # a draining host inflated the scan-bound queries in early runs)
+    while os.getloadavg()[0] > 8.0 and waited < max_wait_s:
+        print(f"bench: waiting for load to decay "
+              f"(load1={os.getloadavg()[0]:.1f})", file=sys.stderr)
+        time.sleep(15)
+        waited += 15
     return {"load1_at_start": round(os.getloadavg()[0], 2),
             "guard_waited_s": waited}
 
@@ -229,12 +236,18 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     rates: dict[str, float] = {}
     for name, fn in jobs.items():
         fn()  # warm (JIT + page cache + synth materialization)
-        t0 = time.time()
-        n = fn()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
+        # best of 2 timed runs: this host shows intermittent multi-second
+        # kernel stalls; a single-shot timing randomly inflates 2-4x (the
+        # round-2 committed artifact failure mode, and a round-3 single-
+        # shot run reproduced it even with the process guard green)
+        best, n = 1e18, None
+        for _ in range(2):
+            t0 = time.time()
+            n = fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         if n:
-            rates[f"{name}_rows_per_sec"] = round(n / dt, 1)
+            rates[f"{name}_rows_per_sec"] = round(n / best, 1)
     return timings, rates
 
 
@@ -257,15 +270,28 @@ def extra_queries(spark) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     info: dict[str, float] = {}
 
+    # The synthetic pages have no real near-dups at threshold 0.5, and an
+    # empty-output join is weak evidence (the round-1 trap).  Plant a 4%
+    # mutated copy (two words appended -> Jaccard ~0.95 for ~70-word docs)
+    # so the band join, pair distinct and similarity filter all do real
+    # work; report the found-pair count alongside the wall time.
     pages = _pages(spark, BENCH_PAGES_SF)
-    t0 = time.time()
-    pairs = dedup.minhash_lsh_pairs(
-        pages.selectExpr("url as doc_id", "text"), threshold=0.5)
-    n_pairs = pairs.count()
-    timings["dedup_e2e"] = round(time.time() - t0, 3)
+    base = pages.selectExpr("url as doc_id", "text")
+    planted = (base.filter(F.crc32(F.col("doc_id")) % 25 == 0)
+               .selectExpr("concat(doc_id, '#dup') as doc_id",
+                           "concat(text, ' near dup tail') as text"))
+    corpus = base.unionByName(planted)
+    best, n_pairs = 1e18, 0
+    for _ in range(2):  # best-of-2 (host stall robustness, see headline)
+        t0 = time.time()
+        pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+        n_pairs = pairs.count()
+        best = min(best, time.time() - t0)
+    timings["dedup_e2e"] = round(best, 3)
+    n_docs = int(synth.SF_ROWS[BENCH_PAGES_SF] * 1.04)
     info["dedup_e2e_pairs"] = n_pairs
-    info["dedup_e2e_pairs_per_doc"] = round(
-        n_pairs / synth.SF_ROWS[BENCH_PAGES_SF], 4)
+    info["dedup_e2e_docs"] = n_docs
+    info["dedup_e2e_pairs_per_doc"] = round(n_pairs / n_docs, 4)
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)
@@ -276,10 +302,13 @@ def extra_queries(spark) -> tuple[dict, dict]:
     probes = (emb.filter(F.col("vec_id") % 15625 == 7)
               .selectExpr("vec_id as probe_id", "embedding as probe_vec")
               .limit(32))
-    t0 = time.time()
-    res = ann.ivf_topk(emb, probes, k=10, nprobe=16, centers=centers)
-    info["ivf_rows"] = res.count()
-    timings["ivf_query"] = round(time.time() - t0, 3)
+    best = 1e18
+    for _ in range(2):  # best-of-2 (host stall robustness)
+        t0 = time.time()
+        res = ann.ivf_topk(emb, probes, k=10, nprobe=16, centers=centers)
+        info["ivf_rows"] = res.count()
+        best = min(best, time.time() - t0)
+    timings["ivf_query"] = round(best, 3)
     return timings, info
 
 
