@@ -89,8 +89,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             f"need bands > max_hamming")
     if bands > 64:
         raise ValueError("at most 64 one-bit bands over a 64-bit signature")
-    sh = df.select(F.col(id_col).alias("id"),
-                   sim.simhash_udf(F.col(text_col)).alias("simhash"))
+    from pyspark import StorageLevel
+    # persisted: feeds the chunk explode AND both payload branches (the
+    # simhash UDF would otherwise re-run per plan consumer)
+    sh = (df.select(F.col(id_col).alias("id"),
+                    sim.simhash_udf(F.col(text_col)).alias("simhash"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     # chunk widths cover all 64 bits (wider chunks first when 64 % bands != 0)
     widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
     shifts = [sum(widths[:i]) for i in range(bands)]
@@ -100,14 +104,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("chunk_val"))
         for i in range(bands)])
     banded = (sh.withColumn("c", F.explode(chunks))
-              .select("id", "simhash", "c.chunk_id", "c.chunk_val"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
-                      "chunk_id", "chunk_val")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
-                      "chunk_id", "chunk_val")
-    return (a.join(b, ["chunk_id", "chunk_val"])
+              .select("id", "c.chunk_id", "c.chunk_val"))
+    a = banded.select(F.col("id").alias("id_a"), "chunk_id", "chunk_val")
+    b = banded.select(F.col("id").alias("id_b"), "chunk_id", "chunk_val")
+    # candidate distinct on ids only; 64-bit signatures re-join afterwards
+    cand = (a.join(b, ["chunk_id", "chunk_val"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+            .select("id_a", "id_b").distinct())
+    return (cand
+            .join(sh.select(F.col("id").alias("id_a"),
+                            F.col("simhash").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"),
+                            F.col("simhash").alias("sh_b")), "id_b")
             .withColumn("hamming", sim.hamming64_col(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
