@@ -86,7 +86,7 @@ def _make_assign_udf(centers: np.ndarray):
 
     @pandas_udf(T.IntegerType())
     def assign_udf(vec: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        m = sim.stack_vectors(vec)
         m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
         return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
     return assign_udf
@@ -99,7 +99,7 @@ def _make_route_udf(centers: np.ndarray, nprobe: int):
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def route_udf(vec: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        m = sim.stack_vectors(vec)
         m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
         sims = m @ c.T
         top = np.argpartition(-sims, npq - 1, axis=1)[:, :npq]

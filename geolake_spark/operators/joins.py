@@ -597,6 +597,20 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
         # occupied cell (distance >= theta), or outside the enumerated box
         # (distance >= the box bound from the full base radius r); so
         # kth <= min(theta_c, theta_b, box) certifies the answer.
+        #
+        # Soundness of the box bound (unlike the per-cell dmin, these terms
+        # need no over-pole correction): any path from the probe (inside
+        # the box) to an outside point first CROSSES the box boundary, and
+        # until that first crossing it stays inside the box, i.e. within
+        # |lat| <= worst_lat.  Crossing the north/south face costs at least
+        # the meridian arc to that latitude; crossing an east/west face
+        # costs at least gap * cos(worst_lat) because every step of lon
+        # traversal at latitude phi costs cos(phi) * dlon and the sub-path
+        # satisfies |phi| <= worst_lat.  A face that is not "open" (the box
+        # reaches a pole / wraps all longitudes) admits no crossing, and
+        # when the box touches a pole worst_lat clamps to 90 so the lon
+        # term degrades to 0 (sound: polar probes then resolve via theta
+        # or full coverage, never via the lon bound).
         checked = (active.join(stats, "query_id", "left")
                    .join(theta_c.withColumnRenamed("theta", "theta_c"),
                          "query_id", "left")
