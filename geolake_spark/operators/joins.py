@@ -275,6 +275,25 @@ def pip_join(points: DataFrame, polygons: list[dict],
 KNN_BASE_RES = 11  # histogram resolution the density stats derive from
 
 
+def _meridian_segment_dist(q_lat, dlam, lat_s, lat_n):
+    """EXACT great-circle min distance (km) from a point at latitude
+    ``q_lat`` to a meridian segment [lat_s, lat_n] whose longitude gap from
+    the point is ``dlam`` degrees (all Column expressions).
+
+    Distance along the segment has a single stationary point at the
+    geodesic foot latitude tan(phi*) = tan(phi1)/cos(dlam), computed as
+    atan2(sin phi1, cos phi1 cos dlam) so the over-pole regime
+    (cos dlam <= 0) clamps toward +-90; the minimum is attained at the
+    clamped foot or a segment endpoint, all of which are actual points of
+    the segment — so the min of their haversines is exact (sound and
+    tight; in particular it does NOT collapse to 0 for segments reaching
+    a pole: the limit is the probe's colatitude, the true over-pole cost)."""
+    phi1 = F.radians(q_lat)
+    foot = F.degrees(F.atan2(F.sin(phi1), F.cos(phi1) * F.cos(F.radians(dlam))))
+    cands = [F.least(F.greatest(foot, lat_s), lat_n), lat_n, lat_s]
+    return F.least(*[haversine_col(q_lat, F.lit(0.0), c, dlam) for c in cands])
+
+
 def _parent_cell_col(cell: F.Column, from_res: int, to_res: int) -> F.Column:
     """Exact quad-tree ancestor as a JVM expression (cells.cell_parent)."""
     s = from_res - to_res
@@ -425,15 +444,10 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
         Exact construction: for any rect point, great-circle distance is
         monotonically increasing in the wrap-aware lon gap at fixed lat, so
         the nearest rect point lies on the meridian edge with the smaller
-        gap dlam (or at dlam=0 when the probe's lon is inside the span).
-        Along that meridian segment, distance to the probe has a single
-        stationary point at the geodesic foot latitude tan(phi*) =
-        tan(phi1)/cos(dlam) (computed as atan2(sin phi1, cos phi1 cos dlam)
-        so the over-pole regime cos(dlam) <= 0 clamps to +-90); the minimum
-        is therefore attained at the clamped foot or a segment endpoint.
-        All three candidates are actual rect points, so the min of their
-        haversines is the exact rect distance — sound AND tight (a probe
-        inside the cell yields 0)."""
+        gap dlam (or at dlam=0 when the probe's lon is inside the span);
+        the exact distance to that meridian segment is
+        :func:`_meridian_segment_dist` (geodesic-foot construction) —
+        sound AND tight (a probe inside the cell yields 0)."""
         gap_w = F.abs(((F.col("q_lon") - F.col("lon_w") + 540.0) % 360.0)
                       - 180.0)
         gap_e = F.abs(((F.col("q_lon") - F.col("lon_e") + 540.0) % 360.0)
@@ -441,13 +455,8 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
         inside = (F.col("q_lon") >= F.col("lon_w")) & \
             (F.col("q_lon") <= F.col("lon_e"))
         dlam = F.when(inside, F.lit(0.0)).otherwise(F.least(gap_w, gap_e))
-        phi1 = F.radians(F.col("q_lat"))
-        foot = F.degrees(F.atan2(F.sin(phi1),
-                                 F.cos(phi1) * F.cos(F.radians(dlam))))
-        cands = [F.least(F.greatest(foot, F.col("lat_s")), F.col("lat_n")),
-                 F.col("lat_n"), F.col("lat_s")]
-        return F.least(*[haversine_col(F.col("q_lat"), F.lit(0.0), c, dlam)
-                         for c in cands])
+        return _meridian_segment_dist(F.col("q_lat"), dlam,
+                                      F.col("lat_s"), F.col("lat_n"))
 
     def rank_and_keep(cells_df, probe_cols):
         """Keep per probe the occupied cells that can possibly hold a top-k
@@ -598,19 +607,20 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
         # (distance >= the box bound from the full base radius r); so
         # kth <= min(theta_c, theta_b, box) certifies the answer.
         #
-        # Soundness of the box bound (unlike the per-cell dmin, these terms
-        # need no over-pole correction): any path from the probe (inside
-        # the box) to an outside point first CROSSES the box boundary, and
-        # until that first crossing it stays inside the box, i.e. within
-        # |lat| <= worst_lat.  Crossing the north/south face costs at least
-        # the meridian arc to that latitude; crossing an east/west face
-        # costs at least gap * cos(worst_lat) because every step of lon
-        # traversal at latitude phi costs cos(phi) * dlon and the sub-path
-        # satisfies |phi| <= worst_lat.  A face that is not "open" (the box
-        # reaches a pole / wraps all longitudes) admits no crossing, and
-        # when the box touches a pole worst_lat clamps to 90 so the lon
-        # term degrades to 0 (sound: polar probes then resolve via theta
-        # or full coverage, never via the lon bound).
+        # Soundness of the box bound: any path from the probe (inside the
+        # box) to an outside point first CROSSES the box boundary, so
+        # d >= distance to the nearest open face.  North/south faces cost
+        # at least the meridian arc to that latitude (exact — the probe's
+        # lon is inside the face's span).  East/west faces are meridian
+        # SEGMENTS at lon gap = the probe's distance to that edge; the
+        # exact segment distance (_meridian_segment_dist) is sound and,
+        # unlike the earlier gap*cos(worst_lat) arc, does not collapse to
+        # 0 when the box touches a pole — there the segment reaches lat 90
+        # and the bound degrades gracefully to the probe's colatitude (the
+        # true over-pole crossing cost), so polar probes can resolve
+        # WITHOUT first expanding to cover every longitude.  A face that
+        # is not "open" (box reaches the pole / wraps all longitudes)
+        # admits no crossing and contributes no bound.
         checked = (active.join(stats, "query_id", "left")
                    .join(theta_c.withColumnRenamed("theta", "theta_c"),
                          "query_id", "left")
@@ -627,9 +637,6 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                                (F.col("ix0") - r) * (360.0 / nx) - 180.0)
                    .withColumn("east_edge",
                                (F.col("ix0") + r + 1) * (360.0 / nx) - 180.0)
-                   .withColumn("worst_lat", F.radians(F.least(
-                       F.greatest(F.abs(F.col("north_edge")),
-                                  F.abs(F.col("south_edge"))), F.lit(90.0))))
                    .withColumn("bound", F.least(
                        F.coalesce(F.col("theta_c"), F.lit(1e12)),
                        F.coalesce(F.col("theta_b"), F.lit(1e12)),
@@ -639,11 +646,12 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
                        F.when(F.col("south_open"),
                               (F.col("q_lat") - F.col("south_edge")) * 111.195)
                        .otherwise(F.lit(1e12)),
-                       F.when(F.col("lon_open"), F.least(
-                           F.col("q_lon") - F.col("west_edge"),
-                           F.col("east_edge") - F.col("q_lon"))
-                           * 111.195 * F.greatest(F.cos(F.col("worst_lat")),
-                                                  F.lit(0.0)))
+                       F.when(F.col("lon_open"), _meridian_segment_dist(
+                           F.col("q_lat"),
+                           F.least(F.col("q_lon") - F.col("west_edge"),
+                                   F.col("east_edge") - F.col("q_lon")),
+                           F.greatest(F.col("south_edge"), F.lit(-90.0)),
+                           F.least(F.col("north_edge"), F.lit(90.0))))
                        .otherwise(F.lit(1e12))))
                    .withColumn("all_searched",
                                ~F.col("north_open") & ~F.col("south_open")
