@@ -71,3 +71,30 @@ def test_stream_is_incremental(spark, pages, tmp_path):
                      "left_anti").count() == 0
     assert exp2.join(got2, ["window_start", "cell", "page_count"],
                      "left_anti").count() == 0
+
+def test_streaming_pip_join_explicit_res(spark, pages, tmp_path):
+    """pip_join works on a streaming source with an explicit res (round-3
+    advisor: without res it must raise instead of silently guessing a
+    resolution whose cover would match nothing); results equal the batch
+    join on the same data."""
+    from geolake_spark.operators import joins
+    from geolake_spark.sources import synth
+    drop = str(tmp_path / "drop")
+    pages.repartition(2).write.parquet(drop)
+    stream = (spark.readStream.schema(pages.schema).parquet(drop)
+              .withColumn("cell_r6",
+                          grid_cell_col(F.col("lat"), F.col("lon"), 6)))
+    with pytest.raises(ValueError, match="explicit res"):
+        joins.pip_join(stream, synth.polygon_specs(), cell_col="cell_r6")
+    out = joins.pip_join(stream, synth.polygon_specs(), res=6,
+                         cell_col="cell_r6")
+    q = (out.select("url", "polygon_id")
+         .writeStream.format("memory").queryName("pipstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["url"], r["polygon_id"])
+           for r in spark.sql("select * from pipstream").collect()}
+    exp = {(r["url"], r["polygon_id"])
+           for r in joins.pip_join(pages, synth.polygon_specs(), res=6)
+           .select("url", "polygon_id").collect()}
+    assert got == exp and len(exp) > 0
