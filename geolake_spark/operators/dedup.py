@@ -128,9 +128,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     |A∩B|, set sizes via a pre-agg, |A∪B| = |A|+|B|-|A∩B|.  The join key is
     the shingle itself — common shingles are the skew risk, so extremely
     frequent shingles (df > 1000) are dropped (stop-shingles), stated."""
+    from pyspark import StorageLevel
+    # persisted: the distinct shingle table feeds the frequency agg, the
+    # size agg and both join branches — four consumers that would each
+    # re-scan and re-shingle the corpus otherwise
     shingled = (df.select(F.col(id_col).alias("id"),
                           F.explode(sim.shingles_col(F.col(text_col), n)).alias("sh"))
-                .distinct())
+                .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     freq = shingled.groupBy("sh").agg(F.count("*").alias("df_count"))
     shingled = (shingled.join(freq, "sh").filter(F.col("df_count") <= 1000)
                 .select("id", "sh"))
