@@ -304,6 +304,22 @@ def _parent_cell_col(cell: F.Column, from_res: int, to_res: int) -> F.Column:
             + F.shiftright(ix, s))
 
 
+def _choose_res_from_hist(hist, k: int, base_res: int) -> int:
+    """Finest resolution whose occupied cells average >= ~2k points, from a
+    base-res histogram (cell, cnt): occupancy at every coarser resolution
+    comes from ONE aggregation via exact quad-tree parents."""
+    stats = hist.agg(
+        F.sum("cnt").alias("n"),
+        *[F.countDistinct(_parent_cell_col(F.col("cell"), base_res, r))
+          .alias(f"occ{r}") for r in range(base_res + 1)]).first()
+    n = stats["n"] or 0
+    target = max(2 * k, 16)
+    for r in range(base_res, -1, -1):
+        if n / max(stats[f"occ{r}"], 1) >= target:
+            return r
+    return 0
+
+
 def choose_knn_res(points: DataFrame, k: int,
                    lat_col: str = "lat", lon_col: str = "lon",
                    base_res: int = KNN_BASE_RES) -> int:
@@ -313,20 +329,11 @@ def choose_knn_res(points: DataFrame, k: int,
     drags them all into the per-probe top-k window (measured: res 6 on a
     4M-row city-clustered table made a 10k-probe join exceed 10 minutes;
     the adaptive choice finishes in seconds).  One scan builds the base-res
-    histogram; occupancy at every coarser resolution comes from ONE
-    aggregation of that histogram via exact quad-tree parents."""
+    histogram; the rest is metadata (:func:`_choose_res_from_hist`)."""
     hist = (points.groupBy(grid_cell_col(F.col(lat_col), F.col(lon_col),
-                                         base_res).alias("c")).count())
-    stats = hist.agg(
-        F.sum("count").alias("n"),
-        *[F.countDistinct(_parent_cell_col(F.col("c"), base_res, r))
-          .alias(f"occ{r}") for r in range(base_res + 1)]).first()
-    n = stats["n"] or 0
-    target = max(2 * k, 16)
-    for r in range(base_res, -1, -1):
-        if n / max(stats[f"occ{r}"], 1) >= target:
-            return r
-    return 0
+                                         base_res).alias("cell"))
+            .agg(F.count("*").alias("cnt")))
+    return _choose_res_from_hist(hist, k, base_res)
 
 
 def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
@@ -363,18 +370,33 @@ def knn_join_table(points: DataFrame, probes: DataFrame, k: int,
     """
     spark = points.sparkSession
     id_cols = id_cols or ["url"]
-    if res is None:
-        res = choose_knn_res(points, k, lat_col, lon_col)
-    nx, ny = cells.grid_dims(res)
-    deg_per_cell = 180.0 / ny
     pts = points.select(F.col(lat_col).alias("p_lat"),
                         F.col(lon_col).alias("p_lon"), *id_cols)
 
-    # ONE cached histogram at the base res guides everything: candidate-cell
-    # pruning each iteration and coarse-res variants (exact parent rollups).
-    hist0 = (pts.groupBy(grid_cell_col(F.col("p_lat"), F.col("p_lon"), res)
-                         .alias("cell")).agg(F.count("*").alias("cnt"))
-             .localCheckpoint(eager=True))
+    # ONE cached histogram guides everything: the adaptive resolution
+    # choice (when res is None), candidate-cell pruning each iteration and
+    # coarse-res variants — all via exact quad-tree parent rollups of a
+    # single points scan (res=None used to scan the table twice: once for
+    # choose_knn_res's histogram and once for this one).
+    if res is None:
+        hist_base = (pts.groupBy(
+            grid_cell_col(F.col("p_lat"), F.col("p_lon"), KNN_BASE_RES)
+            .alias("cell")).agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True))
+        res = _choose_res_from_hist(hist_base, k, KNN_BASE_RES)
+        if res == KNN_BASE_RES:
+            hist0 = hist_base
+        else:
+            hist0 = (hist_base.groupBy(
+                _parent_cell_col(F.col("cell"), KNN_BASE_RES, res)
+                .alias("cell")).agg(F.sum("cnt").alias("cnt"))
+                .localCheckpoint(eager=True))
+    else:
+        hist0 = (pts.groupBy(
+            grid_cell_col(F.col("p_lat"), F.col("p_lon"), res).alias("cell"))
+            .agg(F.count("*").alias("cnt")).localCheckpoint(eager=True))
+    nx, ny = cells.grid_dims(res)
+    deg_per_cell = 180.0 / ny
     hist_by_h: dict[int, DataFrame] = {0: hist0}
 
     def hist_at(hv: int) -> DataFrame:
