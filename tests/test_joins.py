@@ -182,3 +182,23 @@ def test_knn_deterministic_tiebreak(spark):
     out = joins.knn_join(df, probes, k=3, res=3)
     got = [r["url"] for r in out.orderBy("rank").collect()]
     assert got[:2] == ["a", "b"]  # same distance -> url ascending
+
+
+def test_knn_table_adaptive_res_matches_brute_force(spark, pages, pages_pdf):
+    """res=None (single-scan histogram drives BOTH the adaptive resolution
+    choice and the working histogram — round-3 refactor) stays exact."""
+    from geolake_spark.functions.geo import geocode_lat_col, geocode_lon_col
+    import pyspark.sql.functions as F
+    probes = (spark.range(12)
+              .select(F.col("id").alias("query_id"),
+                      geocode_lat_col(F.col("id") + 77000).alias("lat"),
+                      geocode_lon_col(F.col("id") + 77000).alias("lon")))
+    out = joins.knn_join_table(pages, probes, k=3)  # res=None
+    got = (out.select("query_id", "url", "rank").toPandas()
+           .sort_values(["query_id", "rank"]))
+    for _, pr in probes.toPandas().iterrows():
+        d = cells.haversine_km(pages_pdf["lat"].to_numpy(),
+                               pages_pdf["lon"].to_numpy(),
+                               pr["lat"], pr["lon"])
+        exp = [u for _, u in sorted(zip(d, pages_pdf["url"]))[:3]]
+        assert list(got[got["query_id"] == pr["query_id"]]["url"]) == exp
