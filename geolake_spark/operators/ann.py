@@ -41,14 +41,19 @@ def kmeans_fit_distributed(vectors: DataFrame, dim: int,
                            id_col: str = "vec_id") -> np.ndarray:
     """Distributed spherical k-means: the 100 TB-scale IVF trainer.
 
-    Per iteration: ONE scan assigning every vector to its nearest centroid
-    (Arrow UDF, centroids ride the closure/broadcast) and ONE partial+final
-    hash aggregation computing per-cluster per-dimension means as ``dim``
-    plain ``avg`` columns — no explode, no driver-side data beyond the
-    (n_clusters x dim) center matrix (sqrt(1e9) x 64 doubles = 16 MB,
-    comfortably broadcastable).  Initial centers are the first
-    ``n_clusters`` rows by id (deterministic).  ``n_clusters=None`` picks
-    ~sqrt(N) (the classic IVF list-count rule)."""
+    Per iteration: ONE ``mapInPandas`` pass over the cached normalized
+    vectors computes per-batch partial (cluster, count, sum-vector) rows —
+    assignment (one BLAS matmul against the broadcast centers) AND the
+    dim-wise sums happen in the same Arrow batch (``np.add.at``), so the
+    JVM-side aggregation only merges <= n_clusters rows per batch instead
+    of hash-aggregating 64 ``element_at`` columns over every vector (the
+    round-2 formulation; measurably slower at 500k x 707).  No driver-side
+    data beyond the (n_clusters x dim) center matrix (sqrt(1e9) x 64
+    doubles = 16 MB, comfortably broadcastable).  Initial centers are the
+    first ``n_clusters`` rows by id (deterministic).  ``n_clusters=None``
+    picks ~sqrt(N) (the classic IVF list-count rule)."""
+    import pandas as pd
+    from pyspark.sql import types as T
     if n_clusters is None:
         n = vectors.count()
         n_clusters = max(4, int(np.sqrt(n)))
@@ -61,20 +66,40 @@ def kmeans_fit_distributed(vectors: DataFrame, dim: int,
     centers = np.array(
         [r["nv"] for r in nv.orderBy(id_col).limit(n_clusters).collect()],
         dtype=np.float64)
+    schema = T.StructType(
+        [T.StructField("list_id", T.IntegerType()),
+         T.StructField("cnt", T.LongType())]
+        + [T.StructField(f"s{i}", T.DoubleType()) for i in range(dim)])
     for _ in range(iters):
-        assign = _make_assign_udf(centers)
-        stats = (nv.withColumn("list_id", assign(F.col("nv")))
+        c = centers.copy()
+
+        def part_stats(batches, _c=c):
+            from geolake_spark.functions import sim as _sim
+            for pdf in batches:
+                m = _sim.stack_vectors(pdf["nv"])
+                if len(m) == 0:
+                    continue
+                a = (m @ _c.T).argmax(axis=1)
+                sums = np.zeros((len(_c), m.shape[1]), dtype=np.float64)
+                np.add.at(sums, a, m)
+                cnts = np.bincount(a, minlength=len(_c))
+                occ = np.nonzero(cnts)[0]
+                out = {"list_id": occ.astype(np.int32), "cnt": cnts[occ]}
+                for i in range(m.shape[1]):
+                    out[f"s{i}"] = sums[occ, i]
+                yield pd.DataFrame(out)
+
+        stats = (nv.mapInPandas(part_stats, schema)
                  .groupBy("list_id")
-                 .agg(F.count("*").alias("cnt"),
-                      *[F.avg(F.element_at(F.col("nv"), i + 1)).alias(f"c{i}")
-                        for i in range(dim)])
+                 .agg(F.sum("cnt").alias("cnt"),
+                      *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)])
                  .collect())
         new_centers = centers.copy()
         for r in stats:
-            c = np.array([r[f"c{i}"] for i in range(dim)], dtype=np.float64)
-            nrm = np.linalg.norm(c)
+            s = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
+            nrm = np.linalg.norm(s)
             if nrm > 0:
-                new_centers[r["list_id"]] = c / nrm
+                new_centers[r["list_id"]] = s / nrm
         centers = new_centers
     nv.unpersist()
     return centers
