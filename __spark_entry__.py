@@ -342,6 +342,18 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(d, threshold=0.35)
 
 
+def q_near_dup_components(spark, sf_dir):
+    """MinHash-LSH pairs -> connected components (min-label propagation) —
+    what a dedup pipeline actually keeps: one canonical representative per
+    near-dup cluster.  Oracle: the minhash pair SQL feeds a DuckDB
+    RECURSIVE CTE computing min-reachable-id per node."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.35)
+    return (dedup.connected_components(pairs)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("component").cast("bigint").alias("component")))
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup at hamming <= 8 with 9 bands (> max_hamming =>
     provably total recall), so the all-pairs DuckDB Hamming filter is an
@@ -550,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "near_dup_components": q_near_dup_components,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -872,6 +885,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(cast(a.embedding as double[]), "
             "  cast(b.embedding as double[])), 6) >= 0.35"),
         "minhash_lsh": _minhash_lsh_oracle(),
+        "near_dup_components": f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+r AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN r ON r.id = e.dst)
+SELECT id AS doc_id, cast(min(label) AS BIGINT) AS component
+FROM r GROUP BY id""",
         "simhash": _simhash_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),

@@ -219,3 +219,59 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                              F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs`` — component =
+    min id reachable through the pair graph (the canonical representative
+    a dedup pipeline keeps).
+
+    Distributed min-label propagation: labels start as the id itself; each
+    round every node takes the min of its own label and its neighbors'
+    labels (one shuffle join + one aggregation per round), stopping when a
+    round changes nothing.  Rounds needed = graph diameter — near-dup
+    clusters are small and dense, so this converges in a handful of
+    rounds; ``max_iters`` guards pathological chains (raise it for
+    adversarial inputs).  Lineage is truncated every round
+    (localCheckpoint) so plans stay flat at any scale."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = (edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        neigh = (sym.join(labels.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("label", "n_label"), "dst")
+                 .groupBy("src").agg(F.min("n_label").alias("min_neigh")))
+        new_labels = (labels.join(neigh.withColumnRenamed("src", "id"),
+                                  "id", "left")
+                      .select("id", F.least(
+                          F.col("label"),
+                          F.coalesce(F.col("min_neigh"), F.col("label")))
+                          .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .filter(F.col("new_label") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(graph diameter exceeds max_iters)")
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Drop near-duplicates: keep every row whose id is NOT in the pair
+    graph, plus the min-id representative of each component."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

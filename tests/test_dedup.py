@@ -172,3 +172,62 @@ def test_fast_tokenizer_bit_identical_to_python_split():
     toks2, c2s = sim._tokenize_batch(t2)
     assert np.array_equal(hv2, sim._hash_shingles(toks2))
     assert np.array_equal(c2, c2s)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a driver-side union-find on a random graph
+    (chains, triangles, isolated pairs, multi-component)."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    n = 200
+    edges = set()
+    while len(edges) < 150:
+        a, b = int(rng.randint(n)), int(rng.randint(n))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(sorted(edges), columns=["id_a", "id_b"]))
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    exp = {v: find(v) for v in touched}
+    # canonical: min member per root
+    roots = {}
+    for v in sorted(touched):
+        roots.setdefault(find(v), v)
+    exp = {v: roots[find(v)] for v in touched}
+    assert got == exp
+
+
+def test_dedup_keep_representatives(spark):
+    """dedup_keep drops every non-representative member of a component and
+    keeps untouched rows."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["a", "a'", "a''", "b", "b'", "solo"]}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1, 2, 4], "id_b": [2, 3, 5]}))
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_keep(df, pairs).collect())
+    assert kept == [1, 4, 6]
+
+
+def test_connected_components_diameter_guard(spark):
+    """A chain longer than max_iters must raise, not silently return
+    half-merged components."""
+    chain = pd.DataFrame({"id_a": range(9), "id_b": range(1, 10)})
+    pairs = spark.createDataFrame(chain)
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(pairs, max_iters=2)
+    out = dedup.connected_components(pairs, max_iters=15).collect()
+    assert {r["component"] for r in out} == {0}
