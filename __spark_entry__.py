@@ -354,6 +354,15 @@ def q_near_dup_components(spark, sf_dir):
                     F.col("component").cast("bigint").alias("component")))
 
 
+def q_near_dup_keep(spark, sf_dir):
+    """The full near-dedup pipeline a corpus user runs: MinHash pairs ->
+    components -> drop every non-representative member (anti-join)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.35)
+    return (dedup.dedup_keep(d, pairs)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup at hamming <= 8 with 9 bands (> max_hamming =>
     provably total recall), so the all-pairs DuckDB Hamming filter is an
@@ -563,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "near_dup_components": q_near_dup_components,
+        "near_dup_keep": q_near_dup_keep,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -897,6 +907,20 @@ r AS (
   SELECT e.src AS id, r.label FROM edges e JOIN r ON r.id = e.dst)
 SELECT id AS doc_id, cast(min(label) AS BIGINT) AS component
 FROM r GROUP BY id""",
+        "near_dup_keep": f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+r AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN r ON r.id = e.dst),
+comp AS (SELECT id, min(label) AS component FROM r GROUP BY id)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+ORDER BY d.doc_id""",
         "simhash": _simhash_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
