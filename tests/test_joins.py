@@ -202,3 +202,34 @@ def test_knn_table_adaptive_res_matches_brute_force(spark, pages, pages_pdf):
                                pr["lat"], pr["lon"])
         exp = [u for _, u in sorted(zip(d, pages_pdf["url"]))[:3]]
         assert list(got[got["query_id"] == pr["query_id"]]["url"]) == exp
+
+
+def test_meridian_segment_dist_sound_and_tight(spark):
+    """The shared lower bound behind kNN pruning AND the box certificate:
+    for random (probe, meridian segment, lon gap) configurations — polar,
+    over-pole, equatorial, degenerate — the computed distance never
+    exceeds the distance to ANY segment point (soundness) and matches the
+    dense-sampled minimum up to sampling error (it is analytically
+    exact)."""
+    import pyspark.sql.functions as F
+    rng = np.random.RandomState(17)
+    n = 250
+    lat_a = rng.uniform(-89.9, 89.9, n)
+    lat_b = rng.uniform(-89.9, 89.9, n)
+    pdf = pd.DataFrame({
+        "q_lat": rng.uniform(-89.9, 89.9, n),
+        "dlam": np.concatenate([rng.uniform(0.0, 180.0, n - 3),
+                                [0.0, 179.999, 90.0]]),
+        "lat_s": np.minimum(lat_a, lat_b),
+        "lat_n": np.maximum(lat_a, lat_b)})
+    df = spark.createDataFrame(pdf)
+    out = (df.withColumn("d", joins._meridian_segment_dist(
+        F.col("q_lat"), F.col("dlam"), F.col("lat_s"), F.col("lat_n")))
+        .toPandas())
+    for _, r in out.iterrows():
+        lats = np.linspace(r["lat_s"], r["lat_n"], 600)
+        sampled = cells.haversine_km(
+            np.full_like(lats, r["q_lat"]), np.zeros_like(lats),
+            lats, np.full_like(lats, r["dlam"])).min()
+        assert r["d"] <= sampled + 1e-6, r.to_dict()       # sound
+        assert sampled - r["d"] <= 5.0, r.to_dict()        # exact (tight)
