@@ -67,23 +67,36 @@ _FNV_BASIS = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+# Token-window bound for the columnar FNV / SimHash passes.  Large Arrow
+# batches (65k docs ~ 4.6M tokens at sf4) made every vector op allocate
+# ~37 MB temporaries x several per step x 32 workers — the same glibc
+# mmap/page-fault churn that once made 32 workers 7x slower than 8
+# (measured again in round 3: per-doc signature throughput dropped 3.2x
+# going from 15k-doc to 65k-doc batches; chunking restores it).
+_FNV_CHUNK_TOKENS = 1 << 18
+
+
 def _fnv_flat(flat: np.ndarray, offs: np.ndarray,
               lens: np.ndarray) -> np.ndarray:
     """FNV-1a per (offset, length) slice of a flat uint8 buffer.
 
     The loop runs column-at-a-time (j-th byte of every string in a single
     vector op), so Python-level work is O(max_len) instead of
-    O(total_bytes).  Bit-identical to the scalar per-byte FNV-1a (uint64
-    multiply wraps mod 2^64)."""
+    O(total_bytes); tokens are processed in bounded windows so temporaries
+    stay ~2 MB regardless of Arrow batch size (see _FNV_CHUNK_TOKENS).
+    Bit-identical to the scalar per-byte FNV-1a (uint64 multiply wraps
+    mod 2^64)."""
     n = len(offs)
     out = np.full(n, _FNV_BASIS, dtype=np.uint64)
-    if n == 0:
-        return out
-    maxlen = int(lens.max(initial=0))
-    for j in range(maxlen):
-        active = np.nonzero(lens > j)[0]
-        b = flat[offs[active] + j].astype(np.uint64)
-        out[active] = (out[active] ^ b) * _FNV_PRIME
+    for s in range(0, n, _FNV_CHUNK_TOKENS):
+        e = min(s + _FNV_CHUNK_TOKENS, n)
+        o = offs[s:e]
+        ln = lens[s:e]
+        seg = out[s:e]
+        for j in range(int(ln.max(initial=0))):
+            active = np.nonzero(ln > j)[0]
+            b = flat[o[active] + j].astype(np.uint64)
+            seg[active] = (seg[active] ^ b) * _FNV_PRIME
     return out
 
 
@@ -255,21 +268,35 @@ def _simhash_from_token_hashes(hv: np.ndarray, counts: np.ndarray,
                                n_docs: int) -> np.ndarray:
     """(n_docs,) int64 SimHash from batch-flat token FNV hashes: per-doc
     per-bit counts via add.reduceat over contiguous doc segments (64
-    one-dimensional passes — never materializes an (n_tokens, 64) matrix)."""
+    one-dimensional passes — never materializes an (n_tokens, 64) matrix).
+    Docs are processed in token-bounded windows so the 64 per-bit
+    temporaries stay ~2 MB at any Arrow batch size (_FNV_CHUNK_TOKENS)."""
     out = np.zeros(n_docs, dtype=np.int64)
-    nonempty = np.nonzero(counts > 0)[0]
-    if len(nonempty) == 0:
+    if n_docs == 0:
         return out
-    starts = (np.cumsum(counts) - counts)[nonempty]
-    bit_sums = np.empty((len(nonempty), 64), dtype=np.int64)
-    for i in range(64):
-        v = ((hv >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
-        bit_sums[:, i] = np.add.reduceat(v, starts)
-    positive = (2 * bit_sums) > counts[nonempty][:, None]
-    sig = (positive.astype(np.uint64)
-           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
-                                                           dtype=np.uint64)
-    out[nonempty] = sig.view(np.int64)
+    ends_all = np.cumsum(counts)
+    starts_all = ends_all - counts
+    weights = np.arange(64, dtype=np.uint64)[None, :]
+    i = 0
+    while i < n_docs:
+        base = int(starts_all[i])
+        j = i + 1
+        while j < n_docs and ends_all[j] - base <= _FNV_CHUNK_TOKENS:
+            j += 1
+        sub_counts = counts[i:j]
+        ne = np.nonzero(sub_counts > 0)[0]
+        if len(ne):
+            hseg = hv[base:int(ends_all[j - 1])]
+            sub_starts = (np.cumsum(sub_counts) - sub_counts)[ne]
+            bit_sums = np.empty((len(ne), 64), dtype=np.int64)
+            for t in range(64):
+                v = ((hseg >> np.uint64(t)) & np.uint64(1)).astype(np.int64)
+                bit_sums[:, t] = np.add.reduceat(v, sub_starts)
+            positive = (2 * bit_sums) > sub_counts[ne][:, None]
+            sig = (positive.astype(np.uint64) << weights).sum(axis=1,
+                                                              dtype=np.uint64)
+            out[i:j][ne] = sig.view(np.int64)
+        i = j
     return out
 
 
