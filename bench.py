@@ -78,15 +78,22 @@ def _rival_processes() -> list[str]:
     return rivals
 
 
-def host_guard(max_wait_s: int = 900) -> dict:
+def host_guard(max_wait_s: int = 900, max_load: float | None = None) -> dict:
     """Refuse to measure on a contended host.
 
     The committed round-2 bench artifact was invalidated by exactly this
     failure mode: a concurrent pytest/Spark job inflated scan-bound queries
-    2-4x (judge's solo re-run: pip_tiles 4.29s vs the committed 15.45s).
-    Waits for rival Spark/pytest/bench processes to exit (up to
-    ``max_wait_s``), then stamps load + provenance into the bench JSON so
-    a stalled run is self-identifying."""
+    2-4x (judge's solo re-run: pip_tiles 4.29s vs the committed 15.45s);
+    the committed round-3 artifact started at load1 6.9 (below the old 8.0
+    gate) and still read 2-5x high on scan-bound queries.  Waits for rival
+    Spark/pytest/bench processes to exit AND for load1 to decay below
+    ``max_load`` (default: 3.0 for artifact runs, 8.0 with
+    SPARK_GRAFT_BENCH_SMOKE=1), then stamps load + provenance into the
+    bench JSON.  If the host never quiets down it REFUSES (exit 2) rather
+    than emit numbers that look like regressions."""
+    if max_load is None:
+        smoke = os.environ.get("SPARK_GRAFT_BENCH_SMOKE") == "1"
+        max_load = 8.0 if smoke else 3.0
     waited = 0
     while True:
         rivals = _rival_processes()
@@ -103,13 +110,20 @@ def host_guard(max_wait_s: int = 900) -> dict:
         waited += 15
     # also let 1-min load decay from recently-exited jobs (a warm start on
     # a draining host inflated the scan-bound queries in early runs)
-    while os.getloadavg()[0] > 8.0 and waited < max_wait_s:
+    while os.getloadavg()[0] > max_load and waited < max_wait_s:
         print(f"bench: waiting for load to decay "
-              f"(load1={os.getloadavg()[0]:.1f})", file=sys.stderr)
+              f"(load1={os.getloadavg()[0]:.1f} > {max_load})",
+              file=sys.stderr)
         time.sleep(15)
         waited += 15
+    if os.getloadavg()[0] > max_load:
+        print(f"bench: REFUSING to run — load1 {os.getloadavg()[0]:.1f} "
+              f"still above {max_load} after {waited}s (set "
+              f"SPARK_GRAFT_BENCH_SMOKE=1 for a non-artifact smoke run)",
+              file=sys.stderr)
+        sys.exit(2)
     return {"load1_at_start": round(os.getloadavg()[0], 2),
-            "guard_waited_s": waited}
+            "guard_waited_s": waited, "max_load_gate": max_load}
 
 
 def _pages(spark, sf: str):
@@ -292,6 +306,27 @@ def extra_queries(spark) -> tuple[dict, dict]:
     info["dedup_e2e_pairs"] = n_pairs
     info["dedup_e2e_docs"] = n_docs
     info["dedup_e2e_pairs_per_doc"] = round(n_pairs / n_docs, 4)
+
+    # minhash_sigs_uni — the SAME signature UDF over 500k docs that are
+    # ~50% non-ASCII across 5 scripts (ru/zh/ja/el/de + Unicode whitespace
+    # separators).  Until round 4 any non-ASCII doc in an Arrow batch
+    # pushed the whole batch onto the per-token Python path, so the ASCII
+    # headline number silently overstated real-web throughput; the UTF-8
+    # byte-mask tokenizer makes both corpora ride the vectorized path
+    # (target: within ~1.5x of the ASCII minhash_sigs number).
+    from geolake_spark.functions import sim
+    uni_path = synth.ensure_docs_multiscript(
+        "/root/repo/data", synth.SF_ROWS[BENCH_PAGES_SF])
+    uni = spark.read.parquet(uni_path)
+    sig = sim.make_signature_udf(num_perm=64)
+    best = 1e18
+    for i in range(3):  # first run is warm-up
+        t0 = time.time()
+        _noop(uni.select(sig(F.col("text")).alias("s"))
+              .select("s.minhash", "s.simhash"))
+        if i > 0:
+            best = min(best, time.time() - t0)
+    timings["minhash_sigs_uni"] = round(best, 3)
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)

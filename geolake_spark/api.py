@@ -305,5 +305,5 @@ class Catalog:
     def get_request_status(self, request_id: int):
         return self.requests.get_request_status(request_id)
 
-    def download(self, request_id: int, as_zip: bool = False) -> str:
+    def download(self, request_id: int, as_zip: bool | None = None) -> str:
         return self.requests.download(request_id, as_zip=as_zip)

@@ -74,7 +74,17 @@ class UserStore:
                  roles: list[str] | None = None,
                  user_id: str | None = None) -> str:
         """Create a user; returns the full ``user_id:api_key`` token
-        (api_key generated as in dbmanager.generate_key)."""
+        (api_key generated as in dbmanager.generate_key).  An explicit
+        ``user_id`` must be a UUID — parse_token rejects anything else,
+        so a non-UUID id would mint a token that can never authenticate
+        (round-4 ADVICE fix)."""
+        if user_id is not None:
+            try:
+                uuid.UUID(user_id, version=4)
+            except ValueError:
+                raise ValueError(
+                    f"user_id {user_id!r} must be a UUID (tokens with "
+                    f"non-UUID ids can never authenticate)") from None
         uid = user_id or str(uuid.uuid4())
         key = secrets.token_urlsafe(32)
         self._users[uid] = User(user_id=uid, key_hash=_key_hash(key),

@@ -153,29 +153,78 @@ def _tokenize_batch(text: pd.Series) -> tuple[list[str], np.ndarray]:
     return all_toks, counts
 
 
-def _tokenize_flat(text: pd.Series):
-    """Vectorized tokenizer for pure-ASCII batches: (flat uint8 buffer,
-    token offsets, token lengths, per-doc token counts) — NO per-token
-    Python objects (the per-token str+encode churn was the real hot-path
-    cost: ~70 tokens/doc means 35M transient strings per 500k-doc pass).
+# Multi-byte UTF-8 encodings of Python's Unicode split-whitespace set
+# (exactly the chars ``str.split()`` breaks on beyond ASCII, enumerated
+# from ``c.isspace()`` over the full codepoint range — CPython's split
+# uses the same Py_UNICODE_ISSPACE predicate): U+0085 NEL, U+00A0 NBSP,
+# U+1680 OGHAM, U+2000–U+200A spaces, U+2028/29 line/para sep,
+# U+202F NNBSP, U+205F MMSP, U+3000 IDEOGRAPHIC SPACE.  The lead bytes
+# (C2/E1/E2/E3) are > 0xBF so they can never be UTF-8 continuation
+# bytes — matching on them byte-wise is unambiguous mid-stream.
+_UWS3 = (
+    (0xE1, 0x9A, lambda t: t == 0x80),                       # U+1680
+    (0xE2, 0x80, lambda t: ((t >= 0x80) & (t <= 0x8A))       # U+2000-200A
+                 | (t == 0xA8) | (t == 0xA9) | (t == 0xAF)), # U+2028/29/2F
+    (0xE2, 0x81, lambda t: t == 0x9F),                       # U+205F
+    (0xE3, 0x80, lambda t: t == 0x80),                       # U+3000
+)
 
-    Docs are lowered per-doc (C level), joined with ``\\n`` separators into
-    one buffer; token boundaries come from byte masks over Python
-    ``str.split()``'s ASCII whitespace set {\\t..\\r, \\x1c..\\x1f, space}.
-    Returns ``None`` when any doc is non-ASCII — ``str.split()`` also
-    splits on Unicode whitespace there, so those batches take the exact
-    per-token path (:func:`_tokenize_batch` + :func:`_hash_shingles`)."""
+
+def _mark_unicode_ws(buf: np.ndarray, ws: np.ndarray) -> None:
+    """Set ``ws[i]`` True for EVERY byte of each multi-byte Unicode
+    whitespace sequence in ``buf`` (in-place)."""
+    if len(buf) >= 2:
+        idx = np.flatnonzero(buf[:-1] == 0xC2)
+        if len(idx):
+            nxt = buf[idx + 1]
+            hit = idx[(nxt == 0x85) | (nxt == 0xA0)]  # NEL / NBSP
+            ws[hit] = True
+            ws[hit + 1] = True
+    if len(buf) >= 3:
+        lead, mid = buf[:-2], buf[1:-1]
+        for b0, b1, accept in _UWS3:
+            idx = np.flatnonzero((lead == b0) & (mid == b1))
+            if len(idx):
+                hit = idx[accept(buf[idx + 2])]
+                ws[hit] = True
+                ws[hit + 1] = True
+                ws[hit + 2] = True
+
+
+def _tokenize_flat(text: pd.Series):
+    """Vectorized UTF-8 tokenizer: (flat uint8 buffer, token byte offsets,
+    token byte lengths, per-doc token counts) — NO per-token Python objects
+    (the per-token str+encode churn was the real hot-path cost: ~70
+    tokens/doc means 35M transient strings per 500k-doc pass; until round 4
+    any non-ASCII doc in a batch forced that path, which a real web corpus
+    hits on most batches).
+
+    Docs are lowered and UTF-8-encoded per-doc (C level), joined with
+    ``\\n`` separators into one buffer; token boundaries come from byte
+    masks over Python ``str.split()``'s whitespace set — the ASCII range
+    {\\t..\\r, \\x1c..\\x1f, space} plus the fixed multi-byte sequences in
+    :data:`_UWS3` (every byte of a whitespace sequence is masked, so token
+    slices are exactly the UTF-8 bytes of ``s.lower().split()`` tokens and
+    FNV hashes are bit-identical to the per-token path).  Returns ``None``
+    only for non-``str`` values or unencodable lone surrogates — those
+    batches take the exact per-token path (:func:`_tokenize_batch`)."""
     docs = list(text)
-    if not all(type(s) is str and s.isascii() for s in docs):
+    if not all(type(s) is str for s in docs):
         return None
     n = len(docs)
     if n == 0:
         return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
                 np.zeros(0, np.int64), np.zeros(0, np.int64))
-    blob = "\n".join(s.lower() for s in docs).encode("ascii")
+    try:
+        encs = [s.lower().encode("utf-8") for s in docs]
+    except UnicodeEncodeError:  # lone surrogates — let the slow path raise
+        return None
+    blob = b"\n".join(encs)
     buf = np.frombuffer(blob, dtype=np.uint8)
-    dlens = np.fromiter((len(s) for s in docs), dtype=np.int64, count=n)
+    dlens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
     ws = ((buf >= 9) & (buf <= 13)) | ((buf >= 28) & (buf <= 32))
+    if len(buf) and int(buf.max()) >= 0x80:
+        _mark_unicode_ws(buf, ws)
     nonws = ~ws
     starts_mask = nonws.copy()
     starts_mask[1:] &= ws[:-1]
@@ -194,9 +243,10 @@ def _tokenize_flat(text: pd.Series):
 
 def _token_hashes_batch(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(64-bit FNV hash per token batch-flat, per-doc token counts) —
-    vectorized byte path for ASCII batches, exact per-token fallback
-    otherwise.  Both paths are bit-identical for ASCII input (same bytes,
-    same FNV), so golden signatures are unchanged."""
+    vectorized UTF-8 byte path for all str batches, exact per-token
+    fallback only for non-str / unencodable values.  Both paths are
+    bit-identical (same token bytes, same FNV), so golden signatures are
+    unchanged."""
     fast = _tokenize_flat(text)
     if fast is not None:
         flat, offs, lens, counts = fast

@@ -116,7 +116,21 @@ def apply_location(df: DataFrame, location: dict,
 
 def apply_time(df: DataFrame, time: dict) -> DataFrame:
     """Slice {start, stop} (datastore.py:458-466) or combinatorial
-    {year, month, day, hour} membership (datastore.py:435-443)."""
+    {year, month, day, hour} membership (datastore.py:435-443).
+
+    The time axis must be a real temporal type: the reference blacklists
+    non-standard-calendar (cftime.DatetimeNoLeap) datasets outright
+    (datastore.py:133-138) rather than let calendar-naive slicing return
+    wrong rows; the Spark analogue of that failure is a string/numeric
+    ``ts`` column silently compared through implicit casts."""
+    from pyspark.sql import types as _T
+    dt = df.schema[TS].dataType
+    if not isinstance(dt, (_T.TimestampType, _T.TimestampNTZType,
+                           _T.DateType)):
+        raise TypeError(
+            f"time column {TS!r} has non-temporal type {dt.simpleString()}; "
+            f"cast it to timestamp at the source adapter (non-standard "
+            f"calendars are unsupported, as in the reference)")
     if "start" in time or "stop" in time:
         if time.get("start") is not None:
             df = df.filter(F.col(TS) >= F.lit(time["start"]).cast("timestamp"))

@@ -190,7 +190,15 @@ class RequestManager:
             finally:
                 if timer:
                     timer.cancel()
-                self.spark.sparkContext.clearJobGroup()
+                # PySpark 4 removed SparkContext.clearJobGroup — calling it
+                # raised AttributeError in every worker thread's finally
+                # (harmless to the state machine, but each request ended in
+                # a stack trace).  Clearing the thread-local job properties
+                # is the supported equivalent (null removes the property).
+                sc = self.spark.sparkContext
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
         t = threading.Thread(target=run, name=group, daemon=True)
         self._threads[rid] = t
@@ -214,19 +222,27 @@ class RequestManager:
     def get_request_size(self, request_id: int) -> int | None:
         return self._requests[request_id].size_bytes
 
-    def download(self, request_id: int, as_zip: bool = False) -> str:
+    def download(self, request_id: int, as_zip: bool | None = None) -> str:
         """Result location for a DONE request (GET /download/{id});
         raises for any other state — mirrors the 404 path.
 
-        ``as_zip=True`` packages the (usually multi-partition) result
-        directory into ONE artifact, mirroring the reference executor's
-        zip-when-more-than-one-file behavior
-        (executor/app/main.py:127-195); the zip is built once and cached
-        next to the result."""
+        ``as_zip=None`` (the default) mirrors the reference executor's
+        behavior exactly: a result with MORE than one data file is packaged
+        into ONE zip artifact, a single-file result is returned bare
+        (executor/app/main.py:186-195 zips iff len(paths) > 1).  Bookkeeping
+        files (``_SUCCESS``, dotfiles) don't count toward the threshold but
+        ARE included in the zip so the directory round-trips.  Explicit
+        ``True``/``False`` forces either form; the zip is built once and
+        cached next to the result."""
         r = self._requests[request_id]
         if r.status != RequestStatus.DONE.value or not r.download_uri:
             raise FileNotFoundError(
                 f"request {request_id} is {r.status}, no result to download")
+        if as_zip is None:
+            data_files = [fn for dp, _, fns in os.walk(r.download_uri)
+                          for fn in fns
+                          if fn != "_SUCCESS" and not fn.startswith(".")]
+            as_zip = len(data_files) > 1
         if not as_zip:
             return r.download_uri
         zpath = os.path.join(self.store_dir, f"request-{request_id}.zip")

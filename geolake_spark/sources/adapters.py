@@ -98,31 +98,57 @@ def pattern_regex(pattern: str) -> tuple[str, list[str]]:
     return "^" + "".join(parts) + "$", fields
 
 
+def default_lister(directory: str):
+    """Deterministic local-directory lister (sorted basenames).  The lister
+    seam exists because the 100 TB layout is an object store: a bucket
+    lister (paginated ``list_objects_v2``-style, yielding key basenames in
+    lexicographic order) plugs in via ``read_patterned(list_files=...)``
+    without touching the pruning/scan logic."""
+    import os
+    return sorted(os.listdir(directory))
+
+
 def read_patterned(spark, directory: str, pattern: str,
                    fmt: str = "parquet",
-                   attr_filters: dict | None = None) -> DataFrame:
+                   attr_filters: dict | None = None,
+                   list_files=None) -> DataFrame:
     """Read a directory of pattern-named files with name parts as columns.
 
-    * files are enumerated and matched DRIVER-SIDE; ``attr_filters``
-      ({field: value-or-list}) drops non-matching files before Spark ever
-      sees them — scan-level pruning exactly like the reference's
-      partition-attribute handling (unknown filter keys are ignored here
-      and applied row-level by the subset operator downstream);
+    * files are enumerated and matched DRIVER-SIDE via ``list_files``
+      (a ``directory -> iterable of basenames`` callable, default
+      :func:`default_lister`; inject an object-store lister here);
+      ``attr_filters`` ({field: value-or-list}) drops non-matching files
+      before Spark ever sees them — scan-level pruning exactly like the
+      reference's partition-attribute handling (unknown filter keys are
+      ignored here and applied row-level by the subset operator
+      downstream);
     * the surviving files load as ONE multi-path scan (full parallelism,
       not a union of per-file plans);
     * attribute columns derive from ``input_file_name()`` via a JVM
-      ``regexp_extract`` on the basename — ordinary codegen columns, no
-      Python in the scan path.
+      ``regexp_extract`` on the percent-DECODED basename
+      (``input_file_name`` returns a URI, so a name with spaces/'%'/
+      non-ASCII would otherwise silently miss the regex and yield empty
+      attrs; literal '+' is pre-escaped so URLDecoder's plus-as-space
+      rule can't corrupt it) — ordinary codegen columns, no Python in
+      the scan path;
+    * ``attr_filters`` that prune EVERY pattern-matching file return an
+      empty DataFrame with the product's schema (same contract as a
+      fully-selective row filter); FileNotFoundError is reserved for a
+      directory where nothing matches the pattern at all.
     """
     import os
     import re
     regex, fields = pattern_regex(pattern)
     rx = re.compile(regex)
     chosen = []
-    for fn in sorted(os.listdir(directory)):
+    matched_any = None
+    for fn in sorted(list_files(directory) if list_files
+                     else default_lister(directory)):
         m = rx.match(fn)
         if not m:
             continue
+        if matched_any is None:
+            matched_any = os.path.join(directory, fn)
         attrs = dict(zip(fields, m.groups()))
         keep = True
         for k, v in (attr_filters or {}).items():
@@ -133,12 +159,19 @@ def read_patterned(spark, directory: str, pattern: str,
                     break
         if keep:
             chosen.append(os.path.join(directory, fn))
+
+    def _with_attrs(df: DataFrame) -> DataFrame:
+        raw = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        base = F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
+        for i, name in enumerate(fields):
+            df = df.withColumn(name, F.regexp_extract(base, regex, i + 1))
+        return df
+
     if not chosen:
-        raise FileNotFoundError(
-            f"no files under {directory} match pattern {pattern!r} "
-            f"with filters {attr_filters}")
-    df = spark.read.format(fmt).load(chosen)
-    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    for i, name in enumerate(fields):
-        df = df.withColumn(name, F.regexp_extract(base, regex, i + 1))
-    return df
+        if matched_any is None:
+            raise FileNotFoundError(
+                f"no files under {directory} match pattern {pattern!r}")
+        # valid product, fully-selective filter -> empty result, full schema
+        schema_df = _with_attrs(spark.read.format(fmt).load(matched_any))
+        return spark.createDataFrame([], schema_df.schema)
+    return _with_attrs(spark.read.format(fmt).load(chosen))

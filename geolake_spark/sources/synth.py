@@ -247,6 +247,75 @@ def ensure_pages_geo(base_dir: str, n_rows: int,
     return out
 
 
+# Multi-script word pools for the unicode corpus (round 4): a real web
+# corpus is mostly non-ASCII, and until r4 one non-ASCII doc per Arrow
+# batch pushed the whole batch onto the per-token Python path — this
+# corpus makes that cost visible in bench and guards the text/dedup
+# kernels against ASCII-only blind spots.  Deterministic, no external
+# data: fixed in-source pools per script.
+_SCRIPT_WORDS = {
+    "en": _WORDS,
+    "ru": np.array(("данные озеро спарк плитка запрос ячейка страница сеть "
+                    "индекс соединение точка многоугольник растр вектор "
+                    "город карта регион масштаб снимок раздел перекос").split()),
+    "zh": np.array(("数据 湖泊 火花 瓦片 查询 单元 页面 爬取 网络 索引 连接 "
+                    "点 多边形 栅格 向量 城市 地图 区域 缩放 快照 分区 倾斜").split()),
+    "ja": np.array(("データ 湖 スパーク タイル クエリ セル ページ クロール "
+                    "ウェブ インデックス 結合 ポイント ポリゴン ラスター "
+                    "ベクトル 都市 地図 領域 ズーム スナップショット").split()),
+    "el": np.array(("δεδομένα λίμνη σπινθήρας πλακίδιο ερώτημα κελί σελίδα "
+                    "ιστός ευρετήριο ένωση σημείο πολύγωνο πόλη χάρτης "
+                    "περιοχή ζουμ στιγμιότυπο διαμέρισμα").split()),
+    "de": np.array(("straße größe fußgänger gebäude flächennutzung gewässer "
+                    "verknüpfung punkt vieleck stadt karte region maßstab "
+                    "übersicht häufigkeit schlüssel spalte zeile wörter").split()),
+}
+_SCRIPT_LANGS = np.array(list(_SCRIPT_WORDS))
+# ~50% ASCII / 50% non-ASCII, mirroring a mixed web crawl
+_SCRIPT_WEIGHTS = np.array([0.50, 0.14, 0.13, 0.09, 0.07, 0.07])
+
+
+def gen_docs_multiscript(n_rows: int, seed: int = SEED,
+                         id_offset: int = 0) -> pa.Table:
+    """(doc_id, text, lang) with ~50% non-ASCII docs across 5 scripts.
+    Also sprinkles Unicode whitespace (NBSP / ideographic space) between
+    some words so the tokenizer's multi-byte whitespace handling is
+    exercised, not just multi-byte letters."""
+    rng = np.random.RandomState(seed + 23)
+    lang = rng.choice(_SCRIPT_LANGS, size=n_rows, p=_SCRIPT_WEIGHTS)
+    n_words = rng.randint(20, 120, n_rows)
+    seps = np.array([" ", " ", " ", " ", " ", "　"])
+    texts = []
+    for i in range(n_rows):
+        pool = _SCRIPT_WORDS[lang[i]]
+        words = pool[rng.randint(0, len(pool), n_words[i])]
+        sep = seps[rng.randint(0, len(seps))]
+        texts.append(sep.join(words))
+    return pa.table({
+        "doc_id": pa.array(np.arange(id_offset, id_offset + n_rows,
+                                     dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+    })
+
+
+def ensure_docs_multiscript(base_dir: str, n_rows: int) -> str:
+    out = os.path.join(base_dir, f"docs_multiscript_{n_rows}.parquet")
+    if not os.path.exists(out):
+        chunk = 125_000
+        writer = None
+        for start in range(0, n_rows, chunk):
+            n = min(chunk, n_rows - start)
+            tbl = gen_docs_multiscript(n, seed=SEED + start // chunk,
+                                       id_offset=start)
+            if writer is None:
+                writer = pq.ParquetWriter(out, tbl.schema)
+            for batch in tbl.to_batches(max_chunksize=max(n // 16, 5000)):
+                writer.write_batch(batch)
+        writer.close()
+    return out
+
+
 EMB_DIM = 64
 
 

@@ -88,10 +88,55 @@ def test_read_patterned_lifts_attrs_and_prunes_files(spark, tmp_path):
                                    attr_filters={"var": "tmax"})
     assert len(filt.inputFiles()) == 2  # file-level pruning, not row filter
     assert filt.count() == 5
+    # fully-selective filter on a VALID pattern product -> empty result
+    # with the full schema (round 4 — parity with non-pattern products;
+    # FileNotFoundError is reserved for pattern-matches-nothing)
+    empty = adapters.read_patterned(spark, str(d),
+                                    "{var}_ens_spread_{res}deg.parquet",
+                                    attr_filters={"var": "nope"})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"value", "var", "res"}
     with pytest.raises(FileNotFoundError):
         adapters.read_patterned(spark, str(d),
-                                "{var}_ens_spread_{res}deg.parquet",
-                                attr_filters={"var": "nope"})
+                                "{var}_no_such_{res}thing.parquet")
+
+
+def test_read_patterned_injected_lister(spark, tmp_path):
+    """The file-enumeration seam: an object-store-style lister callable
+    replaces os.listdir (round 4 — the 100 TB layout is a bucket)."""
+    d = _write_patterned_drop(tmp_path)
+    calls = []
+
+    def fake_lister(directory):
+        calls.append(directory)
+        # unsorted + extra junk: read_patterned must sort and pattern-filter
+        return ["tmax_ens_spread_1deg.parquet", "junk.bin",
+                "tmax_ens_spread_0.5deg.parquet"]
+
+    df = adapters.read_patterned(spark, str(d),
+                                 "{var}_ens_spread_{res}deg.parquet",
+                                 list_files=fake_lister)
+    assert calls == [str(d)]
+    assert df.count() == 5  # tmin file invisible to this lister
+    assert set(df.select("res").distinct().toPandas()["res"]) == {"0.5", "1"}
+
+
+def test_read_patterned_uri_hostile_basenames(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; basenames with
+    spaces, '%', '+' and non-ASCII must still yield correct attribute
+    values (round 4 — until then they silently decoded to '')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "hostile"
+    d.mkdir()
+    names = ["t max_v_a b.parquet", "p%cnt_v_50%.parquet",
+             "c+plus_v_a+b.parquet", "tmaxé_v_0.5°.parquet"]
+    for i, fn in enumerate(names):
+        pq.write_table(pa.table({"value": pa.array([float(i)])}), d / fn)
+    df = adapters.read_patterned(spark, str(d), "{var}_v_{res}.parquet")
+    got = {(r["var"], r["res"]) for r in df.select("var", "res").collect()}
+    assert got == {("t max", "a b"), ("p%cnt", "50%"),
+                   ("c+plus", "a+b"), ("tmaxé", "0.5°")}
 
 
 def test_catalog_pattern_product_prunes_at_scan(spark, tmp_path):

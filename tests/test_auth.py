@@ -74,3 +74,22 @@ def test_auth_gates_catalog_visibility(spark, synth_paths):
     assert cat.list_datasets(roles=store.authenticate(insider)) == ["secret"]
     assert cat.list_datasets(roles=store.authenticate(outsider)) == []
     assert cat.list_datasets(roles=store.authenticate(None)) == []
+
+
+def test_add_user_rejects_non_uuid_id():
+    """parse_token only accepts UUID user ids, so add_user minting a token
+    for a non-UUID id would produce credentials that can never
+    authenticate — reject at creation instead (round-4 ADVICE fix)."""
+    import uuid
+
+    import pytest
+
+    from geolake_spark.auth import UserStore
+    store = UserStore()
+    with pytest.raises(ValueError, match="UUID"):
+        store.add_user("alice", user_id="alice")
+    # explicit UUID ids still work end-to-end
+    uid = str(uuid.uuid4())
+    token = store.add_user("alice", roles=["internal"], user_id=uid)
+    assert token.startswith(uid + ":")
+    assert store.authenticate(token) == ["internal"]

@@ -167,11 +167,71 @@ def test_fast_tokenizer_bit_identical_to_python_split():
     assert np.array_equal(hv_fast, sim._hash_shingles(toks))
     assert list(c_fast) == [len(s.split()) for s in cases]
     t2 = pd.Series(["tëst ünïcode", "plain ascii"])
-    assert sim._tokenize_flat(t2) is None  # unicode -> exact fallback
+    assert sim._tokenize_flat(t2) is not None  # r4: unicode stays fast-path
     hv2, c2 = sim._token_hashes_batch(t2)
     toks2, c2s = sim._tokenize_batch(t2)
     assert np.array_equal(hv2, sim._hash_shingles(toks2))
     assert np.array_equal(c2, c2s)
+    t3 = pd.Series(["a", None, "b"])
+    assert sim._tokenize_flat(t3) is None  # non-str -> exact fallback
+
+
+def test_utf8_tokenizer_bit_identical_on_mixed_scripts():
+    """Round-4 UTF-8 byte-mask tokenizer: for any mix of scripts and any
+    Unicode whitespace char str.split() honors, the vectorized path must
+    yield the same token FNV hashes and per-doc counts as the exact
+    per-token path (VERDICT r3 #1 — real web corpora are mostly
+    non-ASCII, and until r4 one such doc reverted the whole batch to
+    per-token Python)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from geolake_spark.functions import sim
+
+    fixed = [
+        "Füße GRÖẞE straße im café",
+        "日本語　テキスト　です spaces",
+        "nbsp separated tokens and linesep para",
+        "Привет мир ЭТО ТЕКСТ",
+        "İstanbul I İ dotted",         # lower() changes byte LENGTH (İ -> i̇)
+        "emoji 😀 token  ogham ",
+        "thin space narrow medium math",
+        "nel\x85between\x85tokens",
+        "", "   ", "　　",
+    ]
+    t = pd.Series(fixed)
+    fast = sim._tokenize_flat(t)
+    assert fast is not None
+    flat, offs, lens, counts = fast
+    toks, c_slow = sim._tokenize_batch(t)
+    assert np.array_equal(counts, c_slow)
+    assert np.array_equal(sim._fnv_flat(flat, offs, lens),
+                          sim._hash_shingles(toks))
+    # byte slices decode to exactly str.split()'s tokens
+    rec = [bytes(flat[o:o + l]).decode("utf-8")
+           for o, l in zip(offs, lens)]
+    assert rec == toks
+
+    # fuzz over the COMPLETE isspace() codepoint set (split's predicate)
+    ws_chars = [c for c in map(chr, range(0x110000)) if c.isspace()]
+    alphabet = list("abcXYZ09") + ["中", "ß", "İ", "é", "Ж", "😀", "ᚠ"]
+    rng = random.Random(42)
+    for _ in range(25):
+        docs = []
+        for _ in range(rng.randint(1, 30)):
+            parts = []
+            for _ in range(rng.randint(0, 25)):
+                parts.append(rng.choice(alphabet) * rng.randint(1, 4))
+                parts.append(rng.choice(ws_chars) * rng.randint(1, 3))
+            docs.append("".join(parts))
+        s = pd.Series(docs)
+        flat, offs, lens, counts = sim._tokenize_flat(s)
+        toks, c_slow = sim._tokenize_batch(s)
+        assert np.array_equal(counts, c_slow)
+        assert np.array_equal(sim._fnv_flat(flat, offs, lens),
+                              sim._hash_shingles(toks))
 
 
 def test_connected_components_matches_union_find(spark):

@@ -32,7 +32,7 @@ def test_request_lifecycle_done(catalog, spark):
                                  {"filters": {"lang": "en"}})
     status = catalog.requests.wait(rid, timeout_s=120)
     assert status == RequestStatus.DONE.value
-    path = catalog.download(rid)
+    path = catalog.download(rid, as_zip=False)
     out = spark.read.parquet(path)
     assert out.count() > 0
     assert set(out.select("lang").distinct().toPandas()["lang"]) == {"en"}
@@ -56,7 +56,7 @@ def test_download_as_zip_single_artifact(catalog, spark, tmp_path):
     import zipfile
     rid = catalog.submit_execute("web", "pages", {})
     assert catalog.requests.wait(rid, timeout_s=120) == RequestStatus.DONE.value
-    dirpath = catalog.download(rid)
+    dirpath = catalog.download(rid, as_zip=False)
     zpath = catalog.download(rid, as_zip=True)
     assert zpath.endswith(f"request-{rid}.zip") and os.path.exists(zpath)
     with zipfile.ZipFile(zpath) as z:
@@ -71,6 +71,52 @@ def test_download_as_zip_single_artifact(catalog, spark, tmp_path):
             == spark.read.parquet(dirpath).count())
     # cached: second call reuses the artifact
     assert catalog.download(rid, as_zip=True) == zpath
+
+
+def test_download_auto_zip_default(catalog, spark, tmp_path):
+    """Round 4: the DEFAULT download mirrors the reference exactly — a
+    multi-data-file result auto-zips, a single-file result stays bare
+    (executor/app/main.py:186-195 zips iff len(paths) > 1)."""
+    import os
+
+    rid = catalog.submit_execute("web", "pages", {})
+    assert catalog.requests.wait(rid, timeout_s=120) == RequestStatus.DONE.value
+    dirpath = catalog.download(rid, as_zip=False)
+    n_data = len([fn for dp, _, fns in os.walk(dirpath) for fn in fns
+                  if fn != "_SUCCESS" and not fn.startswith(".")])
+    got = catalog.download(rid)
+    if n_data > 1:
+        assert got.endswith(".zip") and os.path.exists(got)
+    else:
+        assert got == dirpath
+
+    # force a single-file result via coalesce(1): stays bare by default
+    def plan():
+        return spark.range(5).coalesce(1)
+    rid2 = catalog.requests.submit(plan, "web", "pages")
+    assert catalog.requests.wait(rid2, timeout_s=120) == RequestStatus.DONE.value
+    bare = catalog.download(rid2)
+    assert not bare.endswith(".zip")
+    assert spark.read.parquet(bare).count() == 5
+
+
+def test_request_worker_thread_exits_clean(catalog):
+    """PySpark 4 removed SparkContext.clearJobGroup; until round 4 every
+    request worker thread died with AttributeError in its finally block
+    (the state machine survived, masking it).  Assert the worker thread
+    raises nothing at all."""
+    import threading
+
+    seen = []
+    orig = threading.excepthook
+    threading.excepthook = lambda a: seen.append(a)
+    try:
+        rid = catalog.submit_execute("web", "pages", {"filters": {"lang": "en"}})
+        assert catalog.requests.wait(rid, timeout_s=120) == RequestStatus.DONE.value
+        catalog.requests._threads[rid].join(timeout=30)
+    finally:
+        threading.excepthook = orig
+    assert not seen, f"request worker raised: {seen}"
 
 
 def test_request_failure_reason(catalog):
@@ -119,14 +165,14 @@ def test_format_sinks(catalog, spark, tmp_path):
     rid = catalog.submit_execute(
         "web", "pages", {"filters": {"lang": "de"}, "format": "json"})
     assert catalog.requests.wait(rid, timeout_s=120) == "DONE"
-    rows = spark.read.json(catalog.download(rid))
+    rows = spark.read.json(catalog.download(rid, as_zip=False))
     assert rows.count() > 0
 
     rid2 = catalog.submit_execute(
         "web", "pages", {"filters": {"lang": "de"}, "format": "geojson"})
     assert catalog.requests.wait(rid2, timeout_s=120) == "DONE"
     feats = [json.loads(r["value"]) for r in
-             spark.read.text(catalog.download(rid2)).collect()]
+             spark.read.text(catalog.download(rid2, as_zip=False)).collect()]
     assert feats and all(f["type"] == "Feature" and
                          f["geometry"]["type"] == "Point" for f in feats)
 

@@ -116,3 +116,19 @@ def test_apply_location_windowed_equals_per_probe(obs):
     assert per_probe.count() == windowed.count()
     # auto-switch kicks in above the threshold (no per-probe plan union)
     assert subset.MANY_LOCATION_PROBES < 150
+
+
+def test_apply_time_rejects_non_temporal_axis(spark):
+    """Round 4: a string/numeric ts column must raise (the reference
+    blacklists non-standard-calendar datasets, datastore.py:133-138 —
+    silent implicit casts are the Spark analogue of that wrong-rows
+    failure), while date/timestamp axes pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geolake_spark.operators import subset as sub
+    df_str = spark.createDataFrame([("2024-01-01",)], ["ts"])
+    with pytest.raises(TypeError, match="non-temporal"):
+        sub.apply_time(df_str, {"start": "2024-01-01"})
+    df_ok = df_str.select(F.col("ts").cast("timestamp"))
+    assert sub.apply_time(df_ok, {"start": "2024-01-01"}).count() == 1
