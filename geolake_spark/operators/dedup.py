@@ -22,6 +22,37 @@ from pyspark.sql import functions as F
 from geolake_spark.functions import sim
 from geolake_spark.functions.text import fingerprint_col
 
+# ---------------------------------------------------------------------------
+# Persisted-tier registry.  The pair generators below persist intermediate
+# tiers (signatures / shingles / buckets) because each feeds 2-4 plan
+# consumers — without persist Spark re-runs the expensive UDF per consumer.
+# Spark cannot know when the CALLER is done with the returned DataFrame, so
+# the tiers stay cached until released: long-lived sessions (servers, bench
+# loops) must call release_caches() after materializing each result, or
+# executor storage grows without bound (round-4 ADVICE fix).
+# ---------------------------------------------------------------------------
+
+_PERSISTED_TIERS: list[DataFrame] = []
+
+
+def _persist_tier(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+    handle = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_TIERS.append(handle)
+    return handle
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every tier cached by the dedup pair generators; returns
+    how many were released.  Call AFTER fully materializing the returned
+    pair DataFrames — a released tier silently recomputes (correct but
+    slow) if the pair plan re-executes afterwards."""
+    n = 0
+    while _PERSISTED_TIERS:
+        _PERSISTED_TIERS.pop().unpersist(blocking)
+        n += 1
+    return n
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -40,15 +71,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Signatures are Arrow-batched vectorized NumPy (token-hash combination,
     no per-shingle Python — see sim.make_minhash_udf; the JVM explode-agg
     and per-row-HOF formulations were benchmarked and are 2-10x slower)."""
-    from pyspark import StorageLevel
     mh = sim.make_minhash_udf(num_perm=num_perm)
     # Signatures are persisted: they feed the band explode AND the two
     # payload re-joins below; without persist Spark would re-run the UDF
     # (the dominant cost) once per consumer.  At 100 TB this tier would be
     # written to a signatures table — MEMORY_AND_DISK is the local analogue.
-    sigs = (df.select(F.col(id_col).alias("id"),
-                      mh(F.col(text_col)).alias("minhash"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # Cache lifetime is the caller's: see release_caches().
+    sigs = _persist_tier(df.select(F.col(id_col).alias("id"),
+                                   mh(F.col(text_col)).alias("minhash")))
     banded = (sim.lsh_bands(sigs, "minhash", num_perm, bands)
               .select("id", "band_id", "band_hash"))
     a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
@@ -89,12 +119,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             f"need bands > max_hamming")
     if bands > 64:
         raise ValueError("at most 64 one-bit bands over a 64-bit signature")
-    from pyspark import StorageLevel
     # persisted: feeds the chunk explode AND both payload branches (the
-    # simhash UDF would otherwise re-run per plan consumer)
-    sh = (df.select(F.col(id_col).alias("id"),
-                    sim.simhash_udf(F.col(text_col)).alias("simhash"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    # simhash UDF would otherwise re-run per plan consumer); released via
+    # release_caches()
+    sh = _persist_tier(df.select(F.col(id_col).alias("id"),
+                                 sim.simhash_udf(F.col(text_col))
+                                 .alias("simhash")))
     # chunk widths cover all 64 bits (wider chunks first when 64 % bands != 0)
     widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
     shifts = [sum(widths[:i]) for i in range(bands)]
@@ -128,13 +158,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     |A∩B|, set sizes via a pre-agg, |A∪B| = |A|+|B|-|A∩B|.  The join key is
     the shingle itself — common shingles are the skew risk, so extremely
     frequent shingles (df > 1000) are dropped (stop-shingles), stated."""
-    from pyspark import StorageLevel
     # persisted: the distinct shingle table feeds the frequency agg, the
     # size agg and both join branches — four consumers that would each
-    # re-scan and re-shingle the corpus otherwise
-    shingled = (df.select(F.col(id_col).alias("id"),
-                          F.explode(sim.shingles_col(F.col(text_col), n)).alias("sh"))
-                .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    # re-scan and re-shingle the corpus otherwise; released via
+    # release_caches()
+    shingled = _persist_tier(
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(sim.shingles_col(F.col(text_col), n)).alias("sh"))
+        .distinct())
     freq = shingled.groupBy("sh").agg(F.count("*").alias("df_count"))
     shingled = (shingled.join(freq, "sh").filter(F.col("df_count") <= 1000)
                 .select("id", "sh"))
@@ -188,14 +219,14 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             dim = 1
         else:
             dim = len(head[0][0])
-    from pyspark import StorageLevel
     planes = sim.rh_planes(dim, n_tables, n_planes, seed)
     bucketer = sim.make_rh_bucket_udf(planes)
     # persisted: feeds the bucket explode AND the two vector re-joins (the
-    # bucketing UDF would otherwise re-run per consumer)
-    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      bucketer(F.col(vec_col)).alias("bks"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # bucketing UDF would otherwise re-run per consumer); released via
+    # release_caches()
+    base = _persist_tier(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  bucketer(F.col(vec_col)).alias("bks")))
     e = base.select("id", F.posexplode("bks").alias("table_id", "bucket"))
     counts = e.groupBy("table_id", "bucket").agg(F.count("*").alias("bsz"))
     capped = (e.join(F.broadcast(counts), ["table_id", "bucket"])
@@ -221,50 +252,95 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             .select("id_a", "id_b", "cosine"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u (over the SYMMETRIZED neighborhood), attach every
+    strictly-larger neighbor v to m(u) = min(N(u) ∪ {u}).  Emitted edges
+    (v, m) have v > u >= m, so no self-loops."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    m = (sym.groupBy("src").agg(F.min("dst").alias("m"))
+         .withColumn("m", F.least("m", F.col("src"))))
+    return (sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge toward its larger endpoint, then for each node u
+    attach u and all its (smaller) neighbors to m(u) = min of them."""
+    oriented = edges.select(F.greatest("src", "dst").alias("src"),
+                            F.least("src", "dst").alias("dst"))
+    m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(m, "src")
+    return (joined.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m.select("src", F.col("m").alias("dst"))))
+
+
+def _pointer_jump(edges: DataFrame) -> DataFrame:
+    """Path-halving accelerator over the (strictly descending) edge set
+    produced by :func:`_small_star`: every edge (a, b) is rewritten to
+    (a, P(b)) where P(b) is b's smallest out-neighbor (b itself for
+    sinks).  Undirected connectivity is preserved — b stays linked to
+    P(b) through its own rewritten rows — and chains halve again per
+    round, roughly doubling the contraction rate of the star pair."""
+    p = edges.groupBy("src").agg(F.min("dst").alias("p"))
+    return (edges.join(p.withColumnRenamed("src", "dst"), "dst", "left")
+            .select("src", F.coalesce("p", "dst").alias("dst")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """(id, component) for every id appearing in ``pairs`` — component =
     min id reachable through the pair graph (the canonical representative
     a dedup pipeline keeps).
 
-    Distributed min-label propagation: labels start as the id itself; each
-    round every node takes the min of its own label and its neighbors'
-    labels (one shuffle join + one aggregation per round), stopping when a
-    round changes nothing.  Rounds needed = graph diameter — near-dup
-    clusters are small and dense, so this converges in a handful of
-    rounds; ``max_iters`` guards pathological chains (raise it for
-    adversarial inputs).  Lineage is truncated every round
-    (localCheckpoint) so plans stay flat at any scale."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = (edges.union(edges.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-           .distinct().localCheckpoint(eager=True))
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, reimplemented here as DataFrame ops): each round runs both
+    star operations (a groupBy-min + re-emit join each) and converges in
+    O(log n) rounds on ANY graph shape — the round-3 min-label propagation
+    needed O(diameter) rounds, which an adversarial chain corpus turns
+    into thousands.  Convergence is detected from a (count, hash-sum)
+    fingerprint aggregated over the checkpointed edge set — one cheap scan
+    per round, not the extra labels-join + count() the old loop paid.
+    Lineage is truncated every round (localCheckpoint) so plans stay flat.
+    At the fixed point the edge set is a star forest (v -> component min);
+    labels read off the edges directly."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint(eager=True))
+    # every input node, so single-pair and isolated-after-filter nodes
+    # still get a label at the end
+    fingerprint = None
+    rounds = 0
     for _ in range(max_iters):
-        neigh = (sym.join(labels.withColumnRenamed("id", "dst")
-                          .withColumnRenamed("label", "n_label"), "dst")
-                 .groupBy("src").agg(F.min("n_label").alias("min_neigh")))
-        new_labels = (labels.join(neigh.withColumnRenamed("src", "id"),
-                                  "id", "left")
-                      .select("id", F.least(
-                          F.col("label"),
-                          F.coalesce(F.col("min_neigh"), F.col("label")))
-                          .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("label", "new_label")
-                   .join(labels, "id")
-                   .filter(F.col("new_label") != F.col("label")).count())
-        labels = new_labels
-        if changed == 0:
+        edges = (_pointer_jump(_small_star(_large_star(edges))).distinct()
+                 .localCheckpoint(eager=True))
+        rounds += 1
+        # bit_xor: order-insensitive, overflow-free under ANSI mode (a
+        # sum() of 64-bit hashes overflows LongType); edges are distinct
+        # so xor-cancellation of repeated rows can't occur
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")),
+                       F.lit(0)).alias("h")).first()
+        new_fp = (row["n"], row["h"])
+        if new_fp == fingerprint:
             break
+        fingerprint = new_fp
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
-            f"(graph diameter exceeds max_iters)")
-    return labels.select(F.col("id"), F.col("label").alias("component"))
+            f"connected_components did not converge in {max_iters} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+    return (edges.select(F.col("src").alias("id"),
+                         F.col("dst").alias("component"))
+            .union(edges.select(F.col("dst").alias("id"),
+                                F.col("dst").alias("component")))
+            .distinct())
 
 
 def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -291,3 +291,42 @@ def test_connected_components_diameter_guard(spark):
         dedup.connected_components(pairs, max_iters=2)
     out = dedup.connected_components(pairs, max_iters=15).collect()
     assert {r["component"] for r in out} == {0}
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    """Round 4: alternating large-star/small-star must converge in O(log n)
+    rounds on the worst case for label propagation — a long path.  10k-node
+    path: old min-label propagation needed ~10k rounds (it raised at
+    max_iters); star contraction must finish well under 15 and produce the
+    single correct component."""
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    stats = {}
+    comp = dedup.connected_components(pairs, max_iters=20, stats=stats)
+    rows = comp.collect()
+    assert stats["rounds"] < 15, stats
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    assert {r["id"] for r in rows} == set(range(n))
+
+
+def test_dedup_release_caches(spark):
+    """The pair generators persist intermediate tiers; release_caches()
+    must unpersist every one of them (round-4 ADVICE: a long-lived session
+    otherwise accumulates cached blocks without bound)."""
+    import pandas as pd
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"alpha beta gamma delta epsilon zeta token{i}" for i in range(40)],
+    })
+    df = spark.createDataFrame(docs)
+    dedup.release_caches()  # clean slate
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.5)
+    pairs.count()
+    sh = dedup.simhash_pairs(df)
+    sh.count()
+    released = dedup.release_caches()
+    assert released == 2
+    assert dedup._PERSISTED_TIERS == []
+    # idempotent
+    assert dedup.release_caches() == 0
