@@ -353,7 +353,7 @@ def _s2_face_uv(lat, lon):
         (np.select([face == 0, face == 1], [x, y], default=z)) < 0, 3, 0)
     # u, v per face (s2geometry ValidFaceXYZtoUV).  np.select evaluates every
     # branch, so unselected faces divide by ~0 — silence and let select pick.
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         return _s2_face_uv_select(face, x, y, z)
 
 
