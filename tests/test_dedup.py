@@ -330,3 +330,26 @@ def test_dedup_release_caches(spark):
     assert dedup._PERSISTED_TIERS == []
     # idempotent
     assert dedup.release_caches() == 0
+
+
+def test_minhash_lsh_multiscript_planted(spark):
+    """Planted near-dups in non-Latin scripts must be found exactly like
+    ASCII ones (round 4 — guards the dedup path against ASCII-only blind
+    spots; the corpus generator is the same one bench's minhash_sigs_uni
+    uses)."""
+    from geolake_spark.sources import synth
+    tbl = synth.gen_docs_multiscript(300, seed=11)
+    base = spark.createDataFrame(tbl.to_pandas())
+    # exact dup of doc 0 and near-dup (two words appended) of one RU doc
+    ru_id = next(r["doc_id"] for r in base.filter(F.col("lang") == "ru")
+                 .select("doc_id").limit(1).collect())
+    extra = base.filter(F.col("doc_id").isin([0, int(ru_id)])).selectExpr(
+        "doc_id + 1000 as doc_id",
+        "case when doc_id = 0 then text else concat(text, ' хвост конец') end as text",
+        "lang")
+    corpus = base.unionByName(extra)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    dedup.release_caches()
+    assert (0, 1000) in pairs
+    assert (int(ru_id), int(ru_id) + 1000) in pairs
