@@ -80,11 +80,16 @@ class UserStore:
         (round-4 ADVICE fix)."""
         if user_id is not None:
             try:
-                uuid.UUID(user_id, version=4)
+                canonical = str(uuid.UUID(user_id, version=4))
             except ValueError:
+                canonical = None
+            # canonical-form equality, not just parseability: uuid.UUID
+            # accepts 'urn:uuid:...' and braced/undashed forms whose ':'
+            # or shape would make parse_token reject the minted token
+            if canonical != (user_id or "").lower():
                 raise ValueError(
-                    f"user_id {user_id!r} must be a UUID (tokens with "
-                    f"non-UUID ids can never authenticate)") from None
+                    f"user_id {user_id!r} must be a canonical dashed UUID "
+                    f"(tokens with other forms can never authenticate)")
         uid = user_id or str(uuid.uuid4())
         key = secrets.token_urlsafe(32)
         self._users[uid] = User(user_id=uid, key_hash=_key_hash(key),

@@ -32,24 +32,36 @@ from geolake_spark.functions.text import fingerprint_col
 # executor storage grows without bound (round-4 ADVICE fix).
 # ---------------------------------------------------------------------------
 
-_PERSISTED_TIERS: list[DataFrame] = []
+import threading as _threading
+
+_TIER_REGISTRY = _threading.local()
+
+
+def _tier_list() -> list[DataFrame]:
+    if not hasattr(_TIER_REGISTRY, "tiers"):
+        _TIER_REGISTRY.tiers = []
+    return _TIER_REGISTRY.tiers
 
 
 def _persist_tier(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
     handle = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED_TIERS.append(handle)
+    _tier_list().append(handle)
     return handle
 
 
 def release_caches(blocking: bool = False) -> int:
-    """Unpersist every tier cached by the dedup pair generators; returns
-    how many were released.  Call AFTER fully materializing the returned
-    pair DataFrames — a released tier silently recomputes (correct but
-    slow) if the pair plan re-executes afterwards."""
+    """Unpersist every tier cached by THIS THREAD's dedup pair-generator
+    calls; returns how many were released.  The registry is thread-local
+    so concurrent pipelines (e.g. RequestManager worker threads) can't
+    release each other's still-in-use tiers.  Call AFTER fully
+    materializing the returned pair DataFrames — a released tier silently
+    recomputes (correct but slow) if the pair plan re-executes
+    afterwards."""
+    tiers = _tier_list()
     n = 0
-    while _PERSISTED_TIERS:
-        _PERSISTED_TIERS.pop().unpersist(blocking)
+    while tiers:
+        tiers.pop().unpersist(blocking)
         n += 1
     return n
 
@@ -75,13 +87,20 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
         buckets = buckets.filter(F.size("ids") <= cap)
     buckets = buckets.select(F.array_sort("ids").alias("ids"))
     n = F.size("ids")
-    pairs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, n),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    out = (buckets.select(F.explode(pairs).alias("p"))
-           .select("p.id_a", "p.id_b"))
+    # two-level explode, NOT one flattened k^2/2 array: a flatten() of all
+    # in-bucket pairs materializes them in a single row, which a mega-
+    # bucket (e.g. every <n-token doc shares the sentinel signature) turns
+    # into one multi-GB array / 2^31-element overflow.  posexplode to one
+    # row per (bucket, i) first, then each row's pair tail is <= k
+    # elements and the k^2 stream is row-at-a-time, exactly like the old
+    # self-join's output.  The strict < filter drops self-pairs that
+    # duplicated input ids would otherwise produce ([x, x] buckets),
+    # matching the old join's id_a < id_b condition.
+    expanded = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    out = (expanded.select(
+        "id_a",
+        F.explode(F.slice("ids", F.col("i") + 2, n)).alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b")))
     return out.distinct() if dedupe else out
 
 
@@ -327,11 +346,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Lineage is truncated every round (localCheckpoint) so plans stay flat.
     At the fixed point the edge set is a star forest (v -> component min);
     labels read off the edges directly."""
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .filter(F.col("src") != F.col("dst"))
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # node set captured BEFORE dropping self-pairs: an id appearing only
+    # as (x, x) has no surviving edge, but the contract is a label for
+    # EVERY id in ``pairs`` — it re-enters via the final left join
+    nodes = (raw.select(F.col("src").alias("id"))
+             .union(raw.select(F.col("dst").alias("id")))
              .distinct().localCheckpoint(eager=True))
-    # every input node, so single-pair and isolated-after-filter nodes
-    # still get a label at the end
+    edges = (raw.filter(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint(eager=True))
     fingerprint = None
     rounds = 0
     for _ in range(max_iters):
@@ -354,11 +377,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             f"connected_components did not converge in {max_iters} rounds")
     if stats is not None:
         stats["rounds"] = rounds
-    return (edges.select(F.col("src").alias("id"),
-                         F.col("dst").alias("component"))
-            .union(edges.select(F.col("dst").alias("id"),
-                                F.col("dst").alias("component")))
-            .distinct())
+    labels = (edges.select(F.col("src").alias("id"),
+                           F.col("dst").alias("component"))
+              .union(edges.select(F.col("dst").alias("id"),
+                                  F.col("dst").alias("component")))
+              .distinct())
+    # self-pair-only ids have no edge at all: their component is themselves
+    return (nodes.join(labels, "id", "left")
+            .select("id", F.coalesce("component", F.col("id"))
+                    .alias("component")))
 
 
 def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -93,3 +93,22 @@ def test_add_user_rejects_non_uuid_id():
     token = store.add_user("alice", roles=["internal"], user_id=uid)
     assert token.startswith(uid + ":")
     assert store.authenticate(token) == ["internal"]
+
+
+def test_add_user_rejects_non_canonical_uuid_forms():
+    """uuid.UUID() accepts urn:uuid:/braced/undashed forms whose ':' or
+    shape parse_token rejects — add_user must require the canonical
+    dashed form (round-4 review fix)."""
+    import pytest
+
+    from geolake_spark.auth import UserStore
+    store = UserStore()
+    for bad in ("urn:uuid:12345678-1234-4678-9234-567812345678",
+                "{12345678-1234-4678-9234-567812345678}",
+                "12345678123446789234567812345678"):
+        with pytest.raises(ValueError, match="canonical"):
+            store.add_user("x", user_id=bad)
+    # uppercase dashed is canonical modulo case -> accepted
+    up = "12345678-1234-4678-9234-567812345678".upper()
+    token = store.add_user("x", roles=["r"], user_id=up)
+    assert store.authenticate(token) == ["r"]

@@ -327,7 +327,7 @@ def test_dedup_release_caches(spark):
     sh.count()
     released = dedup.release_caches()
     assert released == 2
-    assert dedup._PERSISTED_TIERS == []
+    assert dedup._tier_list() == []
     # idempotent
     assert dedup.release_caches() == 0
 
@@ -353,3 +353,61 @@ def test_minhash_lsh_multiscript_planted(spark):
     dedup.release_caches()
     assert (0, 1000) in pairs
     assert (int(ru_id), int(ru_id) + 1000) in pairs
+
+
+def test_bucket_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """A doc_id ingested twice lands twice in a band bucket; the pair
+    generator must not emit (x, x) (round-4 review fix — the collect_list
+    path produced self-pairs where the old strict-< join emitted none)."""
+    import pandas as pd
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)]
+    rows.append((1, "alpha beta gamma delta epsilon zeta"))  # dup id 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    dedup.release_caches()
+    assert all(r["id_a"] != r["id_b"] for r in out)
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_bucket_pairs_streams_mega_bucket(spark):
+    """A degenerate bucket (here: 3000 empty-shingle docs sharing the
+    sentinel signature) must stream its pairs row-at-a-time, not
+    materialize one k^2/2 flattened array per bucket (round-4 review fix).
+    3000 docs -> ~4.5M pairs; with the single-row flatten this allocated
+    one 4.5M-struct array per band — at web scale one such bucket OOMs an
+    executor."""
+    df = spark.range(3000).selectExpr("id as doc_id", "'ab' as text")
+    n = dedup.minhash_lsh_pairs(df, threshold=0.5).count()
+    dedup.release_caches()
+    assert n == 3000 * 2999 // 2
+
+
+def test_connected_components_keeps_self_pair_only_ids(spark):
+    """An id appearing only in a self-pair (x, x) must still get a label
+    (itself) — the contract is a label for every id in ``pairs``
+    (round-4 review fix)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5), (2, 3)], "id_a: long, id_b: long")
+    rows = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 5: 5}
+
+
+def test_release_caches_is_thread_local(spark):
+    """release_caches() in one thread must not touch tiers registered by
+    another (round-4 review fix — concurrent request pipelines)."""
+    import threading
+
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(10),
+         "text": [f"alpha beta gamma delta tok{i}" for i in range(10)]}))
+    dedup.release_caches()
+    dedup.minhash_lsh_pairs(df, threshold=0.5).count()  # tier in MAIN thread
+    other = {}
+    def worker():
+        other["released"] = dedup.release_caches()
+    t = threading.Thread(target=worker)
+    t.start(); t.join()
+    assert other["released"] == 0           # other thread sees nothing
+    assert dedup.release_caches() == 1      # ours still here, released now
