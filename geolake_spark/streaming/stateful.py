@@ -114,6 +114,94 @@ def _make_dedup_fn(max_state: int, ttl_ms: int | None):
     return _dedup_fn
 
 
+NEARDUP_OUTPUT = T.StructType([
+    T.StructField("id_a", T.StringType()),
+    T.StructField("id_b", T.StringType()),
+    T.StructField("sig_sim", T.DoubleType()),
+])
+NEARDUP_STATE = T.StructType([
+    T.StructField("ids", T.ArrayType(T.StringType())),
+    T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+])
+
+
+def _make_neardup_fn(num_perm: int, threshold: float, max_state: int,
+                     ttl_ms: int | None):
+    def _neardup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["id_a", "id_b", "sig_sim"])
+            return
+        if state.exists:
+            ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            ids, sigs = [], []
+        mat = (np.asarray(sigs, dtype=np.int64) if sigs
+               else np.zeros((0, num_perm), dtype=np.int64))
+        out = []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["id"], pdf["minhash"]):
+                v = np.asarray(list(sig), dtype=np.int64)
+                if len(mat):
+                    sim = (mat == v[None, :]).mean(axis=1)
+                    for j in np.nonzero(sim >= threshold)[0]:
+                        a, b = sorted((str(ids[j]), str(doc_id)))
+                        out.append({"id_a": a, "id_b": b,
+                                    "sig_sim": round(float(sim[j]), 6)})
+                ids.append(str(doc_id))
+                mat = np.vstack([mat, v[None, :]])
+        if len(ids) > max_state:  # recency eviction, like exact dedup
+            ids = ids[-max_state:]
+            mat = mat[-max_state:]
+        state.update((ids, [[int(x) for x in row] for row in mat]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "sig_sim"])
+    return _neardup_fn
+
+
+def streaming_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", num_perm: int = 64,
+                            bands: int = 16, threshold: float = 0.5,
+                            max_state_per_bucket: int = 256,
+                            ttl_minutes: float | None = None) -> DataFrame:
+    """Streaming MinHash near-dup: every arriving doc is compared against
+    the signatures previously seen in ITS LSH band buckets, emitting
+    (id_a, id_b, sig_sim) pairs as they are discovered — the streaming
+    counterpart of :func:`operators.dedup.minhash_lsh_pairs` (engine
+    extension beyond the reference, which has no streaming).
+
+    Plan shape: vectorized signature UDF (the same zero-per-token kernel
+    as the batch path) -> band explode -> ``applyInPandasWithState`` keyed
+    by (band_id, band_hash), state = the bucket's recent (id, signature)
+    list.  Same-batch pairs are found too (docs process sequentially
+    within a bucket).  A pair sharing several band buckets emits once per
+    bucket — run a windowed/foreachBatch distinct downstream if exact-once
+    pairs matter; the duplicate rate is bounded by ``bands``.
+
+    State is BOUNDED: ``max_state_per_bucket`` newest signatures per
+    bucket (evicted partners stop pairing — the stated trade, mirroring
+    the exact-dedup cap) and an optional idle-bucket TTL.  At 100 TB the
+    state store shards by the band-hash key, which is uniform by
+    construction — no hot-bucket skew beyond genuine near-dup clusters."""
+    from geolake_spark.functions import sim as _sim
+    mh = _sim.make_minhash_udf(num_perm=num_perm)
+    sigs = docs.select(F.col(id_col).cast("string").alias("id"),
+                       mh(F.col(text_col)).alias("minhash"))
+    banded = (_sim.lsh_bands(sigs, "minhash", num_perm, bands)
+              .select("id", "minhash", "band_id", "band_hash"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_minutes is not None else GroupStateTimeout.NoTimeout)
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
+    return (banded.groupBy("band_id", "band_hash")
+            .applyInPandasWithState(
+                _make_neardup_fn(num_perm, threshold,
+                                 max_state_per_bucket, ttl_ms),
+                NEARDUP_OUTPUT, NEARDUP_STATE, "append", timeout))
+
+
 def streaming_exact_dedup(pages: DataFrame,
                           max_state: int = DEDUP_MAX_STATE,
                           ttl_minutes: float | None = None) -> DataFrame:

@@ -63,3 +63,34 @@ def test_streaming_dedup_state_is_bounded(spark, pages, tmp_path):
     assert out.select("fp").distinct().count() == n_unique
     assert out.count() > n_unique  # proof the cap actually evicted
     assert out.count() <= 2 * n_unique
+
+
+def test_streaming_neardup_matches_batch_pairs(spark, pages, tmp_path):
+    """Streaming MinHash near-dup (round 4): pairs found across micro-
+    batches must equal the batch operator's pairs on the same corpus
+    (modulo per-band duplicate emissions, removed by a distinct)."""
+    from pyspark.sql import functions as F
+
+    from geolake_spark.operators import dedup
+
+    drop = str(tmp_path / "drop")
+    base = pages.limit(120).selectExpr("url as doc_id", "text")
+    near = (base.limit(30)
+            .selectExpr("concat(doc_id, '#d') as doc_id",
+                        "concat(text, ' tail tail') as text"))
+    # batch 1 = originals, batch 2 = near-dups -> pairs MUST cross batches
+    base.write.parquet(drop)
+    near.write.mode("append").parquet(drop)
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    out = stateful.streaming_neardup_pairs(stream, threshold=0.5)
+    q = (out.writeStream.format("memory").queryName("ndpairs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.sql("select distinct id_a, id_b from ndpairs").collect()}
+    corpus = base.unionByName(near)
+    exp = {(r["id_a"], r["id_b"]) for r in
+           dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    dedup.release_caches()
+    assert got == exp and len(exp) >= 30
