@@ -80,16 +80,23 @@ class UserStore:
         (round-4 ADVICE fix)."""
         if user_id is not None:
             try:
-                canonical = str(uuid.UUID(user_id, version=4))
+                # NO version kwarg: uuid.UUID(s, version=4) silently
+                # rewrites the version nibble, which would reject valid
+                # v1/v3/v5 ids that parse_token (same rewriting call)
+                # happily accepts
+                canonical = str(uuid.UUID(user_id))
             except ValueError:
                 canonical = None
             # canonical-form equality, not just parseability: uuid.UUID
             # accepts 'urn:uuid:...' and braced/undashed forms whose ':'
             # or shape would make parse_token reject the minted token
-            if canonical != (user_id or "").lower():
+            if canonical != user_id.lower():
                 raise ValueError(
                     f"user_id {user_id!r} must be a canonical dashed UUID "
                     f"(tokens with other forms can never authenticate)")
+            # store the canonical (lowercase) form so the same UUID in
+            # different casings cannot alias into two distinct users
+            user_id = canonical
         uid = user_id or str(uuid.uuid4())
         key = secrets.token_urlsafe(32)
         self._users[uid] = User(user_id=uid, key_hash=_key_hash(key),

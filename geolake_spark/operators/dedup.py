@@ -34,35 +34,41 @@ from geolake_spark.functions.text import fingerprint_col
 
 import threading as _threading
 
-_TIER_REGISTRY = _threading.local()
-
-
-def _tier_list() -> list[DataFrame]:
-    if not hasattr(_TIER_REGISTRY, "tiers"):
-        _TIER_REGISTRY.tiers = []
-    return _TIER_REGISTRY.tiers
+_TIER_LOCK = _threading.Lock()
+_TIERS: list[tuple[int, DataFrame]] = []  # (owner thread ident, handle)
 
 
 def _persist_tier(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
     handle = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _tier_list().append(handle)
+    with _TIER_LOCK:
+        _TIERS.append((_threading.get_ident(), handle))
     return handle
 
 
-def release_caches(blocking: bool = False) -> int:
-    """Unpersist every tier cached by THIS THREAD's dedup pair-generator
-    calls; returns how many were released.  The registry is thread-local
-    so concurrent pipelines (e.g. RequestManager worker threads) can't
-    release each other's still-in-use tiers.  Call AFTER fully
+def release_caches(blocking: bool = False, all_threads: bool = False) -> int:
+    """Unpersist tiers cached by THIS thread's pair-generator calls, plus
+    any whose owning thread has exited (a per-request worker thread that
+    died without releasing would otherwise leak its tier forever — no
+    live thread could ever reach it).  Tiers owned by OTHER live threads
+    are left alone so concurrent pipelines can't release each other's
+    in-use tiers; ``all_threads=True`` overrides that for session-wide
+    cleanup.  Returns how many were released.  Call AFTER fully
     materializing the returned pair DataFrames — a released tier silently
     recomputes (correct but slow) if the pair plan re-executes
     afterwards."""
-    tiers = _tier_list()
+    me = _threading.get_ident()
+    alive = {t.ident for t in _threading.enumerate()}
     n = 0
-    while tiers:
-        tiers.pop().unpersist(blocking)
-        n += 1
+    with _TIER_LOCK:
+        kept: list[tuple[int, DataFrame]] = []
+        for owner, handle in _TIERS:
+            if all_threads or owner == me or owner not in alive:
+                handle.unpersist(blocking)
+                n += 1
+            else:
+                kept.append((owner, handle))
+        _TIERS[:] = kept
     return n
 
 
@@ -346,13 +352,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Lineage is truncated every round (localCheckpoint) so plans stay flat.
     At the fixed point the edge set is a star forest (v -> component min);
     labels read off the edges directly."""
-    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # checkpoint the (possibly expensive) upstream pair plan ONCE; nodes
+    # and edges both derive from it — two independent eager checkpoints
+    # would execute the whole pair-generation pipeline twice
+    raw = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .localCheckpoint(eager=True))
     # node set captured BEFORE dropping self-pairs: an id appearing only
     # as (x, x) has no surviving edge, but the contract is a label for
     # EVERY id in ``pairs`` — it re-enters via the final left join
     nodes = (raw.select(F.col("src").alias("id"))
              .union(raw.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct())
     edges = (raw.filter(F.col("src") != F.col("dst"))
              .distinct().localCheckpoint(eager=True))
     fingerprint = None

@@ -190,6 +190,12 @@ class RequestManager:
             finally:
                 if timer:
                     timer.cancel()
+                # this worker thread dies right after: release any dedup
+                # tiers the plan persisted under it (the result is already
+                # written to disk, nothing re-reads the plan), otherwise
+                # they'd only be reclaimed by a later dead-thread sweep
+                from geolake_spark.operators.dedup import release_caches
+                release_caches()
                 # PySpark 4 removed SparkContext.clearJobGroup — calling it
                 # raised AttributeError in every worker thread's finally
                 # (harmless to the state machine, but each request ended in

@@ -140,18 +140,26 @@ def _make_neardup_fn(num_perm: int, threshold: float, max_state: int,
             ids, sigs = [], []
         mat = (np.asarray(sigs, dtype=np.int64) if sigs
                else np.zeros((0, num_perm), dtype=np.int64))
+        pos = {d: i for i, d in enumerate(ids)}
         out = []
         for pdf in pdfs:
             for doc_id, sig in zip(pdf["id"], pdf["minhash"]):
+                doc_id = str(doc_id)
                 v = np.asarray(list(sig), dtype=np.int64)
                 if len(mat):
                     sim = (mat == v[None, :]).mean(axis=1)
                     for j in np.nonzero(sim >= threshold)[0]:
-                        a, b = sorted((str(ids[j]), str(doc_id)))
+                        if ids[j] == doc_id:  # recrawl/replay: no self-pair
+                            continue
+                        a, b = sorted((ids[j], doc_id))
                         out.append({"id_a": a, "id_b": b,
                                     "sig_sim": round(float(sim[j]), 6)})
-                ids.append(str(doc_id))
-                mat = np.vstack([mat, v[None, :]])
+                if doc_id in pos:  # recrawl overwrites its stored signature
+                    mat[pos[doc_id]] = v
+                else:
+                    pos[doc_id] = len(ids)
+                    ids.append(doc_id)
+                    mat = np.vstack([mat, v[None, :]])
         if len(ids) > max_state:  # recency eviction, like exact dedup
             ids = ids[-max_state:]
             mat = mat[-max_state:]

@@ -108,7 +108,15 @@ def test_add_user_rejects_non_canonical_uuid_forms():
                 "12345678123446789234567812345678"):
         with pytest.raises(ValueError, match="canonical"):
             store.add_user("x", user_id=bad)
-    # uppercase dashed is canonical modulo case -> accepted
+    # uppercase dashed is canonical modulo case -> accepted, stored
+    # lowercase so casings cannot alias into distinct users
     up = "12345678-1234-4678-9234-567812345678".upper()
     token = store.add_user("x", roles=["r"], user_id=up)
+    assert token.startswith(up.lower() + ":")
     assert store.authenticate(token) == ["r"]
+    # non-v4 canonical ids (e.g. v1) authenticate via parse_token, so
+    # add_user must accept them too (uuid.UUID(s, version=4) rewrites the
+    # version nibble and must NOT be used for validation)
+    v1 = "c232ab00-9414-11ec-b3c8-9f68deced846"
+    t1 = store.add_user("y", roles=["q"], user_id=v1)
+    assert store.authenticate(t1) == ["q"]

@@ -327,7 +327,7 @@ def test_dedup_release_caches(spark):
     sh.count()
     released = dedup.release_caches()
     assert released == 2
-    assert dedup._tier_list() == []
+    assert dedup._TIERS == []
     # idempotent
     assert dedup.release_caches() == 0
 
@@ -411,3 +411,23 @@ def test_release_caches_is_thread_local(spark):
     t.start(); t.join()
     assert other["released"] == 0           # other thread sees nothing
     assert dedup.release_caches() == 1      # ours still here, released now
+
+
+def test_release_caches_sweeps_dead_thread_tiers(spark):
+    """A tier persisted by a thread that exited without releasing must be
+    reclaimable from another thread (round-4 review fix: per-request
+    worker threads die after the plan runs; a purely thread-local
+    registry leaked their tiers forever)."""
+    import threading
+
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(10),
+         "text": [f"alpha beta gamma delta tok{i}" for i in range(10)]}))
+    dedup.release_caches(all_threads=True)
+    def worker():
+        dedup.minhash_lsh_pairs(df, threshold=0.5).count()
+        # dies WITHOUT releasing
+    t = threading.Thread(target=worker)
+    t.start(); t.join()
+    assert dedup.release_caches() == 1  # dead thread's tier swept

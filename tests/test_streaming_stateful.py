@@ -86,7 +86,7 @@ def test_streaming_neardup_matches_batch_pairs(spark, pages, tmp_path):
     out = stateful.streaming_neardup_pairs(stream, threshold=0.5)
     q = (out.writeStream.format("memory").queryName("ndpairs")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)  # False = still running -> partial data
     got = {(r["id_a"], r["id_b"]) for r in
            spark.sql("select distinct id_a, id_b from ndpairs").collect()}
     corpus = base.unionByName(near)
