@@ -33,16 +33,23 @@ from geolake_spark.functions.text import fingerprint_col
 # ---------------------------------------------------------------------------
 
 import threading as _threading
+import weakref as _weakref
 
 _TIER_LOCK = _threading.Lock()
-_TIERS: list[tuple[int, DataFrame]] = []  # (owner thread ident, handle)
+# (weakref to owning Thread OBJECT, handle).  NOT the raw ident: CPython
+# reuses thread idents after a thread exits, so an ident-keyed registry
+# can mistake a new unrelated thread for a dead owner — its unreleased
+# tier then looks owned-and-alive and is never swept (round-5 ADVICE fix).
+# A weakref can't alias: either the Thread object is the same object, or
+# it was collected / is_alive() is False.
+_TIERS: list[tuple[_weakref.ref, DataFrame]] = []
 
 
 def _persist_tier(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
     handle = df.persist(StorageLevel.MEMORY_AND_DISK)
     with _TIER_LOCK:
-        _TIERS.append((_threading.get_ident(), handle))
+        _TIERS.append((_weakref.ref(_threading.current_thread()), handle))
     return handle
 
 
@@ -57,23 +64,25 @@ def release_caches(blocking: bool = False, all_threads: bool = False) -> int:
     materializing the returned pair DataFrames — a released tier silently
     recomputes (correct but slow) if the pair plan re-executes
     afterwards."""
-    me = _threading.get_ident()
-    alive = {t.ident for t in _threading.enumerate()}
+    me = _threading.current_thread()
     n = 0
     with _TIER_LOCK:
-        kept: list[tuple[int, DataFrame]] = []
-        for owner, handle in _TIERS:
-            if all_threads or owner == me or owner not in alive:
+        kept: list[tuple[_weakref.ref, DataFrame]] = []
+        for owner_ref, handle in _TIERS:
+            owner = owner_ref()
+            dead = owner is None or not owner.is_alive()
+            if all_threads or owner is me or dead:
                 handle.unpersist(blocking)
                 n += 1
             else:
-                kept.append((owner, handle))
+                kept.append((owner_ref, handle))
         _TIERS[:] = kept
     return n
 
 
 def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
-                  cap: int | None = None, dedupe: bool = True) -> DataFrame:
+                  cap: int | None = None, dedupe: bool = True,
+                  stats: dict | None = None) -> DataFrame:
     """(id_a, id_b) with id_a < id_b for every pair sharing a bucket.
 
     ONE shuffle: groupBy bucket keys + collect_list, then in-bucket pairs
@@ -81,16 +90,39 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
     round-3 two-sided self-join shuffled the banded table twice and was
     measured 1.5x slower on the 520k-doc bench corpus (identical output).
     Per-bucket work is k^2 either way (the join emits the same k^2 rows);
-    ``cap`` drops buckets larger than it (the embedding path's stated
-    recall trade), ``dedupe=False`` keeps one row per co-occurrence (for
-    intersection counting).  Degenerate mega-buckets (thousands of
-    byte-identical docs) belong to exact_dedup, which runs first in any
-    real pipeline."""
+    ``cap`` drops buckets larger than it (a stated recall trade — the skew
+    guard for degenerate mega-buckets: a templated-page cluster of k
+    near-identical docs otherwise emits k^2/2 candidates from one bucket),
+    ``dedupe=False`` keeps one row per co-occurrence (for intersection
+    counting).  Byte-identical mega-clusters belong to exact_dedup, which
+    runs first in any real pipeline.
+
+    The cap is enforced BEFORE any bucket materializes: a count-only
+    pre-aggregation (map-side partial, a few bytes per bucket) finds the
+    surviving keys and a semi-join prunes the banded rows, so an oversized
+    bucket never builds its id array in an aggregation buffer (capping
+    after collect_list would OOM an executor on exactly the degenerate
+    bucket the cap exists for).  With ``stats`` a dict, the drop
+    accounting is recorded eagerly: ``dropped_buckets`` / ``dropped_rows``
+    (rows = banded entries, i.e. docs x bands landing in killed buckets).
+    """
+    if cap is not None:
+        counts = banded.groupBy(*keys).agg(F.count("*").alias("_bk_n"))
+        if stats is not None:
+            counts = _persist_tier(counts)
+            row = (counts.filter(F.col("_bk_n") > cap)
+                   .agg(F.count("*").alias("b"),
+                        F.coalesce(F.sum("_bk_n"), F.lit(0)).alias("r"))
+                   .first())
+            stats["bucket_cap"] = cap
+            stats["dropped_buckets"] = int(row["b"])
+            stats["dropped_rows"] = int(row["r"])
+        ok = (counts.filter((F.col("_bk_n") > 1) & (F.col("_bk_n") <= cap))
+              .select(*keys))
+        banded = banded.join(ok, keys, "left_semi")
     buckets = (banded.groupBy(*keys)
                .agg(F.collect_list(id_col).alias("ids"))
                .filter(F.size("ids") > 1))
-    if cap is not None:
-        buckets = buckets.filter(F.size("ids") <= cap)
     buckets = buckets.select(F.array_sort("ids").alias("ids"))
     n = F.size("ids")
     # two-level explode, NOT one flattened k^2/2 array: a flatten() of all
@@ -119,14 +151,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count")))
 
 
+DEFAULT_BAND_BUCKET_CAP = 8192
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
-                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 16, threshold: float = 0.5,
+                      bucket_cap: int | None = DEFAULT_BAND_BUCKET_CAP,
+                      stats: dict | None = None) -> DataFrame:
     """Candidate near-dup pairs (a < b) whose MinHash signature similarity
     >= threshold.  Shuffle is on band hashes (small), never all-pairs.
     Signatures are Arrow-batched vectorized NumPy (token-hash combination,
     no per-shingle Python — see sim.make_minhash_udf; the JVM explode-agg
-    and per-row-HOF formulations were benchmarked and are 2-10x slower)."""
+    and per-row-HOF formulations were benchmarked and are 2-10x slower).
+
+    ``bucket_cap`` bounds candidate generation on template-heavy corpora:
+    a cluster of k near-identical (not byte-identical, so exact_dedup
+    can't collapse them) boilerplate pages shares most band buckets and
+    would emit ~k^2/2 candidates; buckets above the cap are dropped BEFORE
+    their id list materializes (count pre-filter, see _bucket_pairs) — a
+    stated recall trade for bounded memory/shuffle at web scale.  Pass a
+    ``stats`` dict to get dropped_buckets / dropped_rows accounting, or
+    ``bucket_cap=None`` for exhaustive generation."""
     mh = sim.make_minhash_udf(num_perm=num_perm)
     # Signatures are persisted: they feed the band explode AND the two
     # payload re-joins below; without persist Spark would re-run the UDF
@@ -142,7 +188,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # round 3's two-sided self-join shuffled the banded table twice (round
     # 4: one groupBy + in-bucket HOF pairs — see _bucket_pairs).
     # Signatures re-attach via two hash joins against the persisted tier.
-    cand = _bucket_pairs(banded, ["band_id", "band_hash"])
+    cand = _bucket_pairs(banded, ["band_id", "band_hash"], cap=bucket_cap,
+                         stats=stats)
     pairs = (cand
              .join(sigs.select(F.col("id").alias("id_a"),
                                F.col("minhash").alias("mh_a")), "id_a")
@@ -156,14 +203,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+                  max_hamming: int = 3, bands: int | None = None,
+                  bucket_cap: int | None = DEFAULT_BAND_BUCKET_CAP,
+                  stats: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidate generation by equality on one of ``bands`` disjoint bit chunks
     covering all 64 bits.  Pigeonhole: a pair differing in at most
     ``max_hamming`` bits must agree on >= one chunk IFF ``bands >
     max_hamming`` — so that is enforced (the round-1 version fixed 4 chunks,
-    which silently under-recalled pairs with hamming in [4, max_hamming])."""
+    which silently under-recalled pairs with hamming in [4, max_hamming]).
+
+    ``bucket_cap`` / ``stats``: identical semantics to
+    :func:`minhash_lsh_pairs` — chunk buckets above the cap are dropped via
+    the count pre-filter before any id list materializes (skew guard for
+    boilerplate mega-clusters; stated recall trade)."""
     if bands is None:
         bands = max_hamming + 1
     if bands <= max_hamming:
@@ -190,7 +244,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     banded = (sh.withColumn("c", F.explode(chunks))
               .select("id", "c.chunk_id", "c.chunk_val"))
     # candidates on ids only; 64-bit signatures re-join afterwards
-    cand = _bucket_pairs(banded, ["chunk_id", "chunk_val"])
+    cand = _bucket_pairs(banded, ["chunk_id", "chunk_val"], cap=bucket_cap,
+                         stats=stats)
     return (cand
             .join(sh.select(F.col("id").alias("id_a"),
                             F.col("simhash").alias("sh_a")), "id_a")
@@ -279,8 +334,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     e = base.select("id", F.posexplode("bks").alias("table_id", "bucket"))
     # candidates on (id_a, id_b) ONLY — 16 B/pair; round 2 carried both
     # full vectors through the distinct (~16 KB/pair at 1k dims); the
-    # bucket cap is now a size filter on the collected bucket itself (the
-    # separate count + broadcast join of round 3 is gone).  Vectors
+    # bucket cap is a count pre-filter inside _bucket_pairs, so an
+    # oversized bucket never materializes its id array.  Vectors
     # re-attach via two hash joins against the persisted base.
     cand = _bucket_pairs(e, ["table_id", "bucket"], cap=bucket_cap)
     vecs = base.select("id", "v")
@@ -332,6 +387,20 @@ def _pointer_jump(edges: DataFrame) -> DataFrame:
             .select("src", F.coalesce("p", "dst").alias("dst")))
 
 
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, xor-of-row-hashes) change detector for the contraction loop.
+
+    bit_xor: order-insensitive, overflow-free under ANSI mode (a sum() of
+    64-bit hashes overflows LongType); edges are distinct so
+    xor-cancellation of repeated rows can't occur.  A module-level seam so
+    tests can force a collision and exercise the exact confirm below."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")),
+                   F.lit(0)).alias("h")).first()
+    return (row["n"], row["h"])
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iters: int = 25,
@@ -346,9 +415,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     star operations (a groupBy-min + re-emit join each) and converges in
     O(log n) rounds on ANY graph shape — the round-3 min-label propagation
     needed O(diameter) rounds, which an adversarial chain corpus turns
-    into thousands.  Convergence is detected from a (count, hash-sum)
+    into thousands.  Convergence is detected from a (count, hash-xor)
     fingerprint aggregated over the checkpointed edge set — one cheap scan
-    per round, not the extra labels-join + count() the old loop paid.
+    per round, not the extra labels-join + count() the old loop paid —
+    and CONFIRMED exactly (exceptAll-isEmpty vs the previous round) when
+    the fingerprint matches, so a hash collision cannot end the loop early.
     Lineage is truncated every round (localCheckpoint) so plans stay flat.
     At the fixed point the edge set is a star forest (v -> component min);
     labels read off the edges directly."""
@@ -368,19 +439,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     fingerprint = None
     rounds = 0
     for _ in range(max_iters):
+        prev = edges
         edges = (_pointer_jump(_small_star(_large_star(edges))).distinct()
                  .localCheckpoint(eager=True))
         rounds += 1
-        # bit_xor: order-insensitive, overflow-free under ANSI mode (a
-        # sum() of 64-bit hashes overflows LongType); edges are distinct
-        # so xor-cancellation of repeated rows can't occur
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")),
-                       F.lit(0)).alias("h")).first()
-        new_fp = (row["n"], row["h"])
+        new_fp = _edge_fingerprint(edges)
         if new_fp == fingerprint:
-            break
+            # collision insurance: a ~2^-64 hash collision on a CHANGED
+            # edge set would otherwise end the loop early and silently
+            # emit wrong components.  Confirm the fixed point exactly —
+            # both sets are distinct and the matched fingerprint includes
+            # the count, so one-directional exceptAll-isEmpty proves set
+            # equality.  One cheap scan of the contracted star forest, on
+            # the final round only (or on a genuine collision: not empty
+            # -> keep contracting).
+            if edges.exceptAll(prev).isEmpty():
+                break
         fingerprint = new_fp
     else:
         raise RuntimeError(

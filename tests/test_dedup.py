@@ -431,3 +431,71 @@ def test_release_caches_sweeps_dead_thread_tiers(spark):
     t = threading.Thread(target=worker)
     t.start(); t.join()
     assert dedup.release_caches() == 1  # dead thread's tier swept
+
+
+def test_minhash_bucket_cap_drops_template_cluster(spark):
+    """A templated-page cluster of k near-identical (NOT byte-identical)
+    docs shares most band buckets and would emit ~k^2/2 candidates — the
+    one plan shape that doesn't survive 100x on boilerplate-heavy web
+    corpora.  The cap must (a) bound the output without the mega-bucket
+    ever materializing (count pre-filter), (b) report the drops."""
+    import pandas as pd
+    template = ("breaking news site navigation home about contact terms "
+                "privacy copyright all rights reserved subscribe footer "
+                "header menu search login register archive category tags")
+    rows = [(i, f"{template} page{i}") for i in range(20_000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    stats: dict = {}
+    n = dedup.minhash_lsh_pairs(df, threshold=0.5, stats=stats).count()
+    dedup.release_caches()
+    assert stats["bucket_cap"] == dedup.DEFAULT_BAND_BUCKET_CAP
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_rows"] > dedup.DEFAULT_BAND_BUCKET_CAP
+    # without the cap this cluster emits ~2e8 candidate pairs
+    assert n < 5_000_000
+
+
+def test_minhash_bucket_cap_exact_boundary(spark):
+    """cap >= cluster size keeps every pair; cap < cluster size drops the
+    shared buckets (deterministic boundary, small corpus)."""
+    import pandas as pd
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(30)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept = dedup.minhash_lsh_pairs(df, threshold=0.5, bucket_cap=30).count()
+    dedup.release_caches()
+    stats: dict = {}
+    dropped = dedup.minhash_lsh_pairs(df, threshold=0.5, bucket_cap=29,
+                                      stats=stats).count()
+    dedup.release_caches()
+    assert kept == 30 * 29 // 2
+    assert dropped == 0
+    assert stats["dropped_buckets"] == 16  # all 16 band buckets identical
+    assert stats["dropped_rows"] == 30 * 16
+
+
+def test_simhash_bucket_cap(spark):
+    """Same skew guard on the SimHash chunk buckets."""
+    import pandas as pd
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(30)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    stats: dict = {}
+    n = dedup.simhash_pairs(df, max_hamming=8, bucket_cap=29,
+                            stats=stats).count()
+    dedup.release_caches()
+    assert n == 0
+    assert stats["dropped_buckets"] == 9  # bands = max_hamming + 1
+
+
+def test_connected_components_survives_fingerprint_collision(spark, monkeypatch):
+    """Force the cheap fingerprint to ALWAYS collide: convergence must now
+    come from the exact exceptAll confirm, never from the hash — a real
+    2^-64 collision on a changed edge set must keep contracting instead of
+    silently emitting wrong components (round-5 ADVICE fix)."""
+    monkeypatch.setattr(dedup, "_edge_fingerprint", lambda edges: (0, 0))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a: long, id_b: long")
+    rows = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert rows == {i: 1 for i in range(1, 9)}
