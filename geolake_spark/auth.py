@@ -75,28 +75,24 @@ class UserStore:
                  user_id: str | None = None) -> str:
         """Create a user; returns the full ``user_id:api_key`` token
         (api_key generated as in dbmanager.generate_key).  An explicit
-        ``user_id`` must be a UUID — parse_token rejects anything else,
-        so a non-UUID id would mint a token that can never authenticate
-        (round-4 ADVICE fix)."""
+        ``user_id`` must parse as a UUID; it is CANONICALIZED (lowercase
+        dashed ``str(uuid.UUID(...))``) before storage and token minting,
+        so braced / undashed / urn: / mixed-case spellings of one UUID
+        can never alias into distinct users (parse_token itself accepts
+        braced and undashed forms too — without canonical storage the
+        same UUID could mint several independently-keyed accounts).  The
+        minted token always carries the canonical form, which
+        parse_token/authenticate accept for any input spelling."""
         if user_id is not None:
             try:
                 # NO version kwarg: uuid.UUID(s, version=4) silently
-                # rewrites the version nibble, which would reject valid
-                # v1/v3/v5 ids that parse_token (same rewriting call)
-                # happily accepts
-                canonical = str(uuid.UUID(user_id))
+                # rewrites the version nibble, which would mangle valid
+                # v1/v3/v5 ids instead of validating them
+                user_id = str(uuid.UUID(user_id))
             except ValueError:
-                canonical = None
-            # canonical-form equality, not just parseability: uuid.UUID
-            # accepts 'urn:uuid:...' and braced/undashed forms whose ':'
-            # or shape would make parse_token reject the minted token
-            if canonical != user_id.lower():
                 raise ValueError(
-                    f"user_id {user_id!r} must be a canonical dashed UUID "
-                    f"(tokens with other forms can never authenticate)")
-            # store the canonical (lowercase) form so the same UUID in
-            # different casings cannot alias into two distinct users
-            user_id = canonical
+                    f"user_id {user_id!r} must be a UUID "
+                    f"(tokens with other ids can never authenticate)")
         uid = user_id or str(uuid.uuid4())
         key = secrets.token_urlsafe(32)
         self._users[uid] = User(user_id=uid, key_hash=_key_hash(key),

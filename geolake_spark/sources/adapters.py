@@ -98,13 +98,58 @@ def pattern_regex(pattern: str) -> tuple[str, list[str]]:
     return "^" + "".join(parts) + "$", fields
 
 
-def default_lister(directory: str):
-    """Deterministic local-directory lister (sorted basenames).  The lister
-    seam exists because the 100 TB layout is an object store: a bucket
-    lister (paginated ``list_objects_v2``-style, yielding key basenames in
-    lexicographic order) plugs in via ``read_patterned(list_files=...)``
-    without touching the pruning/scan logic."""
+# Above this many files the default lister switches to the paginated
+# protocol — the shape an object-store listing actually has (one
+# list_objects_v2 call returns at most ~1000 keys; a 100 TB product
+# directory holds millions).  Local directories below it just sort once.
+PAGINATE_THRESHOLD = 2000
+PAGE_SIZE = 1000
+
+
+def _local_fetch_page(directory: str, start_after: str | None,
+                      page_size: int) -> tuple[list[str], str | None]:
+    """One deterministic lexicographic page (``list_objects_v2``
+    emulation): the first ``page_size`` basenames strictly greater than
+    ``start_after``, plus the continuation token (the page's last name)
+    or None on the final page.  A real bucket backend implements this
+    exact signature with one remote call (StartAfter/ContinuationToken);
+    the local emulation re-lists per page because the PROTOCOL — not the
+    local I/O — is what the downstream pruning must be correct against."""
     import os
+    names = sorted(n for n in os.listdir(directory)
+                   if start_after is None or n > start_after)
+    page = names[:page_size]
+    token = page[-1] if len(names) > page_size else None
+    return page, token
+
+
+def paginated_lister(page_size: int = PAGE_SIZE, fetch_page=_local_fetch_page):
+    """Lister factory driving the paginated protocol: yields basenames
+    lazily page by page, in global lexicographic order, until the backend
+    returns no continuation token.  Plug a bucket backend in via
+    ``fetch_page(directory, start_after, page_size) -> (names, token)``."""
+    def lister(directory: str):
+        token = None
+        while True:
+            names, token = fetch_page(directory, token, page_size)
+            yield from names
+            if token is None:
+                return
+    return lister
+
+
+def default_lister(directory: str):
+    """Deterministic lister (lexicographic basenames).  The lister seam
+    exists because the 100 TB layout is an object store: a bucket lister
+    plugs in via ``read_patterned(list_files=...)`` without touching the
+    pruning/scan logic.  Directories above :data:`PAGINATE_THRESHOLD`
+    files go through the paginated protocol (:func:`paginated_lister`) —
+    identical output, exercised continuously so the scale path can't rot."""
+    import os
+    with os.scandir(directory) as it:
+        n = sum(1 for _ in it)
+    if n > PAGINATE_THRESHOLD:
+        return paginated_lister()(directory)
     return sorted(os.listdir(directory))
 
 
@@ -141,14 +186,13 @@ def read_patterned(spark, directory: str, pattern: str,
     regex, fields = pattern_regex(pattern)
     rx = re.compile(regex)
     chosen = []
-    matched_any = None
+    matched_all = []
     for fn in sorted(list_files(directory) if list_files
                      else default_lister(directory)):
         m = rx.match(fn)
         if not m:
             continue
-        if matched_any is None:
-            matched_any = os.path.join(directory, fn)
+        matched_all.append(os.path.join(directory, fn))
         attrs = dict(zip(fields, m.groups()))
         keep = True
         for k, v in (attr_filters or {}).items():
@@ -167,11 +211,21 @@ def read_patterned(spark, directory: str, pattern: str,
             df = df.withColumn(name, F.regexp_extract(base, regex, i + 1))
         return df
 
+    # a multi-file product accumulates schema over time (new columns in
+    # new files); mergeSchema makes the scan expose the union schema so a
+    # pruned subset and the full product agree on shape.  Footer-only work
+    # for parquet.
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        reader = reader.option("mergeSchema", "true")
     if not chosen:
-        if matched_any is None:
+        if not matched_all:
             raise FileNotFoundError(
                 f"no files under {directory} match pattern {pattern!r}")
-        # valid product, fully-selective filter -> empty result, full schema
-        schema_df = _with_attrs(spark.read.format(fmt).load(matched_any))
+        # valid product, fully-selective filter -> empty result, full
+        # schema.  Inferred over ALL pattern-matching files, not just the
+        # first: with evolving parquet schemas the empty result must match
+        # the shape a row-matching load would produce (round-5 ADVICE fix).
+        schema_df = _with_attrs(reader.load(matched_all))
         return spark.createDataFrame([], schema_df.schema)
-    return _with_attrs(spark.read.format(fmt).load(chosen))
+    return _with_attrs(reader.load(chosen))

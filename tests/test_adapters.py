@@ -155,3 +155,70 @@ def test_catalog_pattern_product_prunes_at_scan(spark, tmp_path):
     assert sorted(r["value"] for r in out.collect()) == [1.0, 2.0]
     # unfiltered loads everything with attrs attached
     assert cat.execute("clim", "spread", {}).count() == 6
+
+
+def test_paginated_lister_matches_flat_listing(spark, tmp_path):
+    """The paginated protocol (lexicographic pages + continuation token)
+    must enumerate exactly the flat sorted listing — including files that
+    straddle a page boundary — so attr pruning is identical through either
+    lister (round-5: the object-store scale path)."""
+    d = _write_patterned_drop(tmp_path)
+    flat = sorted(f.name for f in d.iterdir())
+    for page_size in (1, 2, 3, 100):
+        paged = list(adapters.paginated_lister(page_size=page_size)(str(d)))
+        assert paged == flat
+    df_flat = adapters.read_patterned(
+        spark, str(d), "{var}_ens_spread_{res}deg.parquet",
+        attr_filters={"var": "tmax"})
+    df_paged = adapters.read_patterned(
+        spark, str(d), "{var}_ens_spread_{res}deg.parquet",
+        attr_filters={"var": "tmax"},
+        list_files=adapters.paginated_lister(page_size=2))
+    assert (sorted(r["value"] for r in df_paged.collect())
+            == sorted(r["value"] for r in df_flat.collect()))
+
+
+def test_default_lister_paginates_large_directories(spark, tmp_path):
+    """Above PAGINATE_THRESHOLD files the default lister drives the
+    paginated protocol; pruning over a 10k-file directory must pick
+    exactly the attr-matching files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "big"
+    d.mkdir()
+    # 2 real parquet files among 10k pattern-matching names: the lister
+    # must enumerate all 10k, the pruner must keep only var=keep
+    pq.write_table(pa.table({"value": pa.array([1.0])}),
+                   d / "keep_ens_spread_0.5deg.parquet")
+    pq.write_table(pa.table({"value": pa.array([2.0])}),
+                   d / "keep_ens_spread_1deg.parquet")
+    for i in range(10_000):
+        (d / f"skip{i:05d}_ens_spread_1deg.parquet").touch()
+    names = adapters.default_lister(str(d))
+    assert not isinstance(names, list)  # generator -> paginated path
+    df = adapters.read_patterned(spark, str(d),
+                                 "{var}_ens_spread_{res}deg.parquet",
+                                 attr_filters={"var": "keep"})
+    assert sorted(r["value"] for r in df.collect()) == [1.0, 2.0]
+
+
+def test_empty_result_schema_merges_all_matching_files(spark, tmp_path):
+    """A fully-selective attr filter must return an empty DataFrame whose
+    schema matches what a row-matching load would produce — i.e. the
+    schema merged over ALL pattern files, not the first one's narrower
+    schema (round-5 ADVICE fix: evolving parquet schemas)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "evolve"
+    d.mkdir()
+    pq.write_table(pa.table({"value": pa.array([1.0])}),
+                   d / "a_ens_spread_1deg.parquet")
+    pq.write_table(pa.table({"value": pa.array([2.0]),
+                             "extra": pa.array([7])}),
+                   d / "b_ens_spread_1deg.parquet")
+    empty = adapters.read_patterned(
+        spark, str(d), "{var}_ens_spread_{res}deg.parquet",
+        attr_filters={"var": "nope"},
+        fmt="parquet")
+    assert empty.count() == 0
+    assert "extra" in empty.columns and "value" in empty.columns

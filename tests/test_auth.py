@@ -95,25 +95,29 @@ def test_add_user_rejects_non_uuid_id():
     assert store.authenticate(token) == ["internal"]
 
 
-def test_add_user_rejects_non_canonical_uuid_forms():
-    """uuid.UUID() accepts urn:uuid:/braced/undashed forms whose ':' or
-    shape parse_token rejects — add_user must require the canonical
-    dashed form (round-4 review fix)."""
-    import pytest
-
+def test_add_user_canonicalizes_uuid_forms():
+    """Every spelling uuid.UUID() parses (urn:/braced/undashed/uppercase)
+    is accepted and stored canonically, so one UUID can never alias into
+    multiple independently-keyed users, and the minted token always
+    carries the canonical dashed form (round-5 ADVICE fix: rejecting
+    these forms was a silent behavior break — braced/undashed tokens DID
+    authenticate before)."""
     from geolake_spark.auth import UserStore
+    canon = "12345678-1234-4678-9234-567812345678"
+    for spelling in (f"urn:uuid:{canon}",
+                     "{" + canon + "}",
+                     canon.replace("-", ""),
+                     canon.upper()):
+        store = UserStore()
+        token = store.add_user("x", roles=["r"], user_id=spelling)
+        assert token.startswith(canon + ":")
+        assert store.authenticate(token) == ["r"]
+    # distinct spellings of the SAME uuid overwrite one stored user,
+    # never two
     store = UserStore()
-    for bad in ("urn:uuid:12345678-1234-4678-9234-567812345678",
-                "{12345678-1234-4678-9234-567812345678}",
-                "12345678123446789234567812345678"):
-        with pytest.raises(ValueError, match="canonical"):
-            store.add_user("x", user_id=bad)
-    # uppercase dashed is canonical modulo case -> accepted, stored
-    # lowercase so casings cannot alias into distinct users
-    up = "12345678-1234-4678-9234-567812345678".upper()
-    token = store.add_user("x", roles=["r"], user_id=up)
-    assert token.startswith(up.lower() + ":")
-    assert store.authenticate(token) == ["r"]
+    store.add_user("x", user_id=canon)
+    store.add_user("x", user_id=canon.upper())
+    assert len(store._users) == 1
     # non-v4 canonical ids (e.g. v1) authenticate via parse_token, so
     # add_user must accept them too (uuid.UUID(s, version=4) rewrites the
     # version nibble and must NOT be used for validation)
