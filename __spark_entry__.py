@@ -363,6 +363,88 @@ def q_near_dup_keep(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+# Python str.split()'s full whitespace set (the byte-mask tokenizer's
+# contract, sim.py _UWS3 + ASCII): cycled deterministically through the
+# multiscript corpus below so every separator the tokenizer handles is
+# value-oracled, not just pytest-covered.
+_UWS_CHARS = ["\t", "\n", "\x0b", "\x0c", "\r", "\x1c", "\x1d",
+              "\x1e", "\x1f", " ", "\x85", "\xa0", "\u1680",
+              "\u2000", "\u2001", "\u2002", "\u2003", "\u2004",
+              "\u2005", "\u2006", "\u2007", "\u2008", "\u2009",
+              "\u200a", "\u2028", "\u2029", "\u202f", "\u205f",
+              "\u3000"]
+# already-lowercase non-ASCII words (2-4 byte UTF-8 incl. a supplementary-
+# plane char) + an uppercase ASCII word exercising lower(); lowercase on
+# purpose for the non-ASCII parts so Python's and DuckDB's lower() cannot
+# diverge (final-sigma / dotted-I locale edge cases)
+_UNI_WORDS = ("привет мир", "你好世界文档", "κόσμος 𝄞clef MIXEDCase")
+
+
+def _docs_uni(spark, sf_dir):
+    """Deterministic multiscript corpus derived from the documents table:
+    a 1-in-4 doc_id slice with Cyrillic/CJK/Greek words spliced mid-text,
+    separated by Unicode whitespace cycled over the FULL Python split set,
+    plus planted near-dups (tail words appended, doc_id + 1000000).
+    Mirrored exactly by :func:`_docs_uni_sql` — the oracle's value-hash
+    compare is what proves the two derivations (and then the two MinHash/
+    SimHash pipelines) agree byte-for-byte."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wsarr = F.array(*[F.lit(c) for c in _UWS_CHARS])
+
+    def pick(off):
+        idx = ((F.col("doc_id") + off) % len(_UWS_CHARS) + 1).cast("int")
+        return F.element_at(wsarr, idx)
+
+    w1, w2, w3 = _UNI_WORDS
+    injected = (d.filter(F.col("doc_id") % 4 == 0)
+                .select("doc_id",
+                        F.concat(F.substring(F.col("text"), 1, 40),
+                                 pick(0), F.lit(w1), pick(7), F.lit(w2),
+                                 pick(13), F.lit(w3), pick(19),
+                                 F.expr("substring(text, 41)"))
+                        .alias("text")))
+    dups = (injected.filter(F.col("doc_id") % 20 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" extra near dup tail words here"))
+                    .alias("text")))
+    return injected.unionByName(dups)
+
+
+def _docs_uni_sql() -> str:
+    """DuckDB mirror of :func:`_docs_uni` (doc_id, text)."""
+    n = len(_UWS_CHARS)
+    ws_list = "[" + ", ".join(f"chr({ord(c)})" for c in _UWS_CHARS) + "]"
+
+    def pick(off: int) -> str:
+        return f"{ws_list}[cast((doc_id + {off}) % {n} AS INT) + 1]"
+
+    w1, w2, w3 = _UNI_WORDS
+    inj = (f"substr(text, 1, 40) || {pick(0)} || '{w1}' || {pick(7)} || "
+           f"'{w2}' || {pick(13)} || '{w3}' || {pick(19)} || "
+           f"substr(text, 41)")
+    return (f"SELECT doc_id, {inj} AS text FROM documents "
+            f"WHERE doc_id % 4 = 0 "
+            f"UNION ALL "
+            f"SELECT doc_id + 1000000 AS doc_id, "
+            f"{inj} || ' extra near dup tail words here' AS text "
+            f"FROM documents WHERE doc_id % 20 = 0")
+
+
+def q_minhash_lsh_uni(spark, sf_dir):
+    """MinHash+LSH over the multiscript corpus — the UTF-8 byte-mask
+    tokenizer's value oracle: the DuckDB side tokenizes on the full
+    Unicode whitespace set and FNV-hashes UTF-8 BYTES (round-5 VERDICT
+    task; until now the non-ASCII path had only pytest coverage)."""
+    return dedup.minhash_lsh_pairs(_docs_uni(spark, sf_dir), threshold=0.35)
+
+
+def q_simhash_uni(spark, sf_dir):
+    """SimHash over the multiscript corpus (same UTF-8 oracle rationale;
+    bands > max_hamming keeps the all-pairs SQL exact)."""
+    return dedup.simhash_pairs(_docs_uni(spark, sf_dir), max_hamming=8)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash near-dup at hamming <= 8 with 9 bands (> max_hamming =>
     provably total recall), so the all-pairs DuckDB Hamming filter is an
@@ -574,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "near_dup_keep": q_near_dup_keep,
         "simhash": q_simhash,
+        "minhash_lsh_uni": q_minhash_lsh_uni,
+        "simhash_uni": q_simhash_uni,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -615,32 +699,78 @@ def _fnv_sql(s: str) -> str:
             f"(h, b) -> (xor(h, b) * 1099511628211) % {_W64})")
 
 
+def _fnv_sql_utf8(s: str) -> str:
+    """FNV-1a over the UTF-8 BYTES of a string — the exact kernel of
+    sim._hash_shingles / _fnv_flat for ANY text, not just ASCII.  Code
+    points (DuckDB ``unicode()``) expand to their UTF-8 byte sequences
+    arithmetically (1-4 bytes by range), then the same HUGEINT fold as
+    :func:`_fnv_sql`.  This is the value oracle for the round-4 byte-mask
+    tokenizer, which previously had only pytest coverage."""
+    cps = (f"list_transform(range(1, length({s})+1), "
+           f"i -> unicode(substr({s}, i, 1)))")
+    utf8 = (f"flatten(list_transform({cps}, cp -> "
+            "CASE WHEN cp < 128 THEN [cp] "
+            "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
+            "WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, "
+            "128 + cp % 64] "
+            "ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, "
+            "128 + (cp // 64) % 64, 128 + cp % 64] END))")
+    return ("list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+            f"list_transform({utf8}, b -> b::HUGEINT)), "
+            f"(h, b) -> (xor(h, b) * 1099511628211) % {_W64})")
+
+
 _TOKS_SQL = (
     "SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0 "
     "THEN []::VARCHAR[] "
     "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w "
     "FROM documents")
 
+# Python str.split()'s FULL whitespace set as an RE2 class (the chars the
+# engine's UTF-8 byte-mask tokenizer breaks on: ASCII \t-\r, \x1c-\x1f,
+# space, and the _UWS3 multi-byte set — sim.py:164-170); empty strings
+# from leading/trailing separators are filtered, which is exactly
+# str.split()'s no-empty-tokens behavior.
+_UNI_WS_RE = (r"[\t\n\x0B\x0C\r\x1C\x1D\x1E\x1F \x{85}\x{A0}\x{1680}"
+              r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+")
+
+
+def _toks_sql_uni(docs_rel: str) -> str:
+    return (f"SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+            f"'{_UNI_WS_RE}'), x -> x <> '') AS w FROM {docs_rel}")
+
 
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16,
-                        threshold: float = 0.35) -> str:
+                        threshold: float = 0.35,
+                        docs_sql: str | None = None,
+                        utf8: bool = False) -> str:
     """Mirrors dedup.minhash_lsh_pairs exactly: FNV-1a TOKEN hashes mod
     2^31-1, shingle hashes by arithmetic combination of the n token hashes
     (the engine never builds shingle strings — neither does the oracle),
     seeded 30-bit permutation constants inlined (products < 2^61 — plain
     BIGINT, no wrap emulation), band-equality candidates, similarity
-    filter."""
+    filter.
+
+    ``docs_sql`` swaps the corpus (any SELECT yielding doc_id, text);
+    ``utf8=True`` hashes the UTF-8 BYTES of each token and tokenizes on
+    Python's full Unicode whitespace set — the value oracle for the
+    engine's byte-mask tokenizer on non-ASCII corpora."""
     a, b = sim._perm_params31(num_perm, seed=1)
     c1, c2, c3 = sim._SHINGLE_C
     r = num_perm // bands
     perm_vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
                           for i in range(num_perm))
     sentinel = "[" + ", ".join(["9223372036854775807"] * num_perm) + "]"
+    docs_rel = f"({docs_sql})" if docs_sql else "documents"
+    toks = _toks_sql_uni(docs_rel) if utf8 else (
+        _TOKS_SQL if docs_sql is None
+        else _TOKS_SQL.replace("FROM documents", f"FROM {docs_rel}"))
+    fnv = _fnv_sql_utf8("s") if utf8 else _fnv_sql("s")
     return f"""
-WITH toks AS ({_TOKS_SQL}),
+WITH toks AS ({toks}),
 th AS (
   SELECT doc_id, list_transform(w,
-    s -> cast({_fnv_sql('s')} % {sim.M31} AS BIGINT)) AS t FROM toks),
+    s -> cast({fnv} % {sim.M31} AS BIGINT)) AS t FROM toks),
 shl AS (
   SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
     i -> (t[i] * {c1} + t[i+1] * {c2} + t[i+2] * {c3}) % {sim.M31}) AS sh
@@ -653,7 +783,7 @@ sig_long AS (
 sigs0 AS (SELECT doc_id, list(cast(sp as bigint) ORDER BY pi) AS sig
   FROM sig_long GROUP BY doc_id),
 sigs AS (SELECT d.doc_id, coalesce(s.sig, {sentinel}) AS sig
-  FROM documents d LEFT JOIN sigs0 s USING (doc_id)),
+  FROM {docs_rel} d LEFT JOIN sigs0 s USING (doc_id)),
 banded AS (
   SELECT doc_id, sig, b.band_id,
     array_to_string(list_slice(sig, b.band_id * {r} + 1,
@@ -673,17 +803,24 @@ WHERE list_sum(list_transform(range(1, {num_perm + 1}),
   / {float(num_perm)} >= {threshold}"""
 
 
-def _simhash_oracle(max_hamming: int = 8) -> str:
+def _simhash_oracle(max_hamming: int = 8, docs_sql: str | None = None,
+                    utf8: bool = False) -> str:
     """Mirrors dedup.simhash_pairs: per-token FNV-1a, bitwise majority
     signature (uint64->int64 wrap emulated), all-pairs Hamming filter —
     a faithful oracle for the operator because bands > max_hamming makes
-    the banded candidate set provably total-recall (pigeonhole)."""
+    the banded candidate set provably total-recall (pigeonhole).
+    ``docs_sql`` / ``utf8``: same semantics as _minhash_lsh_oracle."""
     bit_vals = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    docs_rel = f"({docs_sql})" if docs_sql else "documents"
+    toks = _toks_sql_uni(docs_rel) if utf8 else (
+        _TOKS_SQL if docs_sql is None
+        else _TOKS_SQL.replace("FROM documents", f"FROM {docs_rel}"))
+    fnv = _fnv_sql_utf8("s") if utf8 else _fnv_sql("s")
     return f"""
-WITH toks AS ({_TOKS_SQL}),
+WITH toks AS ({toks}),
 hx AS (
   SELECT doc_id, len(w) AS ntok,
-    unnest(list_transform(w, s -> {_fnv_sql('s')})) AS h
+    unnest(list_transform(w, s -> {fnv})) AS h
   FROM toks WHERE len(w) > 0),
 bits(bi, pw) AS (VALUES {bit_vals}),
 bitcnt AS (
@@ -696,7 +833,7 @@ sigs_h AS (
 sigs AS (
   SELECT d.doc_id, cast(coalesce(CASE WHEN h.s >= 9223372036854775808::HUGEINT
     THEN h.s - {_W64} ELSE h.s END, 0) AS BIGINT) AS simhash
-  FROM documents d LEFT JOIN sigs_h h USING (doc_id))
+  FROM {docs_rel} d LEFT JOIN sigs_h h USING (doc_id))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -922,6 +1059,9 @@ SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
 ORDER BY d.doc_id""",
         "simhash": _simhash_oracle(),
+        "minhash_lsh_uni": _minhash_lsh_oracle(docs_sql=_docs_uni_sql(),
+                                               utf8=True),
+        "simhash_uni": _simhash_oracle(docs_sql=_docs_uni_sql(), utf8=True),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "fingerprints": ("SELECT doc_id, md5(text) AS fp FROM documents"),
         "tile_pyramid": (
