@@ -210,6 +210,41 @@ def streaming_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                 NEARDUP_OUTPUT, NEARDUP_STATE, "append", timeout))
 
 
+def exact_once_pairs(pairs: DataFrame,
+                     within_watermark: tuple[str, str] | None = None
+                     ) -> DataFrame:
+    """Collapse :func:`streaming_neardup_pairs`' per-band duplicate
+    emissions to EXACTLY-ONCE per (id_a, id_b) — a pair sharing b band
+    buckets emits up to b times upstream; chained onto the stream this
+    makes the streaming output equal the batch operator's pairs row-for-
+    row (sig_sim is identical across emissions, so any survivor is THE
+    row).
+
+    Implementation is Spark's own stateful streaming dropDuplicates (a
+    second stateful operator chained after the LSH state op — supported
+    in append mode; a second applyInPandasWithState is NOT, Spark rejects
+    multiple instances per query).  The dedup keys on a computed
+    ``concat_ws('\\x00', id_a, id_b)`` column on purpose: keying on the
+    raw id columns lets column pruning eliminate the projection between
+    the Arrow-columnar stateful-op output and the dedup exchange, and the
+    exchange's UnsafeRowSerializer then throws ClassCastException on
+    ColumnarBatchRow (observed on Spark 4.1); a key the aggregate must
+    compute keeps the row-converting projection in the plan.
+
+    Default state holds one small key per distinct pair forever; for
+    unbounded 100 TB streams pass ``within_watermark=(ts_col, delay)`` to
+    use dropDuplicatesWithinWatermark, bounding state to the watermark
+    horizon (dupes of one pair cluster within a crawl pass, so a horizon
+    of one pass keeps exactness in practice — the stated trade)."""
+    keyed = pairs.withColumn(
+        "_pair", F.concat_ws("\x00", "id_a", "id_b"))
+    if within_watermark is not None:
+        ts_col, delay = within_watermark
+        return (keyed.withWatermark(ts_col, delay)
+                .dropDuplicatesWithinWatermark(["_pair"]).drop("_pair"))
+    return keyed.dropDuplicates(["_pair"]).drop("_pair")
+
+
 def streaming_exact_dedup(pages: DataFrame,
                           max_state: int = DEDUP_MAX_STATE,
                           ttl_minutes: float | None = None) -> DataFrame:

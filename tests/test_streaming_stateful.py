@@ -94,3 +94,36 @@ def test_streaming_neardup_matches_batch_pairs(spark, pages, tmp_path):
            dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
     dedup.release_caches()
     assert got == exp and len(exp) >= 30
+
+
+def test_exact_once_pairs_collapses_band_duplicates(spark, pages, tmp_path):
+    """A pair sharing several band buckets emits once per bucket upstream;
+    chained through exact_once_pairs the RAW sink rows (no test-side
+    distinct) must equal the batch operator's pairs exactly — count, ids
+    and sig_sim (round-5 VERDICT task)."""
+    from pyspark.sql import functions as F
+
+    from geolake_spark.operators import dedup
+
+    drop = str(tmp_path / "drop")
+    base = pages.limit(100).selectExpr("url as doc_id", "text")
+    near = (base.limit(25)
+            .selectExpr("concat(doc_id, '#d') as doc_id",
+                        "concat(text, ' tail tail') as text"))
+    base.write.parquet(drop)
+    near.write.mode("append").parquet(drop)
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    out = stateful.exact_once_pairs(
+        stateful.streaming_neardup_pairs(stream, threshold=0.5))
+    q = (out.writeStream.format("memory").queryName("eopairs")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    raw = [(r["id_a"], r["id_b"], r["sig_sim"]) for r in
+           spark.sql("select id_a, id_b, sig_sim from eopairs").collect()]
+    exp = {(r["id_a"], r["id_b"], r["sig_sim"]) for r in
+           dedup.minhash_lsh_pairs(base.unionByName(near),
+                                   threshold=0.5).collect()}
+    dedup.release_caches()
+    assert len(raw) == len(set(raw)), "duplicate emissions survived"
+    assert set(raw) == exp and len(exp) >= 25
