@@ -152,13 +152,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 DEFAULT_BAND_BUCKET_CAP = 8192
+SIGNATURE_PARTITIONS = 8
+
+
+def _signatures_from_table(sig_plan: DataFrame, root: str,
+                           n_parts: int) -> DataFrame:
+    """Materialize the signature tier as a snapshot-committed catalog
+    TABLE and read it back — the 100 TB form of the persisted tier (an
+    executor cache dies with the job; a committed table survives it).
+
+    Rows are partitioned by a deterministic id-hash bucket; the write
+    goes through write_snapshot(resume=True), so a re-run after a failure
+    skips every already-committed bucket (the commit is atomic: either
+    the snapshot exists and the whole tier is reusable, or it doesn't
+    and the tier recomputes).  Resuming against a DIFFERENT input corpus
+    is the caller's contract violation — the table is the checkpoint of
+    one input snapshot, exactly like any checkpointed pipeline stage."""
+    from geolake_spark.catalog import IcebergishTable
+    from geolake_spark.write import write_snapshot
+    table = IcebergishTable(root)
+    work = sig_plan.withColumn(
+        "sig_part", F.pmod(F.xxhash64("id"), F.lit(n_parts)))
+    write_snapshot(work, table, ["sig_part"], resume=True)
+    if not table.committed_partitions():  # pragma: no cover - safety net
+        raise RuntimeError(f"signature tier commit failed under {root}")
+    spark = sig_plan.sparkSession
+    return (spark.read.option("basePath", table.data_dir)
+            .parquet(table.data_dir).select("id", "minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.5,
                       bucket_cap: int | None = DEFAULT_BAND_BUCKET_CAP,
-                      stats: dict | None = None) -> DataFrame:
+                      stats: dict | None = None,
+                      signatures_table: str | None = None) -> DataFrame:
     """Candidate near-dup pairs (a < b) whose MinHash signature similarity
     >= threshold.  Shuffle is on band hashes (small), never all-pairs.
     Signatures are Arrow-batched vectorized NumPy (token-hash combination,
@@ -174,13 +202,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``stats`` dict to get dropped_buckets / dropped_rows accounting, or
     ``bucket_cap=None`` for exhaustive generation."""
     mh = sim.make_minhash_udf(num_perm=num_perm)
-    # Signatures are persisted: they feed the band explode AND the two
-    # payload re-joins below; without persist Spark would re-run the UDF
-    # (the dominant cost) once per consumer.  At 100 TB this tier would be
-    # written to a signatures table — MEMORY_AND_DISK is the local analogue.
-    # Cache lifetime is the caller's: see release_caches().
-    sigs = _persist_tier(df.select(F.col(id_col).alias("id"),
-                                   mh(F.col(text_col)).alias("minhash")))
+    # Signatures feed the band explode AND the two payload re-joins below;
+    # without materialization Spark would re-run the UDF (the dominant
+    # cost) once per consumer.  Two tiers: the default persist
+    # (MEMORY_AND_DISK executor cache, lifetime = caller's, see
+    # release_caches()) for single-job runs, or — with
+    # ``signatures_table`` — a snapshot-committed catalog table, which
+    # additionally makes the pipeline resumable: a run killed after the
+    # signature commit reuses the whole tier on restart instead of
+    # re-running the UDF over the corpus.
+    sig_plan = df.select(F.col(id_col).alias("id"),
+                         mh(F.col(text_col)).alias("minhash"))
+    if signatures_table is not None:
+        sigs = _signatures_from_table(sig_plan, signatures_table,
+                                      SIGNATURE_PARTITIONS)
+    else:
+        sigs = _persist_tier(sig_plan)
     banded = (sim.lsh_bands(sigs, "minhash", num_perm, bands)
               .select("id", "band_id", "band_hash"))
     # candidates carry ONLY (id_a, id_b) — 16 B/pair; round 2 shuffled both

@@ -499,3 +499,41 @@ def test_connected_components_survives_fingerprint_collision(spark, monkeypatch)
     rows = {r["id"]: r["component"]
             for r in dedup.connected_components(pairs).collect()}
     assert rows == {i: 1 for i in range(1, 9)}
+
+
+def test_minhash_signatures_table_resume(spark, tmp_path):
+    """signatures_table= materializes the signature tier through the
+    snapshot-commit layer; a run killed between the signature commit and
+    the pair join resumes WITHOUT recomputing signatures (round-5 VERDICT
+    task: at 100 TB the tier is a table, not executor cache)."""
+    import os
+
+    import pandas as pd
+    rows = [(i, f"alpha beta gamma delta epsilon tok{i} zeta eta theta")
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1] + " tail") for i in range(5)]  # near-dups
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    root = str(tmp_path / "sigs")
+    p1 = sorted((r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_pairs(df, threshold=0.5,
+                                        signatures_table=root).collect())
+    assert len(p1) >= 5
+    assert os.path.exists(os.path.join(root, "metadata", "version-hint.txt"))
+    # "killed between signature write and pair join": the tier is
+    # committed; the resumed run must READ it, never re-run the UDF — a
+    # corpus with the same ids but different text proves it (recompute
+    # would change every signature and kill the planted pairs)
+    scrambled = df.withColumn("text", F.reverse(F.col("text")))
+    p2 = sorted((r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_pairs(scrambled, threshold=0.5,
+                                        signatures_table=root).collect())
+    assert p2 == p1
+    # a kill BEFORE the commit leaves no snapshot -> full recompute, same
+    # pairs from the true corpus
+    import shutil
+    shutil.rmtree(os.path.join(root, "metadata"))
+    shutil.rmtree(os.path.join(root, "data"))
+    p3 = sorted((r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_pairs(df, threshold=0.5,
+                                        signatures_table=root).collect())
+    assert p3 == p1
