@@ -42,7 +42,8 @@ SCALE_ROWS = 256_000_000      # slim coordinate table for throughput/scaling
 SCALE_PASSES = 4              # passes per action -> 1.02B page rows
 
 # Best SOLO per-query seconds (BENCH/headline_r04_solo.json; ivf_train
-# re-measured after the round-5 float32/reduceat trainer rework).  The
+# re-measured after the round-5 float32/reduceat trainer rework + the
+# sampled init that cut the distributed polish to 2 passes).  The
 # driver-run artifact self-certifies against these: any query reading
 # above PLAUSIBLE_FACTOR x its solo best is re-measured up to
 # PLAUSIBLE_RETRIES more times (this host's intermittent multi-second
@@ -54,7 +55,7 @@ SOLO_BASELINE = {
     "pip_tiles": 3.66, "cell_hist": 1.51, "knn": 2.47,
     "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.62,
     "dedup_exact": 0.26, "minhash_sigs": 2.28, "dedup_e2e": 7.99,
-    "minhash_sigs_uni": 2.78, "ivf_train": 9.7, "ivf_query": 3.06,
+    "minhash_sigs_uni": 2.78, "ivf_train": 6.6, "ivf_query": 3.06,
 }
 PLAUSIBLE_FACTOR = 1.5
 PLAUSIBLE_RETRIES = 2
@@ -379,7 +380,8 @@ def extra_queries(spark) -> tuple[dict, dict]:
         for _ in range(2):  # best-of-2: single-shot swung 18-48s on stalls
             t0 = time.time()
             trained["centers"] = ann.kmeans_fit_distributed(
-                emb, dim=synth.EMB_DIM, n_clusters=707, iters=4)
+                emb, dim=synth.EMB_DIM, n_clusters=707, iters=2,
+                init="sample")
             best = min(best, time.time() - t0)
         return best
 

@@ -78,6 +78,36 @@ def test_ivf_distributed_kmeans(vectors, probes):
     assert np.mean(recalls) >= 0.7, recalls
 
 
+def test_ivf_distributed_kmeans_sample_init(vectors, probes):
+    """init="sample": driver-side k-means over a deterministic sample
+    seeds the centers so 2 distributed polish passes suffice (the bench
+    trainer configuration).  Centers stay unit-norm; recall holds."""
+    centers = ann.kmeans_fit_distributed(vectors, dim=32, n_clusters=12,
+                                         iters=2, init="sample")
+    assert centers.shape == (12, 32)
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0, atol=1e-9)
+    exact = ann.cosine_topk(vectors, probes, k=10)
+    approx = ann.ivf_topk(vectors, probes, k=10, nprobe=4, centers=centers)
+    e = exact.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    a = approx.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    recalls = [len(e[p] & a[p]) / 10 for p in e]
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ivf_sample_init_degenerate_falls_back(spark):
+    """Fewer rows than clusters: the sampled init can't seed k distinct
+    centers, so the trainer falls back to the first-rows init instead of
+    crashing (np.random.choice would raise on replace=False)."""
+    rng = np.random.RandomState(3)
+    small = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(6),
+        "embedding": [list(r) for r in rng.randn(6, 8)]}))
+    centers = ann.kmeans_fit_distributed(small, dim=8, n_clusters=6,
+                                         iters=1, init="sample")
+    assert centers.shape == (6, 8)
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0, atol=1e-9)
+
+
 @pytest.mark.slow
 def test_ivf_sf1_scale(spark):
     """100 TB-path wiring at scale: distributed spherical k-means
@@ -93,7 +123,8 @@ def test_ivf_sf1_scale(spark):
               .selectExpr("vec_id as probe_id", "embedding as probe_vec")
               .limit(32))
     centers = ann.kmeans_fit_distributed(emb, dim=synth.EMB_DIM,
-                                         n_clusters=448, iters=3)
+                                         n_clusters=448, iters=2,
+                                         init="sample")
     approx = ann.ivf_topk(emb, probes, k=10, nprobe=16, centers=centers)
     exact = ann.cosine_topk(emb, probes, k=10)
     a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
