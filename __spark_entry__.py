@@ -26,6 +26,7 @@ from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
 from geolake_spark.operators import aggregates, ann, dedup, joins, subset, tiles
+from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -363,6 +364,20 @@ def q_near_dup_keep(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_curate_keep(spark, sf_dir):
+    """The COMPOSED training-data curation pipeline
+    (geolake_spark.pipeline.curate_pages): lang allowlist -> quality gate
+    -> exact dedup -> MinHash near-dup keep, with quality/token_count
+    columns.  Oracle: the same funnel in DuckDB — quality_score_sql gate,
+    md5 min-id representative CTE, the minhash pair SQL composed over the
+    filtered base, RECURSIVE min-label components, anti-filter."""
+    d = _t(spark, sf_dir, "documents")
+    kept = curate_pages(d, langs=["en", "de", "zh"], min_quality=0.2,
+                        near_threshold=0.35)
+    return (kept.select("doc_id", "lang", "quality", "token_count")
+            .orderBy("doc_id"))
+
+
 # Python str.split()'s full whitespace set (the byte-mask tokenizer's
 # contract, sim.py _UWS3 + ASCII): cycled deterministically through the
 # multiscript corpus below so every separator the tokenizer handles is
@@ -655,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "near_dup_components": q_near_dup_components,
         "near_dup_keep": q_near_dup_keep,
+        "curate_keep": q_curate_keep,
         "simhash": q_simhash,
         "minhash_lsh_uni": q_minhash_lsh_uni,
         "simhash_uni": q_simhash_uni,
@@ -1058,6 +1074,31 @@ comp AS (SELECT id, min(label) AS component FROM r GROUP BY id)
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
 ORDER BY d.doc_id""",
+        "curate_keep": f"""
+WITH RECURSIVE fil AS (
+  SELECT doc_id, text, lang, {tx.quality_score_sql('text')} AS quality
+  FROM documents
+  WHERE lang IN ('en', 'de', 'zh')
+    AND {tx.quality_score_sql('text')} >= 0.2),
+reps AS (SELECT min(doc_id) AS doc_id FROM fil GROUP BY md5(text)),
+base AS (SELECT f.* FROM fil f JOIN reps USING (doc_id)),
+pairs AS ({_minhash_lsh_oracle(docs_sql="SELECT doc_id, text FROM base")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+r AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN r ON r.id = e.dst),
+comp AS (SELECT id, min(label) AS component FROM r GROUP BY id)
+SELECT b.doc_id, b.lang, b.quality,
+       cast(case when length(trim(b.text)) = 0 then 0 else
+            len(regexp_split_to_array(trim(b.text), '\\s+')) end
+            as bigint) AS token_count
+FROM base b
+WHERE b.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+ORDER BY b.doc_id""",
         "simhash": _simhash_oracle(),
         "minhash_lsh_uni": _minhash_lsh_oracle(docs_sql=_docs_uni_sql(),
                                                utf8=True),

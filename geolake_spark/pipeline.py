@@ -1,0 +1,85 @@
+"""Training-data curation pipeline: the composed form of the LLM-data
+operators (language gate -> quality gate -> exact dedup -> near-dup keep),
+the end-to-end recipe a corpus builder actually runs over a Common-Crawl
+style pages table before tokenization.
+
+Composition order is the scale order: the cheap JVM-expression gates
+(lang allowlist, quality heuristic) run first so the expensive tiers
+(signature UDF, band shuffle, component join) only see survivors; exact
+dedup collapses byte-identical bodies before MinHash so a mega-cluster of
+literal mirrors never reaches the band buckets (the bucket cap then only
+has to guard NEAR-identical template clusters).  Every stage is a
+DataFrame -> DataFrame narrowing — one lazy plan, no driver-side data.
+
+Reference analogue: none in geolake (no text ops) — this is the
+beyond-reference training-data mandate; the per-operator pieces are
+value-oracled individually and the composed pipeline end-to-end
+(``curate_keep`` in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geolake_spark.functions import text as T
+from geolake_spark.operators import dedup
+
+
+def curate_pages(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", lang_col: str = "lang",
+                 langs: list[str] | None = None,
+                 min_quality: float | None = None,
+                 near_threshold: float | None = 0.5,
+                 bucket_cap: int | None = dedup.DEFAULT_BAND_BUCKET_CAP,
+                 funnel: dict | None = None) -> DataFrame:
+    """Curated subset of ``df`` with ``quality`` and ``token_count`` added.
+
+    Stages (each optional):
+    1. ``langs`` — allowlist on ``lang_col`` (skipped when None).
+    2. ``min_quality`` — drop rows whose heuristic quality score
+       (:func:`geolake_spark.functions.text.quality_score_col`) is below.
+    3. exact dedup — keep the min-id representative per distinct
+       ``text_col`` body (one fingerprint shuffle).
+    4. ``near_threshold`` — MinHash-LSH near-dup removal: candidate pairs
+       above the signature-similarity threshold -> connected components ->
+       drop every non-representative member (None skips).  The caller owns
+       the signature-tier lifetime: call ``dedup.release_caches()`` after
+       materializing the result (the dedup caching contract).
+
+    ``funnel`` (a dict) opts into per-stage row accounting — rows_in /
+    rows_lang / rows_quality / rows_exact / rows_kept.  Each entry is an
+    EAGER count over the stage plan: free at test scale, a full extra scan
+    per stage at 100 TB, where the snapshot lineage metrics written by
+    ``jobs/curate.py`` give the in/out numbers without extra passes —
+    request the funnel when auditing, not in the hot path.
+    """
+    def _n(stage: str, frame: DataFrame) -> None:
+        if funnel is not None:
+            funnel[stage] = frame.count()
+
+    _n("rows_in", df)
+    out = df
+    if langs:
+        out = out.filter(F.col(lang_col).isin(list(langs)))
+        _n("rows_lang", out)
+    out = out.withColumn("quality", T.quality_score_col(F.col(text_col)))
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= min_quality)
+        _n("rows_quality", out)
+    # exact dedup: representatives only (left-semi against min-id per
+    # fingerprint — the aggregate's keep_id set is small relative to df
+    # only in the dup-heavy case, so join on the id, never collect)
+    reps = (dedup.exact_dedup(out, text_col=text_col, id_col=id_col)
+            .select(F.col("keep_id").alias(id_col)))
+    out = out.join(reps, id_col, "left_semi")
+    _n("rows_exact", out)
+    if near_threshold is not None:
+        pairs = dedup.minhash_lsh_pairs(out, text_col=text_col,
+                                        id_col=id_col,
+                                        threshold=near_threshold,
+                                        bucket_cap=bucket_cap)
+        out = dedup.dedup_keep(out, pairs, id_col=id_col)
+    out = out.withColumn("token_count", T.token_count_col(F.col(text_col)))
+    _n("rows_kept", out)
+    return out

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: curate a pages table into a training corpus.
+
+    spark-submit --py-files geolake_spark.zip jobs/curate.py \
+        --input /path/pages.parquet --table /path/corpus \
+        [--langs en,de] [--min-quality 0.2] [--near-threshold 0.5] \
+        [--partition-col lang] [--resume] [--funnel]
+
+The composed training-data pipeline (geolake_spark.pipeline.curate_pages):
+language allowlist -> quality gate -> exact dedup -> MinHash near-dup keep,
+then a snapshot commit partitioned by ``--partition-col`` with per-partition
+lineage metrics.  --resume skips partitions already committed (checkpoint
+restart, same contract as jobs/ingest.py).  --funnel adds per-stage row
+counts to the summary (one extra scan per stage — audit mode, see
+curate_pages docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated allowlist, e.g. en,de")
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--near-threshold", type=float, default=0.5)
+    ap.add_argument("--no-near-dedup", action="store_true")
+    ap.add_argument("--partition-col", default="lang")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--funnel", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from geolake_spark.catalog import IcebergishTable
+    from geolake_spark.operators import dedup
+    from geolake_spark.pipeline import curate_pages
+    from geolake_spark.session import get_spark
+    from geolake_spark.write import write_snapshot
+
+    spark = get_spark("curate", cores=args.cores)
+    pages = spark.read.parquet(args.input)
+    id_col = "url" if "url" in pages.columns else "doc_id"
+    funnel: dict | None = {} if args.funnel else None
+    kept = curate_pages(
+        pages, id_col=id_col,
+        langs=args.langs.split(",") if args.langs else None,
+        min_quality=args.min_quality,
+        near_threshold=None if args.no_near_dedup else args.near_threshold,
+        funnel=funnel)
+    info = write_snapshot(kept, IcebergishTable(args.table),
+                          [args.partition_col], resume=args.resume)
+    dedup.release_caches()
+    if funnel is not None:
+        info = {**info, "funnel": funnel}
+    print(json.dumps(info))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
