@@ -364,6 +364,19 @@ def q_near_dup_keep(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Delta near-dedup: pairs involving at least one NEW doc (odd ids),
+    never old x old — old-only band buckets are semi-join-pruned and the
+    in-bucket old x old filter sits inside the pair HOF
+    (dedup.minhash_lsh_pairs_incremental).  Oracle: the full batch pair
+    SQL filtered to rows touching the new half — the operator's defining
+    invariant (incr == batch(all) - batch(old)) expressed directly."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_lsh_pairs_incremental(new, old, threshold=0.35)
+
+
 def q_curate_keep(spark, sf_dir):
     """The COMPOSED training-data curation pipeline
     (geolake_spark.pipeline.curate_pages): lang allowlist -> quality gate
@@ -671,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "near_dup_keep": q_near_dup_keep,
         "curate_keep": q_curate_keep,
+        "minhash_incremental": q_minhash_incremental,
         "simhash": q_simhash,
         "minhash_lsh_uni": q_minhash_lsh_uni,
         "simhash_uni": q_simhash_uni,
@@ -1099,6 +1113,10 @@ SELECT b.doc_id, b.lang, b.quality,
 FROM base b
 WHERE b.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
 ORDER BY b.doc_id""",
+        "minhash_incremental": f"""
+WITH pairs AS ({_minhash_lsh_oracle()})
+SELECT id_a, id_b, sig_sim FROM pairs
+WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "simhash": _simhash_oracle(),
         "minhash_lsh_uni": _minhash_lsh_oracle(docs_sql=_docs_uni_sql(),
                                                utf8=True),

@@ -82,7 +82,8 @@ def release_caches(blocking: bool = False, all_threads: bool = False) -> int:
 
 def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
                   cap: int | None = None, dedupe: bool = True,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  new_col: str | None = None) -> DataFrame:
     """(id_a, id_b) with id_a < id_b for every pair sharing a bucket.
 
     ONE shuffle: groupBy bucket keys + collect_list, then in-bucket pairs
@@ -105,7 +106,12 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
     bucket the cap exists for).  With ``stats`` a dict, the drop
     accounting is recorded eagerly: ``dropped_buckets`` / ``dropped_rows``
     (rows = banded entries, i.e. docs x bands landing in killed buckets).
-    """
+
+    ``new_col`` (an int 0/1 column on ``banded``) switches to incremental
+    emission: only pairs where AT LEAST ONE member is new survive — the
+    old-x-old filter sits inside the HOF expression, so already-emitted
+    pairs never even reach the distinct's shuffle (the delta-ingest path,
+    see :func:`minhash_lsh_pairs_incremental`)."""
     if cap is not None:
         counts = banded.groupBy(*keys).agg(F.count("*").alias("_bk_n"))
         if stats is not None:
@@ -120,6 +126,26 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
         ok = (counts.filter((F.col("_bk_n") > 1) & (F.col("_bk_n") <= cap))
               .select(*keys))
         banded = banded.join(ok, keys, "left_semi")
+    if new_col is not None:
+        buckets = (banded.groupBy(*keys)
+                   .agg(F.collect_list(
+                       F.struct(F.col(id_col).alias("id"),
+                                F.col(new_col).alias("nw"))).alias("items"))
+                   .filter(F.size("items") > 1))
+        # array_sort on struct sorts by (id, nw) — same id order as the
+        # plain path, so the strict < below keeps identical pair identity
+        items = F.array_sort("items")
+        buckets = buckets.select(items.alias("items"))
+        n = F.size("items")
+        expanded = buckets.select(
+            "items", F.posexplode("items").alias("i", "a"))
+        out = (expanded.select(
+            F.col("a.id").alias("id_a"), F.col("a.nw").alias("_nw_a"),
+            F.explode(F.slice("items", F.col("i") + 2, n)).alias("b"))
+            .filter((F.col("id_a") < F.col("b.id"))
+                    & ((F.col("_nw_a") == 1) | (F.col("b.nw") == 1)))
+            .select("id_a", F.col("b.id").alias("id_b")))
+        return out.distinct() if dedupe else out
     buckets = (banded.groupBy(*keys)
                .agg(F.collect_list(id_col).alias("ids"))
                .filter(F.size("ids") > 1))
@@ -234,6 +260,90 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                F.col("minhash").alias("mh_b")), "id_b"))
     matches = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y:
                                          (x == y).cast("int")), lambda v: v == 1))
+    return (pairs.withColumn("sig_sim", matches / F.lit(float(num_perm)))
+            .filter(F.col("sig_sim") >= threshold)
+            .select("id_a", "id_b", F.round("sig_sim", 6).alias("sig_sim")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_perm: int = 64) -> DataFrame:
+    """Lazy ``(id, minhash)`` signature plan for ``df`` — the unit the
+    incremental path stores: compute once per crawl batch, commit through
+    the snapshot layer (see ``minhash_lsh_pairs(signatures_table=)``),
+    and feed the committed table back as ``old`` on the next increment."""
+    mh = sim.make_minhash_udf(num_perm=num_perm)
+    return df.select(F.col(id_col).alias("id"),
+                     mh(F.col(text_col)).alias("minhash"))
+
+
+def minhash_lsh_pairs_incremental(new_df: DataFrame, old: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  num_perm: int = 64, bands: int = 16,
+                                  threshold: float = 0.5,
+                                  bucket_cap: int | None = DEFAULT_BAND_BUCKET_CAP,
+                                  stats: dict | None = None) -> DataFrame:
+    """Near-dup pairs for a DELTA: every pair involving at least one doc
+    of ``new_df`` — new x new and new x old, never old x old (those were
+    emitted when the old docs were ingested).  The crawl-cadence form of
+    :func:`minhash_lsh_pairs`: at 100 TB a recrawl re-curates the
+    increment, not the corpus.
+
+    Exactly ``minhash_lsh_pairs(old UNION new)`` minus
+    ``minhash_lsh_pairs(old)`` (asserted by test), at a fraction of the
+    cost, via two scale levers:
+
+    * band buckets containing NO new doc are pruned with a left-semi join
+      against the new docs' bucket keys BEFORE any bucket materializes —
+      the old corpus contributes only the rows that share a bucket with
+      the increment (on a large old corpus and a small delta, almost all
+      old band rows die here, at the price of a small-side shuffle);
+    * inside surviving buckets the old x old pairs are filtered within
+      the pair-generating HOF expression (``_bucket_pairs(new_col=)``),
+      so they never reach the candidate distinct's shuffle.
+
+    ``old`` is either a raw docs DataFrame (signatures recomputed — the
+    small-data convenience) or a ``(id, minhash)`` signatures frame, e.g.
+    the snapshot-committed table a previous ``minhash_lsh_pairs(
+    signatures_table=)`` run wrote: pass
+    ``spark.read.parquet(table_data_dir).select("id", "minhash")`` and
+    the old corpus' text is never touched.  A recrawled id present in
+    both sides pairs with itself only via distinct ids (strict <), but
+    its OLD signature row is the caller's to retire — drop recrawled ids
+    from ``old`` before calling (the streaming stateful path
+    overwrites instead; streaming/stateful.py)."""
+    new_sigs = _persist_tier(
+        minhash_signatures(new_df, text_col, id_col, num_perm))
+    if "minhash" in old.columns:
+        old_sigs = old.select("id", "minhash")
+    else:
+        old_sigs = _persist_tier(
+            minhash_signatures(old, text_col, id_col, num_perm))
+    keys = ["band_id", "band_hash"]
+    banded_new = (sim.lsh_bands(new_sigs, "minhash", num_perm, bands)
+                  .select("id", *keys).withColumn("_new", F.lit(1)))
+    banded_old = (sim.lsh_bands(old_sigs, "minhash", num_perm, bands)
+                  .select("id", *keys).withColumn("_new", F.lit(0)))
+    hot = banded_new.select(*keys).distinct()
+    banded = banded_new.unionByName(
+        banded_old.join(hot, keys, "left_semi"))
+    cand = _bucket_pairs(banded, keys, cap=bucket_cap, stats=stats,
+                         new_col="_new")
+    # signature re-attach: new sigs win for recrawled ids (old row retired);
+    # persisted — BOTH candidate re-joins consume it, and without the tier
+    # the anti-join + old-table scan would run once per consumer
+    all_sigs = _persist_tier(
+        old_sigs.join(new_sigs.select("id"), "id", "left_anti")
+        .unionByName(new_sigs))
+    pairs = (cand
+             .join(all_sigs.select(F.col("id").alias("id_a"),
+                                   F.col("minhash").alias("mh_a")), "id_a")
+             .join(all_sigs.select(F.col("id").alias("id_b"),
+                                   F.col("minhash").alias("mh_b")), "id_b"))
+    matches = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y:
+                                         (x == y).cast("int")),
+                              lambda v: v == 1))
     return (pairs.withColumn("sig_sim", matches / F.lit(float(num_perm)))
             .filter(F.col("sig_sim") >= threshold)
             .select("id_a", "id_b", F.round("sig_sim", 6).alias("sig_sim")))

@@ -537,3 +537,84 @@ def test_minhash_signatures_table_resume(spark, tmp_path):
                 dedup.minhash_lsh_pairs(df, threshold=0.5,
                                         signatures_table=root).collect())
     assert p3 == p1
+
+
+def _mk_incr_corpus(spark):
+    """Deterministic corpus split for the incremental tests: docs 0-29 are
+    OLD, 30-49 NEW; near-dup clusters planted within old (2, 3), within
+    new (40, 41) and across (10 old ~ 45 new)."""
+    rng = np.random.RandomState(13)
+    words = BASE.split()
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(rng.permutation(words))))
+
+    def mutate(text, slot):
+        w = text.split()
+        w[slot] = "mutated"
+        return " ".join(w)
+
+    rows[3] = (3, mutate(rows[2][1], 4))     # old x old near-dup
+    rows[41] = (41, mutate(rows[40][1], 6))  # new x new near-dup
+    rows[45] = (45, mutate(rows[10][1], 8))  # old x new near-dup
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    return df.filter(F.col("doc_id") < 30), df.filter(F.col("doc_id") >= 30), df
+
+
+def test_incremental_equals_batch_difference(spark):
+    """The defining invariant: incr(new, old) == batch(old UNION new)
+    minus batch(old), as (id_a, id_b, sig_sim) sets."""
+    old, new, both = _mk_incr_corpus(spark)
+    batch_all = {tuple(r) for r in
+                 dedup.minhash_lsh_pairs(both, threshold=0.5).collect()}
+    batch_old = {tuple(r) for r in
+                 dedup.minhash_lsh_pairs(old, threshold=0.5).collect()}
+    incr = {tuple(r) for r in
+            dedup.minhash_lsh_pairs_incremental(new, old,
+                                                threshold=0.5).collect()}
+    dedup.release_caches()
+    assert incr == batch_all - batch_old
+    ids = {(a, b) for a, b, _ in incr}
+    assert (40, 41) in ids and (10, 45) in ids  # new x new, old x new
+    assert (2, 3) not in ids                    # old x old suppressed
+
+
+def test_incremental_accepts_signature_frame(spark):
+    """Passing a precomputed (id, minhash) frame for old must match the
+    raw-docs form — and proves the old TEXT is never needed (the frame is
+    what a committed signatures table read returns)."""
+    old, new, _ = _mk_incr_corpus(spark)
+    via_docs = {tuple(r) for r in
+                dedup.minhash_lsh_pairs_incremental(new, old,
+                                                    threshold=0.5).collect()}
+    old_sigs = dedup.minhash_signatures(old)
+    via_sigs = {tuple(r) for r in
+                dedup.minhash_lsh_pairs_incremental(new, old_sigs,
+                                                    threshold=0.5).collect()}
+    dedup.release_caches()
+    assert via_docs == via_sigs and via_docs
+
+
+def test_incremental_old_pairs_suppressed_in_hot_bucket(spark):
+    """Two OLD near-dups sharing a band bucket with a NEW doc: the bucket
+    is hot (survives pruning), but the old x old pair must still not be
+    emitted — the filter lives inside the pair-generating HOF."""
+    rng = np.random.RandomState(17)
+    words = BASE.split()
+    base_text = " ".join(rng.permutation(words))
+
+    def mutate(slot, word="zz"):
+        w = base_text.split()
+        w[slot] = word
+        return " ".join(w)
+
+    old = spark.createDataFrame(pd.DataFrame(
+        [(1, base_text), (2, mutate(3))], columns=["doc_id", "text"]))
+    new = spark.createDataFrame(pd.DataFrame(
+        [(9, mutate(7, "qq"))], columns=["doc_id", "text"]))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs_incremental(new, old,
+                                                 threshold=0.5).collect()}
+    dedup.release_caches()
+    assert (1, 9) in pairs and (2, 9) in pairs
+    assert (1, 2) not in pairs
