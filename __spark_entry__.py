@@ -324,6 +324,17 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", tx.quality_score_col(F.col("text")).alias("quality"))
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style within-doc repetition gates (Rae et al. 2021 App. A):
+    duplicate-trigram coverage + most-common-word share, both pure JVM
+    HOF expressions (functions/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.dup_ngram_frac_col(F.col("text"), 3).alias("dup_trigram_frac"),
+        tx.top_word_frac_col(F.col("text")).alias("top_word_frac"))
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -678,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1022,6 +1034,9 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_docs FROM documents GROUP BY 1, 2"),
         "quality_scores": (
             f"SELECT doc_id, {tx.quality_score_sql('text')} AS quality FROM documents"),
+        "repetition_scores": (
+            f"SELECT doc_id, {tx.dup_ngram_frac_sql('text', 3)} AS dup_trigram_frac, "
+            f"{tx.top_word_frac_sql('text')} AS top_word_frac FROM documents"),
         "exact_dedup": (
             "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count "
             "FROM documents GROUP BY 1"),

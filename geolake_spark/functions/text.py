@@ -205,3 +205,68 @@ def fingerprint_col(text: Column) -> Column:
 
 def fingerprint_sql(text_expr: str) -> str:
     return f"md5({text_expr})"
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style within-document filters)
+# ---------------------------------------------------------------------------
+# Boilerplate/spam pages repeat themselves: the classic web-corpus gates
+# (Rae et al. 2021 "Gopher", Appendix A) drop docs whose duplicate-n-gram
+# coverage or most-common-word share is too high.  Both metrics below are
+# pure JVM higher-order-function expressions over the whitespace token
+# array — no Python in the hot path, whole-stage codegen preserved — with
+# bit-matching DuckDB SQL for the value-hash oracle.
+
+
+def _tokens(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+
+
+def dup_ngram_frac_col(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier occurrence:
+    ``1 - distinct_ngrams/total_ngrams`` (0.0 when fewer than ``n``
+    tokens).  A doc of one phrase pasted k times scores ~(k-1)/k."""
+    toks = _tokens(text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(cnt <= 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams))
+                / cnt.cast("double"), 6))
+
+
+def dup_ngram_frac_sql(text_expr: str, n: int = 3) -> str:
+    toks = (f"(case when length(trim({text_expr})) = 0 then []::varchar[] "
+            f"else regexp_split_to_array(trim({text_expr}), '\\s+') end)")
+    cnt = f"(len({toks}) - {n - 1})"
+    grams = (f"list_transform(range(1, greatest({cnt}, 1) + 1), "
+             f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))")
+    return (f"(case when {cnt} <= 0 then 0.0 else "
+            f"round(1.0 - len(list_distinct({grams})) / cast({cnt} as double), 6)"
+            f" end)")
+
+
+def top_word_frac_col(text: Column) -> Column:
+    """Share of tokens taken by the single most frequent (lowercased)
+    token — the "most common word" Gopher gate.  Per-row cost is
+    O(distinct x tokens) inside one codegen'd expression; web pages are
+    hundreds of tokens, so this stays cheap and JVM-side."""
+    toks = F.transform(_tokens(text), F.lower)
+    top = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w))))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(top / F.size(toks).cast("double"), 6))
+
+
+def top_word_frac_sql(text_expr: str) -> str:
+    toks = (f"(case when length(trim({text_expr})) = 0 then []::varchar[] "
+            f"else list_transform(regexp_split_to_array(trim({text_expr}), "
+            f"'\\s+'), w -> lower(w)) end)")
+    top = (f"list_max(list_transform(list_distinct({toks}), "
+           f"w -> len(list_filter({toks}, t -> t = w))))")
+    return (f"(case when len({toks}) = 0 then 0.0 else "
+            f"round({top} / cast(len({toks}) as double), 6) end)")

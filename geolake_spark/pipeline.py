@@ -30,6 +30,7 @@ def curate_pages(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", lang_col: str = "lang",
                  langs: list[str] | None = None,
                  min_quality: float | None = None,
+                 max_dup_trigram: float | None = None,
                  near_threshold: float | None = 0.5,
                  bucket_cap: int | None = dedup.DEFAULT_BAND_BUCKET_CAP,
                  funnel: dict | None = None) -> DataFrame:
@@ -39,6 +40,12 @@ def curate_pages(df: DataFrame, text_col: str = "text",
     1. ``langs`` — allowlist on ``lang_col`` (skipped when None).
     2. ``min_quality`` — drop rows whose heuristic quality score
        (:func:`geolake_spark.functions.text.quality_score_col`) is below.
+    2b. ``max_dup_trigram`` — Gopher-style repetition gate: drop rows
+       whose duplicate-trigram coverage
+       (:func:`geolake_spark.functions.text.dup_ngram_frac_col`) exceeds
+       the cap; boilerplate/template pages die here BEFORE the MinHash
+       tiers, shrinking exactly the near-identical clusters the band
+       bucket_cap guards against (None skips).
     3. exact dedup — keep the min-id representative per distinct
        ``text_col`` body (one fingerprint shuffle).
     4. ``near_threshold`` — MinHash-LSH near-dup removal: candidate pairs
@@ -48,7 +55,7 @@ def curate_pages(df: DataFrame, text_col: str = "text",
        materializing the result (the dedup caching contract).
 
     ``funnel`` (a dict) opts into per-stage row accounting — rows_in /
-    rows_lang / rows_quality / rows_exact / rows_kept.  Each entry is an
+    rows_lang / rows_quality / rows_repetition / rows_exact / rows_kept.  Each entry is an
     EAGER count over the stage plan: free at test scale, a full extra scan
     per stage at 100 TB, where the snapshot lineage metrics written by
     ``jobs/curate.py`` give the in/out numbers without extra passes —
@@ -67,6 +74,10 @@ def curate_pages(df: DataFrame, text_col: str = "text",
     if min_quality is not None:
         out = out.filter(F.col("quality") >= min_quality)
         _n("rows_quality", out)
+    if max_dup_trigram is not None:
+        out = out.filter(
+            T.dup_ngram_frac_col(F.col(text_col), 3) <= max_dup_trigram)
+        _n("rows_repetition", out)
     # exact dedup: representatives only (left-semi against min-id per
     # fingerprint — the aggregate's keep_id set is small relative to df
     # only in the dup-heavy case, so join on the id, never collect)

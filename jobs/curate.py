@@ -3,7 +3,8 @@
 
     spark-submit --py-files geolake_spark.zip jobs/curate.py \
         --input /path/pages.parquet --table /path/corpus \
-        [--langs en,de] [--min-quality 0.2] [--near-threshold 0.5] \
+        [--langs en,de] [--min-quality 0.2] [--max-dup-trigram 0.5] \
+        [--near-threshold 0.5] \
         [--partition-col lang] [--resume] [--funnel]
 
 The composed training-data pipeline (geolake_spark.pipeline.curate_pages):
@@ -28,6 +29,7 @@ def main() -> None:
     ap.add_argument("--langs", default=None,
                     help="comma-separated allowlist, e.g. en,de")
     ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--max-dup-trigram", type=float, default=None)
     ap.add_argument("--near-threshold", type=float, default=0.5)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--partition-col", default="lang")
@@ -50,6 +52,7 @@ def main() -> None:
         pages, id_col=id_col,
         langs=args.langs.split(",") if args.langs else None,
         min_quality=args.min_quality,
+        max_dup_trigram=args.max_dup_trigram,
         near_threshold=None if args.no_near_dedup else args.near_threshold,
         funnel=funnel)
     info = write_snapshot(kept, IcebergishTable(args.table),

@@ -60,3 +60,20 @@ def test_curate_near_dedup_keeps_min_id(corpus):
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     dedup.release_caches()
     assert 20 in ids and 21 not in ids  # min-id representative survives
+
+
+def test_curate_repetition_gate(corpus, spark):
+    """The Gopher gate drops a pasted-template page (dup-trigram coverage
+    ~0.97) while every organic seed-distinct doc (coverage 0) survives,
+    and the funnel records the stage."""
+    template = (100, ("free shipping buy now " * 40).strip(), "en")
+    aug = corpus.unionByName(spark.createDataFrame(
+        pd.DataFrame([template], columns=["doc_id", "text", "lang"])))
+    funnel = {}
+    kept = curate_pages(aug, max_dup_trigram=0.5, near_threshold=0.5,
+                        funnel=funnel)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    dedup.release_caches()
+    assert 100 not in ids
+    assert ids == [1, 2, 3, 4, 10, 20]  # no lang/quality gates requested
+    assert funnel["rows_repetition"] == funnel["rows_in"] - 1

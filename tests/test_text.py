@@ -75,3 +75,35 @@ def test_fingerprint_is_md5(spark):
     df = spark.createDataFrame([("abc",)], ["text"])
     assert (df.select(tx.fingerprint_col(F.col("text"))).first()[0]
             == "900150983cd24fb0d6963f7d28e17f72")
+
+
+def test_repetition_metrics(spark):
+    """Hand-computed goldens: 'a b c' x3 has 7 trigrams of which 3 are
+    distinct (1 - 3/7); 'a a a a' gives top word share 1.0; short/empty
+    docs score 0.0 (no trigram denominator / no tokens)."""
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, ""), (3, "x"), (4, "a a a a"),
+         (5, "The the THE ok")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        tx.dup_ngram_frac_col(F.col("text"), 3).alias("d"),
+        tx.top_word_frac_col(F.col("text")).alias("w")).collect()}
+    assert rows[1]["d"] == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert rows[1]["w"] == pytest.approx(3 / 9, abs=1e-6)
+    assert rows[2]["d"] == 0.0 and rows[2]["w"] == 0.0
+    assert rows[3]["d"] == 0.0 and rows[3]["w"] == 1.0
+    assert rows[4]["d"] == pytest.approx(0.5) and rows[4]["w"] == 1.0
+    assert rows[5]["w"] == pytest.approx(3 / 4)  # lowercased counting
+
+
+def test_repetition_boilerplate_separates(spark):
+    """A pasted-template page scores far above an organic page on
+    duplicate-trigram coverage — the gate the metric exists for."""
+    organic = "the quick brown fox jumps over a lazy dog near the old barn"
+    template = ("buy now best price free shipping " * 8).strip()
+    df = spark.createDataFrame([(1, organic), (2, template)],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id",
+        tx.dup_ngram_frac_col(F.col("text"), 3).alias("d")).collect()}
+    assert got[1] < 0.1 < 0.7 < got[2]
