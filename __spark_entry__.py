@@ -25,7 +25,8 @@ from geolake_spark import cells
 from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
-from geolake_spark.operators import aggregates, ann, dedup, joins, subset, tiles
+from geolake_spark.operators import (aggregates, ann, curation, dedup, joins,
+                                     subset, tiles)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -333,6 +334,111 @@ def q_repetition_scores(spark, sf_dir):
         "doc_id",
         tx.dup_ngram_frac_col(F.col("text"), 3).alias("dup_trigram_frac"),
         tx.top_word_frac_col(F.col("text")).alias("top_word_frac"))
+
+
+def _docs_pii(spark, sf_dir):
+    """Deterministic PII-bearing corpus derived from the documents table:
+    a 1-in-5 doc_id slice with an email, a phone number and an IPv4
+    spliced mid-text (all parameterized by doc_id so every row differs).
+    Mirrored exactly by :func:`_docs_pii_sql`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    return (d.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id",
+                    F.concat(
+                        F.substring(F.col("text"), 1, 30),
+                        F.lit(" contact user"), did,
+                        F.lit("@example.com or +1 (555) 123-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"),
+                        F.lit(" at 10."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".0."),
+                        ((F.col("doc_id") * 7) % 256).cast("string"),
+                        F.lit(" "),
+                        F.expr("substring(text, 31)")).alias("text")))
+
+
+def _docs_pii_sql() -> str:
+    return (
+        "SELECT doc_id, substr(text, 1, 30) || ' contact user' || "
+        "cast(doc_id as varchar) || '@example.com or +1 (555) 123-' || "
+        "lpad(cast(doc_id % 10000 as varchar), 4, '0') || ' at 10.' || "
+        "cast(doc_id % 256 as varchar) || '.0.' || "
+        "cast((doc_id * 7) % 256 as varchar) || ' ' || substr(text, 31) "
+        "AS text FROM documents WHERE doc_id % 5 = 0")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (email/IPv4/phone -> placeholder tokens) as a pure
+    JVM regexp_replace chain, plus per-pattern match counts on the
+    original text — the identical Java-regex/RE2-subset patterns run in
+    DuckDB, so the value-hash oracle proves byte-identical scrubbing."""
+    d = _docs_pii(spark, sf_dir)
+    counts = tx.pii_count_cols(F.col("text"))
+    return d.select("doc_id",
+                    tx.pii_scrub_col(F.col("text")).alias("scrubbed"),
+                    *[v.alias(k) for k, v in counts.items()])
+
+
+def _docs_para(spark, sf_dir):
+    """Paragraphised corpus: a 1-in-3 doc_id slice split into three
+    paragraphs, the middle one a boilerplate string shared by every
+    doc_id with the same value mod 7 (so paragraph dedup keeps exactly
+    one copy per residue).  Mirrored by :func:`_docs_para_sql`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (d.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id",
+                    F.concat_ws(
+                        "\n\n",
+                        F.substring(F.col("text"), 1, 60),
+                        F.concat(F.lit("shared boilerplate paragraph "),
+                                 (F.col("doc_id") % 7).cast("string")),
+                        F.expr("substring(text, 61)")).alias("text")))
+
+
+def _docs_para_sql() -> str:
+    return ("SELECT doc_id, substr(text, 1, 60) || chr(10) || chr(10) || "
+            "'shared boilerplate paragraph ' || cast(doc_id % 7 as varchar)"
+            " || chr(10) || chr(10) || substr(text, 61) AS text "
+            "FROM documents WHERE doc_id % 3 = 0")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """C4-style global paragraph dedup: every paragraph that repeats an
+    earlier (smaller (doc_id, pos)) occurrence anywhere in the corpus is
+    removed and the doc text rebuilt; fully-duplicated docs disappear.
+    Oracle: the same winner-per-md5-fingerprint recipe in DuckDB SQL
+    (curation.paragraph_dedup_sql)."""
+    return curation.paragraph_dedup(_docs_para(spark, sf_dir))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source cap — at most 5 docs per source, first-5 by doc_id,
+    via the skew-aware two-phase window (salted local top-cap, then
+    global rank).  Oracle: the naive single row_number window, which the
+    two-phase plan is row-identical to by construction."""
+    d = _t(spark, sf_dir, "documents")
+    return (curation.capped_by_key(d, "source", "doc_id", cap=5)
+            .select("doc_id", "source", "rank_in_key"))
+
+
+# per-stratum sampling rates for q_det_sample / its oracle (module level
+# so the Spark thresholds and the SQL literals come from the same dict)
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.6}
+_SAMPLE_BASE_RATE = 0.1
+
+
+def q_det_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep iff
+    knuth_hash(doc_id) < rate(lang)·2^31 — reproducible across re-runs,
+    resumes and cluster sizes (unlike df.sample's RNG), pure narrow
+    filter pushed into the scan.  Oracle: the identical integer
+    arithmetic as a DuckDB WHERE clause."""
+    d = _t(spark, sf_dir, "documents")
+    return (curation.deterministic_sample(
+        d, rate=_SAMPLE_BASE_RATE, strata_col="lang", rates=_SAMPLE_RATES)
+        .select("doc_id", "lang"))
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -690,6 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
+        "domain_cap": q_domain_cap,
+        "det_sample": q_det_sample,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1037,6 +1147,23 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": (
             f"SELECT doc_id, {tx.dup_ngram_frac_sql('text', 3)} AS dup_trigram_frac, "
             f"{tx.top_word_frac_sql('text')} AS top_word_frac FROM documents"),
+        "pii_scrub": (
+            f"SELECT doc_id, {tx.pii_scrub_sql('text')} AS scrubbed, "
+            + ", ".join(f"{v} AS {k}"
+                        for k, v in tx.pii_count_sqls("text").items())
+            + f" FROM ({_docs_pii_sql()})"),
+        "paragraph_dedup": curation.paragraph_dedup_sql(
+            f"({_docs_para_sql()})"),
+        "domain_cap": (
+            "SELECT doc_id, source, "
+            "cast(row_number() OVER (PARTITION BY source ORDER BY doc_id) "
+            "as int) AS rank_in_key FROM documents "
+            "QUALIFY rank_in_key <= 5"),
+        "det_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + curation.deterministic_sample_sql(
+                "doc_id", rate=_SAMPLE_BASE_RATE, strata_col="lang",
+                rates=_SAMPLE_RATES)),
         "exact_dedup": (
             "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count "
             "FROM documents GROUP BY 1"),

@@ -270,3 +270,58 @@ def top_word_frac_sql(text_expr: str) -> str:
            f"w -> len(list_filter({toks}, t -> t = w))))")
     return (f"(case when len({toks}) = 0 then 0.0 else "
             f"round({top} / cast(len({toks}) as double), 6) end)")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 / phone redaction)
+# ---------------------------------------------------------------------------
+# Standard web-corpus hygiene before training: replace personally
+# identifying spans with placeholder tokens.  Heuristic regexes on
+# purpose (corpus curation, not compliance): the pattern set is the
+# common Java-regex/RE2 subset (no backrefs, no lookaround) so the SAME
+# pattern strings run in Spark (Java) and DuckDB (RE2) — the value-hash
+# oracle proves the two engines' scrubbed text matches byte-for-byte.
+# Order matters and is part of the contract: emails first (their local
+# parts contain digits a later pass could mangle), then dotted quads,
+# then phone numbers.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone",
+     r"(?:\+\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
+]
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Text with email/IPv4/phone spans replaced by placeholder tokens.
+    A chain of three JVM ``regexp_replace`` expressions — whole-stage
+    codegen, no Python.  Counts of what WOULD be scrubbed come from
+    :func:`pii_count_cols` (computed on the original text)."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_scrub_sql(text_expr: str) -> str:
+    out = text_expr
+    for _, pat, rep in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{rep}', 'g')"
+    return out
+
+
+def pii_count_cols(text: Column) -> dict[str, Column]:
+    """``{"n_email": .., "n_ipv4": .., "n_phone": ..}`` match counts on
+    the ORIGINAL text (each pattern counted independently; a span two
+    patterns both match is counted by both — documented heuristic)."""
+    return {f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("bigint")
+            for name, pat, _ in PII_PATTERNS}
+
+
+def pii_count_sqls(text_expr: str) -> dict[str, str]:
+    return {f"n_{name}":
+            f"len(regexp_extract_all({text_expr}, '{pat}'))::BIGINT"
+            for name, pat, _ in PII_PATTERNS}

@@ -1,0 +1,201 @@
+"""Corpus-shaping operators beyond per-document filters: global
+paragraph-level dedup (C4-style), skew-aware per-key caps, and
+deterministic hash sampling.
+
+Reference analogue: none in geolake (no text ops) — these are the
+beyond-reference training-data-pipeline mandate.  Each operator has a
+DuckDB value oracle in ``__spark_entry__.py`` and unit tests in
+``tests/test_curation_extras.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Remove every paragraph that is an exact repeat of one seen earlier
+    in the corpus, keeping the FIRST occurrence (smallest
+    ``(id, position)``) — the C4/mC4 recipe (Raffel et al. 2020 §2.2
+    applies it at line level; the unit here is the ``sep``-delimited
+    paragraph).  Docs whose every paragraph was a repeat disappear.
+
+    Returns ``df`` with ``text_col`` rebuilt from the kept paragraphs
+    (original order, re-joined with ``sep``); all other columns survive
+    via an id join.  Empty paragraphs (runs of ``sep``) are dropped.
+
+    Shuffle shape at scale: the winner aggregate groups on the md5
+    fingerprint and carries ONLY (fp, id, pos) — Catalyst prunes the
+    paragraph text; the text shuffles once (the fp join) and once more
+    for the per-doc reassembly.  Winner identity is decided on the md5
+    fingerprint, which the DuckDB oracle computes identically.
+    """
+    pid, ppos, ppar = "_pd_id", "_pd_pos", "_pd_para"
+    paras = (df.select(F.col(id_col).alias(pid),
+                       F.posexplode(F.split(F.col(text_col),
+                                            re.escape(sep)))
+                       .alias(ppos, ppar))
+             .filter(F.col(ppar) != "")
+             .withColumn("_pd_fp", F.md5(F.col(ppar))))
+    winners = (paras.groupBy("_pd_fp")
+               .agg(F.min(F.struct(F.col(pid), F.col(ppos))).alias("_pd_w")))
+    kept = (paras.join(winners, "_pd_fp")
+            .filter((F.col(pid) == F.col("_pd_w." + pid))
+                    & (F.col(ppos) == F.col("_pd_w." + ppos))))
+    rebuilt = (kept.groupBy(pid)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col(ppos), F.col(ppar)))),
+                       lambda s: s[ppar]),
+                   sep).alias(text_col)))
+    return (df.drop(text_col)
+            .join(rebuilt.withColumnRenamed(pid, id_col), id_col, "inner"))
+
+
+def paragraph_dedup_sql(table: str, text_expr: str = "text",
+                        id_col: str = "doc_id", sep: str = "\n\n",
+                        extra_cols: str = "") -> str:
+    """DuckDB mirror of :func:`paragraph_dedup` over ``table`` (a view or
+    a parenthesised subquery).  ``extra_cols`` — comma-led passthrough
+    column list pulled back from ``table`` by the final id join."""
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+WITH _pd_parts AS (
+    SELECT {id_col}, string_split({text_expr}, {sep_sql}) AS parts
+    FROM {table}
+), _pd_paras AS (
+    SELECT {id_col}, u.pos, u.para, md5(u.para) AS fp
+    FROM _pd_parts,
+         LATERAL (SELECT unnest(list_transform(range(1, len(parts) + 1),
+                         i -> {{'pos': i, 'para': parts[i]}}),
+                         recursive := true)) u
+    WHERE u.para <> ''
+), _pd_winners AS (
+    SELECT fp, min({{'i': {id_col}, 'p': pos}}) AS w
+    FROM _pd_paras GROUP BY fp
+), _pd_kept AS (
+    SELECT p.{id_col}, p.pos, p.para
+    FROM _pd_paras p JOIN _pd_winners w ON p.fp = w.fp
+    WHERE p.{id_col} = w.w.i AND p.pos = w.w.p
+)
+SELECT k.{id_col} AS {id_col},
+       string_agg(k.para, {sep_sql} ORDER BY k.pos) AS text
+       {extra_cols}
+FROM _pd_kept k JOIN {table} t ON k.{id_col} = t.{id_col}
+GROUP BY ALL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware per-key cap (top-N rows per domain/source/host)
+# ---------------------------------------------------------------------------
+
+
+def capped_by_key(df: DataFrame, key_col: str, order_col: str, cap: int,
+                  salt_buckets: int = 32,
+                  rank_col: str = "rank_in_key") -> DataFrame:
+    """At most ``cap`` rows per ``key_col``, the first ``cap`` in
+    ``order_col`` order (must be unique per key for determinism), with
+    their 1-based rank in ``rank_col`` — the per-domain cap of a web
+    corpus (no single host dominating the training mix).
+
+    A single ``row_number`` window would funnel a hot key's every row
+    through ONE task — the exact skew a crawl's mega-domains produce.
+    Two phases instead: a salted local window (key × hash-salt of the
+    order column, ≤ ``salt_buckets`` parallel tasks per key) keeps each
+    salt's first ``cap``, a superset of the global first ``cap``; the
+    global window then ranks ≤ ``salt_buckets × cap`` survivors per key.
+    Result is row-identical to the naive single window (property-tested).
+    """
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    local = Window.partitionBy(F.col(key_col), salt).orderBy(order_col)
+    pre = (df.withColumn("_ck_r", F.row_number().over(local))
+           .filter(F.col("_ck_r") <= cap).drop("_ck_r"))
+    final = Window.partitionBy(key_col).orderBy(order_col)
+    return (pre.withColumn(rank_col, F.row_number().over(final))
+            .filter(F.col(rank_col) <= cap))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (optionally stratified)
+# ---------------------------------------------------------------------------
+
+# Knuth's multiplicative constant; modulus 2^31 keeps id*K inside int64
+# ((2^31-1) * 2654435761 < 2^63).  Pure integer arithmetic => the DuckDB
+# oracle reproduces the EXACT row set, unlike df.sample()'s RNG.
+SAMPLE_KNUTH = 2654435761
+SAMPLE_MOD = 2 ** 31
+
+
+def sample_hash_col(id_col: Column) -> Column:
+    """Scrambled id in ``[0, 2^31)`` — uniform enough for rate sampling
+    even on sequential ids.  Non-negative ids only (Spark pmod and
+    DuckDB ``%`` diverge on negatives; asserted by the caller's data
+    contract)."""
+    return F.pmod(F.pmod(id_col.cast("bigint"), F.lit(SAMPLE_MOD))
+                  * F.lit(SAMPLE_KNUTH), F.lit(SAMPLE_MOD))
+
+
+def sample_hash_sql(id_expr: str) -> str:
+    return (f"((({id_expr}::BIGINT % {SAMPLE_MOD}) * {SAMPLE_KNUTH}) "
+            f"% {SAMPLE_MOD})")
+
+
+def sample_threshold(rate: float) -> int:
+    """Exact integer threshold for ``rate`` — computed ONCE in Python so
+    the Spark filter and the SQL oracle compare against the identical
+    literal (no float rounding divergence)."""
+    return int(rate * SAMPLE_MOD)
+
+
+def deterministic_sample(df: DataFrame, rate: float | None = None,
+                         id_col: str = "doc_id",
+                         strata_col: str | None = None,
+                         rates: dict[str, float] | None = None) -> DataFrame:
+    """Keep each row iff ``hash(id) < rate·2^31`` — a reproducible,
+    cluster-size-independent sample (re-running, resuming, or rescaling
+    the job selects the SAME rows; ``df.sample`` does not).  With
+    ``rates`` + ``strata_col``, per-stratum rates (e.g. down-sample
+    dominant languages); strata not in ``rates`` fall back to ``rate``
+    (dropped entirely when ``rate`` is None).  Pure narrow filter — no
+    shuffle, fully pushed into the scan stage."""
+    h = sample_hash_col(F.col(id_col))
+    base = F.lit(sample_threshold(rate)) if rate is not None else F.lit(0)
+    if rates:
+        if strata_col is None:
+            raise ValueError("rates= requires strata_col=")
+        thr: Column | None = None
+        for key, r in rates.items():
+            cond = F.col(strata_col) == key
+            lit = F.lit(sample_threshold(r))
+            thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+        threshold = thr.otherwise(base)
+    else:
+        if rate is None:
+            raise ValueError("need rate= or rates=")
+        threshold = base
+    return df.filter(h < threshold)
+
+
+def deterministic_sample_sql(id_expr: str, rate: float | None = None,
+                             strata_col: str | None = None,
+                             rates: dict[str, float] | None = None) -> str:
+    """WHERE-clause predicate mirroring :func:`deterministic_sample`."""
+    h = sample_hash_sql(id_expr)
+    base = str(sample_threshold(rate)) if rate is not None else "0"
+    if rates:
+        arms = " ".join(
+            f"WHEN {strata_col} = '{k}' THEN {sample_threshold(r)}"
+            for k, r in rates.items())
+        return f"({h} < (CASE {arms} ELSE {base} END))"
+    return f"({h} < {base})"

@@ -1,0 +1,155 @@
+"""Corpus-shaping extras: PII scrubbing, C4-style paragraph dedup,
+skew-aware per-key caps, deterministic hash sampling.
+
+Reference analogue: none in geolake (no text ops) — beyond-reference
+training-data mandate; each operator also has a DuckDB value oracle in
+__spark_entry__.py (pii_scrub / paragraph_dedup / domain_cap /
+det_sample)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geolake_spark.functions import text as tx
+from geolake_spark.operators import curation as C
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_and_counts(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk then 10.0.0.255 "
+            "call +1 (555) 123-4567 or 555.123.4567 end"),
+        (2, "no pii here, just 12.5 numbers and v1.2.3 versions"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    counts = tx.pii_count_cols(F.col("text"))
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", tx.pii_scrub_col(F.col("text")).alias("t"),
+        *[v.alias(k) for k, v in counts.items()]).collect()}
+    assert got[1].t == ("mail <EMAIL> then <IP> call <PHONE> "
+                        "or <PHONE> end")
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 1, 2)
+    # dotted floats / versions are NOT dotted quads; bare numbers not phones
+    assert got[2].t == rows[1][1]
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[3].t == "" and got[3].n_email == 0
+
+
+def test_pii_email_scrubbed_before_phone_can_eat_digits(spark):
+    # an email whose local part looks phone-ish must become <EMAIL>,
+    # not a mangled <PHONE> remnant (pattern order contract)
+    df = spark.createDataFrame([(1, "reach 555-123-4567@corp.com now")],
+                               "doc_id bigint, text string")
+    got = df.select(tx.pii_scrub_col(F.col("text")).alias("t")).head().t
+    assert got == "reach <EMAIL> now"
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def _para_df(spark):
+    rows = [
+        (1, "alpha one\n\nshared para\n\ntail a", "en"),
+        (2, "beta two\n\nshared para\n\ntail b", "de"),
+        (3, "shared para", "en"),          # every paragraph a repeat
+        (4, "gamma\n\n\n\ndelta", "fr"),   # empty paragraph in the middle
+        (5, "tail a", "es"),               # repeats doc 1's third para
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    out = {r.doc_id: r for r in C.paragraph_dedup(_para_df(spark)).collect()}
+    assert out[1].text == "alpha one\n\nshared para\n\ntail a"
+    assert out[2].text == "beta two\n\ntail b"
+    assert 3 not in out and 5 not in out      # fully-duplicated docs vanish
+    assert out[4].text == "gamma\n\ndelta"    # empty paragraph dropped
+    # passthrough columns survive the id join
+    assert out[1].lang == "en" and out[4].lang == "fr"
+
+
+def test_paragraph_dedup_idempotent(spark):
+    once = C.paragraph_dedup(_para_df(spark))
+    twice = C.paragraph_dedup(once)
+    a = sorted((r.doc_id, r.text) for r in once.collect())
+    b = sorted((r.doc_id, r.text) for r in twice.collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Per-key cap
+# ---------------------------------------------------------------------------
+
+
+def test_capped_by_key_matches_naive_window(spark):
+    # skewed: one hot key with 500 rows, several small keys
+    rows = [(i, "hot") for i in range(500)]
+    rows += [(1000 + i, f"k{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = sorted((r.doc_id, r.source, r.rank_in_key) for r in
+                 C.capped_by_key(df, "source", "doc_id", cap=6,
+                                 salt_buckets=8).collect())
+    w = Window.partitionBy("source").orderBy("doc_id")
+    want = sorted((r.doc_id, r.source, r.rank_in_key) for r in
+                  df.withColumn("rank_in_key", F.row_number().over(w))
+                  .filter("rank_in_key <= 6").collect())
+    assert got == want
+    assert len(got) == 6 + 7 * 6
+
+
+def test_capped_by_key_cap_larger_than_group(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               "doc_id bigint, source string")
+    out = C.capped_by_key(df, "source", "doc_id", cap=10).collect()
+    assert len(out) == 3
+    assert {(r.source, r.rank_in_key) for r in out} == {
+        ("a", 1), ("a", 2), ("b", 1)}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_reproducible_and_in_tolerance(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = set(r.doc_id for r in
+            C.deterministic_sample(df, rate=0.2).collect())
+    b = set(r.doc_id for r in
+            C.deterministic_sample(df, rate=0.2).collect())
+    assert a == b                       # same rows every run, no RNG
+    assert abs(len(a) / 20000 - 0.2) < 0.02
+    # nested rates: a 0.1 sample is a subset of the 0.2 sample
+    c = set(r.doc_id for r in
+            C.deterministic_sample(df, rate=0.1).collect())
+    assert c <= a
+
+
+def test_deterministic_sample_stratified(spark):
+    df = (spark.range(0, 30000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en")
+                      .when(F.col("doc_id") % 3 == 1, "de")
+                      .otherwise("zh")))
+    out = (C.deterministic_sample(df, rate=0.05, strata_col="lang",
+                                  rates={"en": 0.5, "de": 0.1})
+           .groupBy("lang").count().collect())
+    got = {r.lang: r["count"] for r in out}
+    assert abs(got["en"] / 10000 - 0.5) < 0.03
+    assert abs(got["de"] / 10000 - 0.1) < 0.03
+    assert abs(got.get("zh", 0) / 10000 - 0.05) < 0.03  # fallback rate
+
+
+def test_deterministic_sample_requires_rate_or_rates(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        C.deterministic_sample(df)
+    with pytest.raises(ValueError):
+        C.deterministic_sample(df, rates={"en": 0.5})  # no strata_col
