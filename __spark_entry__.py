@@ -441,6 +441,102 @@ def q_det_sample(spark, sf_dir):
         .select("doc_id", "lang"))
 
 
+def _docs_full(spark, sf_dir):
+    """Corpus for the full composed pipeline: every doc restructured into
+    four paragraphs — lead text, a boilerplate paragraph shared per
+    doc_id%7 residue, a PII sentence (email + phone parameterized by
+    doc_id, so UNIQUE before scrubbing but IDENTICAL after — the scrub ->
+    paragraph-dedup composition collapses them), and the tail text.
+    lang/source survive for the gate/cap/sample stages.  Mirrored by
+    :func:`_docs_full_sql`."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id", "lang", "source",
+        F.concat_ws(
+            "\n\n",
+            F.substring(F.col("text"), 1, 60),
+            F.concat(F.lit("shared boilerplate paragraph "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("contact user"), did,
+                     F.lit("@example.com or +1 (555) 123-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0")),
+            F.expr("substring(text, 61)")).alias("text"))
+
+
+def _docs_full_sql() -> str:
+    sep = "chr(10) || chr(10)"
+    return (
+        f"SELECT doc_id, lang, source, "
+        f"substr(text, 1, 60) || {sep} || "
+        f"'shared boilerplate paragraph ' || cast(doc_id % 7 as varchar) "
+        f"|| {sep} || 'contact user' || cast(doc_id as varchar) || "
+        f"'@example.com or +1 (555) 123-' || "
+        f"lpad(cast(doc_id % 10000 as varchar), 4, '0') || {sep} || "
+        f"substr(text, 61) AS text FROM documents")
+
+
+_CURATE_FULL_LANGS = ("en", "de", "zh")
+_CURATE_FULL_MINQ = 0.15
+_CURATE_FULL_CAP = 15
+_CURATE_FULL_RATE = 0.7
+_CURATE_FULL_RATES = {"en": 0.5}
+
+
+def q_curate_full(spark, sf_dir):
+    """The WIDE composed curation pipeline — every optional stage of
+    curate_pages except MinHash (which q_curate_keep oracles): lang
+    allowlist -> PII scrub -> paragraph dedup (the scrubbed PII
+    sentences, unique before redaction, collapse to one survivor here)
+    -> quality gate -> exact dedup -> per-source cap -> stratified
+    deterministic sample.  Oracle: the identical stage chain as nested
+    DuckDB CTEs."""
+    kept = curate_pages(
+        _docs_full(spark, sf_dir),
+        langs=list(_CURATE_FULL_LANGS), scrub_pii=True,
+        paragraph_sep="\n\n", min_quality=_CURATE_FULL_MINQ,
+        near_threshold=None, domain_cap=("source", _CURATE_FULL_CAP),
+        sample_rate=_CURATE_FULL_RATE, sample_rates=_CURATE_FULL_RATES)
+    return (kept.select("doc_id", "lang", "source", "quality",
+                        "token_count").orderBy("doc_id"))
+
+
+def _curate_full_oracle() -> str:
+    langs = ", ".join(f"'{x}'" for x in _CURATE_FULL_LANGS)
+    pd_sql = curation.paragraph_dedup_sql(
+        "scrubbed", "text", extra_cols=", t.lang, t.source")
+    tok = ("cast(case when length(trim(text)) = 0 then 0 else "
+           "len(regexp_split_to_array(trim(text), '\\s+')) end as bigint)")
+    samp = curation.deterministic_sample_sql(
+        "doc_id", rate=_CURATE_FULL_RATE, strata_col="lang",
+        rates=_CURATE_FULL_RATES)
+    return f"""
+WITH langf AS (
+    SELECT * FROM ({_docs_full_sql()}) WHERE lang IN ({langs})
+), scrubbed AS (
+    SELECT doc_id, lang, source, {tx.pii_scrub_sql('text')} AS text
+    FROM langf
+), pd AS (
+    SELECT * FROM ({pd_sql})
+), qual AS (
+    SELECT * FROM (
+        SELECT *, {tx.quality_score_sql('text')} AS quality FROM pd)
+    WHERE quality >= {_CURATE_FULL_MINQ}
+), ex AS (
+    SELECT q.* FROM qual q
+    JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+          FROM qual GROUP BY 1) w ON q.doc_id = w.keep_id
+), capped AS (
+    SELECT * FROM ex
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+            <= {_CURATE_FULL_CAP}
+)
+SELECT doc_id, lang, source, quality, {tok} AS token_count
+FROM capped WHERE {samp} ORDER BY doc_id
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -800,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "domain_cap": q_domain_cap,
         "det_sample": q_det_sample,
+        "curate_full": q_curate_full,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1164,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
             + curation.deterministic_sample_sql(
                 "doc_id", rate=_SAMPLE_BASE_RATE, strata_col="lang",
                 rates=_SAMPLE_RATES)),
+        "curate_full": _curate_full_oracle(),
         "exact_dedup": (
             "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count "
             "FROM documents GROUP BY 1"),

@@ -151,6 +151,16 @@ def sample_hash_sql(id_expr: str) -> str:
             f"% {SAMPLE_MOD})")
 
 
+def sample_hash_col_str(id_col: Column) -> Column:
+    """String-key variant (urls): first 15 hex digits of md5 (60 bits,
+    inside int64) scrambled into ``[0, 2^31)``.  No DuckDB mirror is
+    needed (no hex->int builtin there); the numeric path carries the
+    value oracle, this path is pytest-covered."""
+    h60 = F.conv(F.substring(F.md5(id_col), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(F.pmod(h60, F.lit(SAMPLE_MOD)) * F.lit(SAMPLE_KNUTH),
+                  F.lit(SAMPLE_MOD))
+
+
 def sample_threshold(rate: float) -> int:
     """Exact integer threshold for ``rate`` — computed ONCE in Python so
     the Spark filter and the SQL oracle compare against the identical
@@ -168,8 +178,14 @@ def deterministic_sample(df: DataFrame, rate: float | None = None,
     ``rates`` + ``strata_col``, per-stratum rates (e.g. down-sample
     dominant languages); strata not in ``rates`` fall back to ``rate``
     (dropped entirely when ``rate`` is None).  Pure narrow filter — no
-    shuffle, fully pushed into the scan stage."""
-    h = sample_hash_col(F.col(id_col))
+    shuffle, fully pushed into the scan stage.  String id columns
+    (urls) hash via md5 (:func:`sample_hash_col_str`), numeric ids via
+    pure integer arithmetic (the oracle-mirrored path)."""
+    from pyspark.sql.types import StringType
+    if isinstance(df.schema[id_col].dataType, StringType):
+        h = sample_hash_col_str(F.col(id_col))
+    else:
+        h = sample_hash_col(F.col(id_col))
     base = F.lit(sample_threshold(rate)) if rate is not None else F.lit(0)
     if rates:
         if strata_col is None:

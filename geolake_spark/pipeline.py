@@ -23,21 +23,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geolake_spark.functions import text as T
-from geolake_spark.operators import dedup
+from geolake_spark.operators import curation, dedup
 
 
 def curate_pages(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", lang_col: str = "lang",
                  langs: list[str] | None = None,
+                 scrub_pii: bool = False,
+                 paragraph_sep: str | None = None,
                  min_quality: float | None = None,
                  max_dup_trigram: float | None = None,
                  near_threshold: float | None = 0.5,
                  bucket_cap: int | None = dedup.DEFAULT_BAND_BUCKET_CAP,
+                 domain_cap: tuple[str, int] | None = None,
+                 sample_rate: float | None = None,
+                 sample_rates: dict[str, float] | None = None,
                  funnel: dict | None = None) -> DataFrame:
     """Curated subset of ``df`` with ``quality`` and ``token_count`` added.
 
     Stages (each optional):
     1. ``langs`` — allowlist on ``lang_col`` (skipped when None).
+    1b. ``scrub_pii`` — rewrite ``text_col`` with email/IPv4/phone spans
+       redacted (:func:`geolake_spark.functions.text.pii_scrub_col`);
+       runs BEFORE the content gates so quality/repetition judge the
+       text that will actually ship.
+    1c. ``paragraph_sep`` — C4-style global paragraph dedup
+       (:func:`geolake_spark.operators.curation.paragraph_dedup`):
+       repeated paragraphs anywhere in the corpus are dropped (first
+       occurrence kept) and the doc text rebuilt; fully-boilerplate
+       docs vanish here, shrinking every later tier.
     2. ``min_quality`` — drop rows whose heuristic quality score
        (:func:`geolake_spark.functions.text.quality_score_col`) is below.
     2b. ``max_dup_trigram`` — Gopher-style repetition gate: drop rows
@@ -53,9 +67,18 @@ def curate_pages(df: DataFrame, text_col: str = "text",
        drop every non-representative member (None skips).  The caller owns
        the signature-tier lifetime: call ``dedup.release_caches()`` after
        materializing the result (the dedup caching contract).
+    5. ``domain_cap`` — ``(key_col, cap)``: at most ``cap`` surviving
+       docs per key (first-``cap`` by ``id_col``), the per-host mix cap,
+       via the skew-aware two-phase window
+       (:func:`geolake_spark.operators.curation.capped_by_key`).
+    6. ``sample_rate`` / ``sample_rates`` — deterministic hash sampling
+       (:func:`geolake_spark.operators.curation.deterministic_sample`):
+       reproducible down-sampling, optionally per-``lang_col`` rates.
 
     ``funnel`` (a dict) opts into per-stage row accounting — rows_in /
-    rows_lang / rows_quality / rows_repetition / rows_exact / rows_kept.  Each entry is an
+    rows_lang / rows_paragraph / rows_quality / rows_repetition /
+    rows_exact / rows_near / rows_domain_cap / rows_sampled /
+    rows_kept.  Each entry is an
     EAGER count over the stage plan: free at test scale, a full extra scan
     per stage at 100 TB, where the snapshot lineage metrics written by
     ``jobs/curate.py`` give the in/out numbers without extra passes —
@@ -70,6 +93,12 @@ def curate_pages(df: DataFrame, text_col: str = "text",
     if langs:
         out = out.filter(F.col(lang_col).isin(list(langs)))
         _n("rows_lang", out)
+    if scrub_pii:
+        out = out.withColumn(text_col, T.pii_scrub_col(F.col(text_col)))
+    if paragraph_sep is not None:
+        out = curation.paragraph_dedup(out, text_col=text_col,
+                                       id_col=id_col, sep=paragraph_sep)
+        _n("rows_paragraph", out)
     out = out.withColumn("quality", T.quality_score_col(F.col(text_col)))
     if min_quality is not None:
         out = out.filter(F.col("quality") >= min_quality)
@@ -91,6 +120,18 @@ def curate_pages(df: DataFrame, text_col: str = "text",
                                         threshold=near_threshold,
                                         bucket_cap=bucket_cap)
         out = dedup.dedup_keep(out, pairs, id_col=id_col)
+        _n("rows_near", out)
+    if domain_cap is not None:
+        key_col, cap = domain_cap
+        out = (curation.capped_by_key(out, key_col, id_col, cap)
+               .drop("rank_in_key"))
+        _n("rows_domain_cap", out)
+    if sample_rate is not None or sample_rates is not None:
+        out = curation.deterministic_sample(
+            out, rate=sample_rate, id_col=id_col,
+            strata_col=lang_col if sample_rates else None,
+            rates=sample_rates)
+        _n("rows_sampled", out)
     out = out.withColumn("token_count", T.token_count_col(F.col(text_col)))
     _n("rows_kept", out)
     return out

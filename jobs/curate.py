@@ -3,8 +3,10 @@
 
     spark-submit --py-files geolake_spark.zip jobs/curate.py \
         --input /path/pages.parquet --table /path/corpus \
-        [--langs en,de] [--min-quality 0.2] [--max-dup-trigram 0.5] \
-        [--near-threshold 0.5] \
+        [--langs en,de] [--scrub-pii] [--para-dedup] \
+        [--min-quality 0.2] [--max-dup-trigram 0.5] \
+        [--near-threshold 0.5] [--domain-cap host:1000] \
+        [--sample-rate 0.1] \
         [--partition-col lang] [--resume] [--funnel]
 
 The composed training-data pipeline (geolake_spark.pipeline.curate_pages):
@@ -30,6 +32,14 @@ def main() -> None:
                     help="comma-separated allowlist, e.g. en,de")
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--max-dup-trigram", type=float, default=None)
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact email/IPv4/phone spans before the gates")
+    ap.add_argument("--para-dedup", action="store_true",
+                    help="C4-style global paragraph dedup (sep = blank line)")
+    ap.add_argument("--domain-cap", default=None, metavar="COL:N",
+                    help="keep at most N docs per COL value, e.g. host:1000")
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="deterministic hash-sample rate on the id column")
     ap.add_argument("--near-threshold", type=float, default=0.5)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--partition-col", default="lang")
@@ -48,12 +58,20 @@ def main() -> None:
     pages = spark.read.parquet(args.input)
     id_col = "url" if "url" in pages.columns else "doc_id"
     funnel: dict | None = {} if args.funnel else None
+    dcap = None
+    if args.domain_cap:
+        col, n = args.domain_cap.rsplit(":", 1)
+        dcap = (col, int(n))
     kept = curate_pages(
         pages, id_col=id_col,
         langs=args.langs.split(",") if args.langs else None,
+        scrub_pii=args.scrub_pii,
+        paragraph_sep="\n\n" if args.para_dedup else None,
         min_quality=args.min_quality,
         max_dup_trigram=args.max_dup_trigram,
         near_threshold=None if args.no_near_dedup else args.near_threshold,
+        domain_cap=dcap,
+        sample_rate=args.sample_rate,
         funnel=funnel)
     info = write_snapshot(kept, IcebergishTable(args.table),
                           [args.partition_col], resume=args.resume)

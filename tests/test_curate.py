@@ -42,7 +42,7 @@ def test_curate_funnel_and_kept_set(corpus):
     dedup.release_caches()
     assert ids == [1, 2, 10, 20]
     assert funnel == {"rows_in": 8, "rows_lang": 7, "rows_quality": 6,
-                      "rows_exact": 5, "rows_kept": 4}
+                      "rows_exact": 5, "rows_near": 4, "rows_kept": 4}
     row = kept.filter(F.col("doc_id") == 1).first()
     assert 0.0 <= row["quality"] <= 1.0 and row["token_count"] == 80
 
@@ -77,3 +77,41 @@ def test_curate_repetition_gate(corpus, spark):
     assert 100 not in ids
     assert ids == [1, 2, 3, 4, 10, 20]  # no lang/quality gates requested
     assert funnel["rows_repetition"] == funnel["rows_in"] - 1
+
+
+def test_curate_wide_stages(spark):
+    """The round-5 wide stages compose: PII scrub makes the (unique
+    before redaction) contact paragraphs identical, paragraph dedup then
+    collapses them to one survivor; the per-source cap and deterministic
+    sample narrow the tail."""
+    def doc(i: int, src: str) -> tuple:
+        t = (body(i, 40) + "\n\ncall me at 555-123-4567 or "
+             f"user{i}@example.com\n\n" + body(1000 + i, 40))
+        return (i, t, "en", src)
+    rows = [doc(i, f"s{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]))
+    funnel = {}
+    kept = curate_pages(df, scrub_pii=True, paragraph_sep="\n\n",
+                        near_threshold=None, domain_cap=("source", 4),
+                        sample_rate=1.0, funnel=funnel)
+    out = {r.doc_id: r for r in kept.collect()}
+    # cap: 4 per source (first-4 by doc_id) out of 6 each
+    assert sorted(out) == [0, 1, 2, 3, 4, 5, 6, 7]
+    # doc 0 keeps its scrubbed contact paragraph; every later doc lost it
+    texts = {r.doc_id: r.text for r in kept.select("doc_id", "text").collect()}
+    assert "call me at <PHONE> or <EMAIL>" in texts[0]
+    assert all("<PHONE>" not in texts[i] for i in sorted(out) if i != 0)
+    assert "@example.com" not in texts[0]  # actually scrubbed, not moved
+    assert funnel["rows_paragraph"] == 12 and funnel["rows_domain_cap"] == 8
+    assert funnel["rows_sampled"] == 8  # rate 1.0 keeps all
+
+
+def test_curate_sample_rates_stratified(spark):
+    rows = [(i, body(i), "en" if i % 2 else "de") for i in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    kept = curate_pages(df, near_threshold=None, sample_rate=1.0,
+                        sample_rates={"en": 0.0})
+    langs = {r.lang for r in kept.select("lang").collect()}
+    assert langs == {"de"}  # en sampled out entirely, de kept at 1.0
