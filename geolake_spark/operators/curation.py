@@ -102,26 +102,36 @@ GROUP BY ALL
 
 
 def capped_by_key(df: DataFrame, key_col: str, order_col: str, cap: int,
-                  salt_buckets: int = 32,
+                  salt_buckets: int | None = 32,
                   rank_col: str = "rank_in_key") -> DataFrame:
     """At most ``cap`` rows per ``key_col``, the first ``cap`` in
     ``order_col`` order (must be unique per key for determinism), with
     their 1-based rank in ``rank_col`` — the per-domain cap of a web
     corpus (no single host dominating the training mix).
 
-    A single ``row_number`` window would funnel a hot key's every row
-    through ONE task — the exact skew a crawl's mega-domains produce.
-    Two phases instead: a salted local window (key × hash-salt of the
-    order column, ≤ ``salt_buckets`` parallel tasks per key) keeps each
-    salt's first ``cap``, a superset of the global first ``cap``; the
-    global window then ranks ≤ ``salt_buckets × cap`` survivors per key.
-    Result is row-identical to the naive single window (property-tested).
-    """
-    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
-    local = Window.partitionBy(F.col(key_col), salt).orderBy(order_col)
-    pre = (df.withColumn("_ck_r", F.row_number().over(local))
-           .filter(F.col("_ck_r") <= cap).drop("_ck_r"))
+    A single ``row_number`` window funnels a hot key's every row through
+    ONE task — the exact skew a crawl's mega-domains produce: a 10^10-row
+    domain means one executor sorts/spills terabytes while the rest of
+    the cluster idles.  Default is therefore two phases: a salted local
+    window (key × hash-salt of the order column, ≤ ``salt_buckets``
+    parallel tasks per key) keeps each salt's first ``cap``, a superset
+    of the global first ``cap``; the global window then ranks
+    ≤ ``salt_buckets × cap`` survivors per key.  Row-identical to the
+    naive single window (property-tested + value oracle).
+
+    The salting is scale insurance, not a single-box win: per-task
+    volume drops salt_buckets-fold, but on one machine the extra
+    exchange costs ~2-3× wall on an op that is seconds either way
+    (measured 128M rows / 95%-hot key, BENCH/PLANS.md §13).  Pass
+    ``salt_buckets=None`` for the naive single window when the key
+    distribution is known benign."""
     final = Window.partitionBy(key_col).orderBy(order_col)
+    pre = df
+    if salt_buckets is not None:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+        local = Window.partitionBy(F.col(key_col), salt).orderBy(order_col)
+        pre = (df.withColumn("_ck_r", F.row_number().over(local))
+               .filter(F.col("_ck_r") <= cap).drop("_ck_r"))
     return (pre.withColumn(rank_col, F.row_number().over(final))
             .filter(F.col(rank_col) <= cap))
 

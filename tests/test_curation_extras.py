@@ -153,3 +153,14 @@ def test_deterministic_sample_requires_rate_or_rates(spark):
         C.deterministic_sample(df)
     with pytest.raises(ValueError):
         C.deterministic_sample(df, rates={"en": 0.5})  # no strata_col
+
+
+def test_capped_by_key_naive_path_identical(spark):
+    rows = [(i, f"k{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    salted = sorted((r.doc_id, r.rank_in_key) for r in
+                    C.capped_by_key(df, "source", "doc_id", 3).collect())
+    naive = sorted((r.doc_id, r.rank_in_key) for r in
+                   C.capped_by_key(df, "source", "doc_id", 3,
+                                   salt_buckets=None).collect())
+    assert salted == naive
