@@ -537,6 +537,38 @@ FROM capped WHERE {samp} ORDER BY doc_id
 """
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing-fingerprint substring-overlap candidates (Schleimer et
+    al. SIGMOD'03) — detects a long passage copied between otherwise-
+    unrelated docs, which whole-doc MinHash misses by design.  Oracle:
+    the identical token-FNV -> k-gram-combination -> window-min ->
+    distinct -> co-occurrence-count chain in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(d, k=3, w=8, min_shared=2)
+
+
+def _winnow_oracle(w: int = 8, min_shared: int = 2) -> str:
+    c1, c2, c3 = sim._SHINGLE_C
+    fnv = _fnv_sql("s")
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+th AS (
+  SELECT doc_id, list_transform(w,
+    s -> cast({fnv} % {sim.M31} AS BIGINT)) AS t FROM toks),
+g AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+    i -> (t[i] * {c1} + t[i+1] * {c2} + t[i+2] * {c3}) % {sim.M31}) AS gh
+  FROM th),
+fps AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(gh) - {w} + 2),
+                          i -> list_min(gh[i:i+{w - 1}]))) AS fp
+  FROM g WHERE len(gh) >= {w})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -897,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "det_sample": q_det_sample,
         "curate_full": q_curate_full,
+        "winnow_overlap": q_winnow_overlap,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1262,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
                 "doc_id", rate=_SAMPLE_BASE_RATE, strata_col="lang",
                 rates=_SAMPLE_RATES)),
         "curate_full": _curate_full_oracle(),
+        "winnow_overlap": _winnow_oracle(),
         "exact_dedup": (
             "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count "
             "FROM documents GROUP BY 1"),

@@ -510,3 +510,64 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (substring-overlap detection)
+# ---------------------------------------------------------------------------
+# MinHash answers "are these two documents near-identical overall"; it is
+# blind to a long passage copied into an otherwise-unrelated page (the
+# Jaccard of the whole docs stays low).  Winnowing (Schleimer, Wilkerson,
+# Aiken, SIGMOD'03 — the MOSS kernel; Lee et al. 2022 use the suffix-array
+# exact analogue for LLM corpora) guarantees detection of any shared run
+# of >= w + k - 1 tokens: slide a w-window over the k-gram hash stream and
+# keep each window's MINIMUM hash.  Two docs sharing a long-enough run
+# necessarily select at least one identical fingerprint.
+
+
+def make_winnow_udf(k: int = 3, w: int = 8):
+    """``array<long>`` of DISTINCT winnowing-selected k-gram fingerprints
+    per document.  Reuses the MinHash token pipeline end-to-end: UTF-8
+    byte-mask tokenizer -> flat FNV-1a token hashes -> arithmetic k-gram
+    combination mod 2^31-1 (``_SHINGLE_C``, no shingle strings) -> flat
+    sliding-window min (stride tricks, cross-doc windows masked via the
+    monotone doc_of array) -> per-doc unique via one packed np.unique.
+    Docs with fewer than w + k - 1 tokens select nothing (the winnowing
+    guarantee bound — shorter matches are below the detection threshold
+    by construction)."""
+    if k != len(_SHINGLE_C):
+        raise ValueError(f"k must be {len(_SHINGLE_C)} (shingle constants)")
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def winnow_udf(text: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+        hv, counts = _token_hashes_batch(text)
+        n_docs = len(counts)
+        out: list[list[int]] = [[] for _ in range(n_docs)]
+        th = hv % np.uint64(M31)
+        total = len(th)
+        m = total - k + 1          # k-gram stream length (flat, cross-doc)
+        span = w + k - 1           # tokens covered by one window
+        wm = total - span + 1      # window positions (flat)
+        if m > 0 and wm > 0:
+            g = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                g += th[j:j + m] * np.uint64(_SHINGLE_C[j])
+            g %= np.uint64(M31)
+            doc_of = np.repeat(np.arange(n_docs), counts)
+            mins = sliding_window_view(g, w).min(axis=1)
+            # doc_of is non-decreasing: ends-in-same-doc == all-in-same-doc
+            valid = doc_of[:wm] == doc_of[span - 1:span - 1 + wm]
+            sel_doc = doc_of[:wm][valid].astype(np.uint64)
+            sel_fp = mins[valid]
+            if len(sel_fp):
+                keys = np.unique((sel_doc << np.uint64(31)) | sel_fp)
+                docs_k = (keys >> np.uint64(31)).astype(np.int64)
+                fps_k = (keys & np.uint64((1 << 31) - 1)).astype(np.int64)
+                bounds = np.searchsorted(docs_k, np.arange(n_docs + 1))
+                for d in range(n_docs):
+                    if bounds[d] < bounds[d + 1]:
+                        out[d] = fps_k[bounds[d]:bounds[d + 1]].tolist()
+        return pd.Series(out)
+
+    return winnow_udf

@@ -627,3 +627,34 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     losers = comp.filter(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3, w: int = 8,
+                         min_shared: int = 2,
+                         bucket_cap: int | None = DEFAULT_BAND_BUCKET_CAP,
+                         stats: dict | None = None) -> DataFrame:
+    """(id_a, id_b, shared_fps) for documents sharing >= ``min_shared``
+    winnowing fingerprints — substring-overlap candidates that MinHash
+    misses by design: a long passage copied between two otherwise-
+    unrelated pages keeps whole-doc Jaccard low but is GUARANTEED to
+    collide on a fingerprint once the shared run reaches w + k - 1
+    tokens (Schleimer et al., SIGMOD'03; the distributed analogue of
+    Lee et al. 2022's suffix-array dedup).
+
+    Same scale shape as the MinHash path: the fingerprint tier is a
+    vectorized Arrow UDF (:func:`geolake_spark.functions.sim.
+    make_winnow_udf`), candidates come from ONE bucket-pairs shuffle in
+    multiplicity mode (shared-fp count per pair), and ``bucket_cap``
+    (count pre-filter, never materialized) guards the hot-fingerprint
+    buckets a boilerplate passage produces — with the stop-shingle
+    rationale of :func:`ngram_jaccard_pairs`: a fingerprint shared by
+    thousands of docs is template noise, not plagiarized content."""
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(sim.make_winnow_udf(k, w)(F.col(text_col))).alias("fp"))
+    inter = (_bucket_pairs(fps, ["fp"], cap=bucket_cap, dedupe=False,
+                           stats=stats)
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("shared_fps")))
+    return inter.filter(F.col("shared_fps") >= min_shared)

@@ -618,3 +618,52 @@ def test_incremental_old_pairs_suppressed_in_hot_bucket(spark):
     dedup.release_caches()
     assert (1, 9) in pairs and (2, 9) in pairs
     assert (1, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Winnowing substring-overlap (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_detects_planted_passage(spark):
+    """The winnowing guarantee: any shared token run >= w + k - 1 selects
+    at least one identical fingerprint in both docs — even when the docs
+    are globally dissimilar (whole-doc MinHash would score ~0)."""
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu")  # 12 tokens >= w + k - 1 = 10
+    mk = lambda seed, n: " ".join(f"u{seed}q{j}" for j in range(n))
+    rows = [
+        (1, mk(1, 30) + " " + passage + " " + mk(11, 30)),
+        (2, mk(2, 25) + " " + passage + " " + mk(22, 35)),
+        (3, mk(3, 60)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.winnow_overlap_pairs(df, k=3, w=8, min_shared=1).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_short_docs_select_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "only nine tokens here not enough for a window"),
+         (2, "only nine tokens here not enough for a window")],
+        "doc_id bigint, text string")  # 9 tokens < w + k - 1 = 10
+    assert dedup.winnow_overlap_pairs(df, k=3, w=8, min_shared=1).count() == 0
+
+
+def test_winnow_bucket_cap_drops_template_fingerprint(spark):
+    """A fingerprint shared by more docs than bucket_cap is template
+    noise and must be dropped by the count pre-filter with accounting."""
+    passage = " ".join(f"tpl{j}" for j in range(12))
+    rows = [(i, f"lead{i}x opener words " + passage + f" trail{i}y closer")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats = {}
+    out = dedup.winnow_overlap_pairs(df, k=3, w=8, min_shared=1,
+                                     bucket_cap=10, stats=stats)
+    n = out.count()
+    dedup.release_caches()
+    assert stats["dropped_buckets"] >= 1 and stats["dropped_rows"] >= 11
+    # capped run emits far fewer than the 30*29/2 all-pairs blowup
+    assert n < 30 * 29 // 2
