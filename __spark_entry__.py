@@ -569,6 +569,18 @@ FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing plan: per-doc spans after concatenating
+    token streams in deterministic (shard, id) order and cutting every
+    256 tokens — the tokenizer-feed layout computed WITHOUT reading any
+    text past the token count.  Oracle: the identical cumulative-sum
+    window arithmetic in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("doc_id",
+                       tx.token_count_col(F.col("text")).alias("n_tokens"))
+    return curation.pack_sequences(counted, seq_len=256, n_shards=8)
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -930,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "curate_full": q_curate_full,
         "winnow_overlap": q_winnow_overlap,
+        "pack_sequences": q_pack_sequences,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1296,6 +1309,11 @@ def oracle_sql() -> dict[str, str]:
                 rates=_SAMPLE_RATES)),
         "curate_full": _curate_full_oracle(),
         "winnow_overlap": _winnow_oracle(),
+        "pack_sequences": curation.pack_sequences_sql(
+            "(SELECT doc_id, cast(case when length(trim(text)) = 0 "
+            "then 0 else len(regexp_split_to_array(trim(text), "
+            "'\\s+')) end as bigint) AS n_tokens FROM documents)",
+            seq_len=256, n_shards=8),
         "exact_dedup": (
             "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count "
             "FROM documents GROUP BY 1"),

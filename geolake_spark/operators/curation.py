@@ -225,3 +225,65 @@ def deterministic_sample_sql(id_expr: str, rate: float | None = None,
             for k, r in rates.items())
         return f"({h} < (CASE {arms} ELSE {base} END))"
     return f"({h} < {base})"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (tokenizer-feed planning)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   n_shards: int = 32) -> DataFrame:
+    """GPT-style packing plan: token streams are concatenated in
+    deterministic ``(shard, id)`` order and cut every ``seq_len`` tokens
+    (documents split across sequence boundaries, no padding) — the span
+    layout a tokenizer-feed job needs BEFORE touching any text.  Returns
+    one row per non-empty doc: ``shard``, ``tok_begin`` (offset of the
+    doc's first token within its shard's stream), ``seq_first`` /
+    ``seq_last`` (the sequences the doc lands in; a doc with
+    seq_last > seq_first straddles a cut).  Global sequence identity is
+    ``(shard, seq)``; shard streams are independent by construction.
+
+    Scale shape: the only wide op is one cumulative-sum window per
+    shard over (id, count) rows — text is never read, so a shard's
+    whole plan is a few bytes per doc; ``n_shards`` sets the
+    parallelism (each shard's cumsum is one task) and is deterministic
+    (``id % n_shards``), so re-running or resuming yields byte-identical
+    packing — unlike order-of-arrival packers.  Numeric ids only (the
+    modulo shard is what the DuckDB oracle mirrors)."""
+    work = (df.select(F.col(id_col),
+                      F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+                      F.col(tokens_col))
+            .filter(F.col(tokens_col) > 0))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    tok_end = F.sum(tokens_col).over(w)
+    return (work.withColumn("_pk_end", tok_end)
+            .select(id_col, "shard", tokens_col,
+                    (F.col("_pk_end") - F.col(tokens_col)).alias("tok_begin"),
+                    F.expr(f"(_pk_end - {tokens_col}) div {seq_len}")
+                    .alias("seq_first"),
+                    F.expr(f"(_pk_end - 1) div {seq_len}")
+                    .alias("seq_last")))
+
+
+def pack_sequences_sql(table: str, seq_len: int, id_col: str = "doc_id",
+                       tokens_expr: str = "n_tokens",
+                       n_shards: int = 32) -> str:
+    """DuckDB mirror of :func:`pack_sequences` over ``table``."""
+    return f"""
+WITH _pk_t AS (
+    SELECT {id_col}, {id_col} % {n_shards} AS shard,
+           {tokens_expr} AS n_tokens
+    FROM {table} WHERE {tokens_expr} > 0
+), _pk_c AS (
+    SELECT {id_col}, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col})
+           AS tok_end
+    FROM _pk_t
+)
+SELECT {id_col}, shard, n_tokens, tok_end - n_tokens AS tok_begin,
+       (tok_end - n_tokens) // {seq_len} AS seq_first,
+       (tok_end - 1) // {seq_len} AS seq_last
+FROM _pk_c
+"""

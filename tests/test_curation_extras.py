@@ -164,3 +164,43 @@ def test_capped_by_key_naive_path_identical(spark):
                    C.capped_by_key(df, "source", "doc_id", 3,
                                    salt_buckets=None).collect())
     assert salted == naive
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_spans_and_splits(spark):
+    df = spark.createDataFrame(
+        [(0, 300), (4, 300), (8, 100), (1, 50), (5, 0)],
+        "doc_id bigint, n_tokens bigint")
+    out = {r.doc_id: r for r in
+           C.pack_sequences(df, seq_len=512, n_shards=4).collect()}
+    assert 5 not in out                      # zero-token doc excluded
+    # shard 0 stream: doc 0 [0,300), doc 4 [300,600), doc 8 [600,700)
+    assert (out[0].tok_begin, out[0].seq_first, out[0].seq_last) == (0, 0, 0)
+    assert (out[4].tok_begin, out[4].seq_first, out[4].seq_last) == (300, 0, 1)
+    assert (out[8].tok_begin, out[8].seq_first, out[8].seq_last) == (600, 1, 1)
+    assert out[1].shard == 1 and out[1].tok_begin == 0
+
+
+def test_pack_sequences_deterministic_and_gapless(spark):
+    import random
+    rows = [(i, random.Random(i).randint(1, 400)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    a = sorted(map(tuple, C.pack_sequences(df, 128, n_shards=8).collect()))
+    b = sorted(map(tuple, C.pack_sequences(df, 128, n_shards=8).collect()))
+    assert a == b                            # re-run -> identical plan
+    # per shard: spans tile the stream exactly (no gaps, no overlaps)
+    from collections import defaultdict
+    byshard = defaultdict(list)
+    for doc_id, shard, n, begin, sf, sl in a:
+        byshard[shard].append((begin, n))
+        assert sf == begin // 128 and sl == (begin + n - 1) // 128
+    for spans in byshard.values():
+        spans.sort()
+        pos = 0
+        for begin, n in spans:
+            assert begin == pos
+            pos += n
