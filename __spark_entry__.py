@@ -569,6 +569,57 @@ FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 
 
+_URL_TLDS = ("com", "org", "co.uk", "com.au", "net")
+
+
+def _docs_urls(spark, sf_dir):
+    """Deterministic URL corpus derived from documents: scheme, optional
+    subdomain, site, a TLD cycled over 1- and 2-level suffixes, and a
+    path of doc_id%4 segments.  Mirrored by :func:`_docs_urls_sql`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    tlds = F.array(*[F.lit(t) for t in _URL_TLDS])
+    tld = F.element_at(tlds, (F.col("doc_id") % len(_URL_TLDS) + 1).cast("int"))
+    sub = F.when(F.col("doc_id") % 3 == 0, F.lit("www."))\
+        .when(F.col("doc_id") % 3 == 1, F.lit("cdn.static."))\
+        .otherwise(F.lit(""))
+    path = F.when(F.col("doc_id") % 4 == 0, F.lit(""))\
+        .when(F.col("doc_id") % 4 == 1, F.lit("/a"))\
+        .when(F.col("doc_id") % 4 == 2, F.lit("/a/b"))\
+        .otherwise(F.lit("/a/b/c"))
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), sub, F.lit("site"),
+                 (F.col("doc_id") % 40).cast("string"), F.lit("."), tld,
+                 path, F.lit("?ref=x")).alias("url"))
+
+
+def _docs_urls_sql() -> str:
+    n = len(_URL_TLDS)
+    tlds = "[" + ", ".join(f"'{t}'" for t in _URL_TLDS) + "]"
+    return (
+        f"SELECT doc_id, 'https://' || "
+        f"(CASE WHEN doc_id % 3 = 0 THEN 'www.' "
+        f"WHEN doc_id % 3 = 1 THEN 'cdn.static.' ELSE '' END) || "
+        f"'site' || cast(doc_id % 40 as varchar) || '.' || "
+        f"{tlds}[cast(doc_id % {n} as int) + 1] || "
+        f"(CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN '/a' "
+        f"WHEN doc_id % 4 = 2 THEN '/a/b' ELSE '/a/b/c' END) || '?ref=x' "
+        f"AS url FROM documents")
+
+
+def q_url_anatomy(spark, sf_dir):
+    """URL anatomy for per-domain mixing/caps: host (userinfo/port
+    stripped), registrable domain (two-level-TLD aware), path depth —
+    pure JVM regex/array expressions, identical patterns in the DuckDB
+    oracle."""
+    u = _docs_urls(spark, sf_dir)
+    return u.select(
+        "doc_id", "url",
+        tx.url_host_col(F.col("url")).alias("host"),
+        tx.registered_domain_col(F.col("url")).alias("domain"),
+        tx.url_path_depth_col(F.col("url")).alias("path_depth"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence-packing plan: per-doc spans after concatenating
     token streams in deterministic (shard, id) order and cutting every
@@ -943,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": q_curate_full,
         "winnow_overlap": q_winnow_overlap,
         "pack_sequences": q_pack_sequences,
+        "url_anatomy": q_url_anatomy,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1309,6 +1361,11 @@ def oracle_sql() -> dict[str, str]:
                 rates=_SAMPLE_RATES)),
         "curate_full": _curate_full_oracle(),
         "winnow_overlap": _winnow_oracle(),
+        "url_anatomy": (
+            f"SELECT doc_id, url, {tx.url_host_sql('url')} AS host, "
+            f"{tx.registered_domain_sql('url')} AS domain, "
+            f"{tx.url_path_depth_sql('url')} AS path_depth "
+            f"FROM ({_docs_urls_sql()})"),
         "pack_sequences": curation.pack_sequences_sql(
             "(SELECT doc_id, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), "

@@ -325,3 +325,77 @@ def pii_count_sqls(text_expr: str) -> dict[str, str]:
     return {f"n_{name}":
             f"len(regexp_extract_all({text_expr}, '{pat}'))::BIGINT"
             for name, pat, _ in PII_PATTERNS}
+
+
+# ---------------------------------------------------------------------------
+# URL anatomy (host / registered domain / path depth)
+# ---------------------------------------------------------------------------
+# Per-domain mixing, host caps and domain-level reputation scoring all key
+# on URL anatomy.  Pure regex (Java/RE2 common subset) so the DuckDB
+# oracle runs the identical patterns; registered-domain uses a small
+# embedded two-level-TLD list (co.uk-style) rather than the full public
+# suffix list — documented approximation, swap in the PSL for production.
+
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+_TWO_LEVEL_TLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.tr", "com.ar",
+)
+
+
+def url_host_col(url: Column) -> Column:
+    """Lower-cased authority host (userinfo stripped, port excluded);
+    '' for unparseable values."""
+    return F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+
+
+def url_host_sql(url_expr: str) -> str:
+    return f"lower(regexp_extract({url_expr}, '{_URL_HOST_RE}', 1))"
+
+
+def registered_domain_col(url: Column) -> Column:
+    """Registrable domain: last two host labels, or last THREE when the
+    last two are a known two-level TLD (co.uk etc.)."""
+    host = url_host_col(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    tld2 = F.array(*[F.lit(t) for t in _TWO_LEVEL_TLDS])
+    need3 = F.array_contains(tld2, last2) & (n >= 3)
+    last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    return (F.when(host == "", "")
+            .when(n <= 2, host)
+            .when(need3, last3)
+            .otherwise(last2))
+
+
+def registered_domain_sql(url_expr: str) -> str:
+    host = url_host_sql(url_expr)
+    tlds = ", ".join(f"'{t}'" for t in _TWO_LEVEL_TLDS)
+    return f"""(
+ WITH h AS (SELECT {host} AS host)
+ SELECT CASE
+   WHEN host = '' THEN ''
+   WHEN len(string_split(host, '.')) <= 2 THEN host
+   WHEN list_contains([{tlds}],
+        array_to_string(string_split(host, '.')[-2:], '.'))
+        AND len(string_split(host, '.')) >= 3
+     THEN array_to_string(string_split(host, '.')[-3:], '.')
+   ELSE array_to_string(string_split(host, '.')[-2:], '.')
+ END FROM h)"""
+
+
+def url_path_depth_col(url: Column) -> Column:
+    """Number of non-empty path segments (query/fragment excluded)."""
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    return F.size(segs).cast("bigint")
+
+
+def url_path_depth_sql(url_expr: str) -> str:
+    path = (f"regexp_extract({url_expr}, "
+            f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    return (f"cast(len(list_filter(string_split({path}, '/'), "
+            f"s -> s <> '')) as bigint)")

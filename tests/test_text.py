@@ -107,3 +107,29 @@ def test_repetition_boilerplate_separates(spark):
         "doc_id",
         tx.dup_ngram_frac_col(F.col("text"), 3).alias("d")).collect()}
     assert got[1] < 0.1 < 0.7 < got[2]
+
+
+# ---------------------------------------------------------------------------
+# URL anatomy (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_url_anatomy(spark):
+    from pyspark.sql import functions as F
+    from geolake_spark.functions import text as tx
+    cases = [
+        ("https://News.Example.co.uk:8080/a/b/c?q=1#f",
+         "news.example.co.uk", "example.co.uk", 3),
+        ("http://user:pw@sub.deep.example.com/x//y/",
+         "sub.deep.example.com", "example.com", 2),
+        ("https://example.org", "example.org", "example.org", 0),
+        ("notaurl", "", "", 0),
+        ("https://localhost/p", "localhost", "localhost", 1),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = df.select(
+        "url", tx.url_host_col(F.col("url")).alias("h"),
+        tx.registered_domain_col(F.col("url")).alias("d"),
+        tx.url_path_depth_col(F.col("url")).alias("n")).collect()
+    for row, (_, h, d, n) in zip(sorted(got, key=lambda r: [c[0] for c in cases].index(r.url)), cases):
+        assert (row.h, row.d, row.n) == (h, d, n), row
