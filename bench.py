@@ -54,8 +54,9 @@ SCALE_PASSES = 4              # passes per action -> 1.02B page rows
 SOLO_BASELINE = {
     "pip_tiles": 3.66, "cell_hist": 1.51, "knn": 2.47,
     "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.62,
-    "dedup_exact": 0.26, "minhash_sigs": 2.28, "dedup_e2e": 7.99,
-    "minhash_sigs_uni": 2.78, "ivf_train": 6.6, "ivf_query": 3.06,
+    "dedup_exact": 0.26, "minhash_sigs": 2.19, "dedup_e2e": 7.99,
+    "minhash_sigs_uni": 2.76, "ivf_train": 6.6, "ivf_query": 2.44,
+    "para_dedup": 2.94,
 }
 PLAUSIBLE_FACTOR = 1.5
 PLAUSIBLE_RETRIES = 2
@@ -370,6 +371,38 @@ def extra_queries(spark) -> tuple[dict, dict]:
     m_uni(runs=1)  # warm-up (host-stall robust: 3 timed after)
     timings["minhash_sigs_uni"] = round(m_uni(), 3)
     remeasure["minhash_sigs_uni"] = m_uni
+
+    # para_dedup — C4-style global paragraph dedup over the same 500k-doc
+    # corpus restructured into 4 paragraphs/doc (2M paragraphs, 1,000 hot
+    # boilerplate paragraphs x 500 copies + 500k unique PII paras): the
+    # winner aggregate shuffles (md5-fp, id, pos) only, text moves twice
+    # (fp join + per-doc reassembly) — BENCH/PLANS.md §13.
+    from geolake_spark.operators import curation
+    did = F.col("doc_id").cast("string")
+    para_corpus = uni.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring(F.col("text"), 1, 120),
+            F.concat(F.lit("shared boilerplate paragraph "),
+                     (F.col("doc_id") % 1000).cast("string")),
+            F.concat(F.lit("contact user"), did,
+                     F.lit("@example.com or +1 (555) 123-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            F.expr("substring(text, 121)")).alias("text"))
+
+    def m_para(runs=2):
+        best, n = 1e18, 0
+        for _ in range(runs):
+            t0 = time.time()
+            n = curation.paragraph_dedup(para_corpus).count()
+            best = min(best, time.time() - t0)
+        info["para_dedup_docs_out"] = n
+        return best
+
+    m_para(runs=1)  # warm-up
+    timings["para_dedup"] = round(m_para(), 3)
+    remeasure["para_dedup"] = m_para
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)
