@@ -204,3 +204,31 @@ def test_pack_sequences_deterministic_and_gapless(spark):
         for begin, n in spans:
             assert begin == pos
             pos += n
+
+
+def test_paragraph_dedup_global_invariants(spark):
+    """On any corpus: the kept paragraph multiset == the distinct
+    non-empty paragraph set of the input, and each survivor sits in the
+    doc with the smallest (doc_id, pos) occurrence."""
+    import random
+    rng = random.Random(7)
+    pool = [f"para {i} " + " ".join(f"w{i}x{j}" for j in range(5))
+            for i in range(50)]
+    rows = [(d, "\n\n".join(rng.choice(pool)
+                            for _ in range(rng.randint(1, 6))))
+            for d in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = C.paragraph_dedup(df).collect()
+    kept = [p for r in out for p in r.text.split("\n\n")]
+    # every distinct input paragraph survives exactly once
+    distinct_in = {p for _, t in rows for p in t.split("\n\n") if p}
+    assert sorted(kept) == sorted(distinct_in)
+    # survivor location is the global first occurrence
+    first = {}
+    for d, t in rows:  # rows are doc_id-ordered
+        for pos, p in enumerate(t.split("\n\n")):
+            if p and p not in first:
+                first[p] = d
+    for r in out:
+        for p in r.text.split("\n\n"):
+            assert first[p] == r.doc_id
