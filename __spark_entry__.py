@@ -632,6 +632,26 @@ def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(counted, seq_len=256, n_shards=8)
 
 
+def q_gopher_gates(spark, sf_dir):
+    """The remaining Gopher document-shape gates (Rae et al. 2021 App. A)
+    beyond quality/repetition: mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stopword
+    count — all JVM HOF/regex expressions, DuckDB-mirrored."""
+    d = _t(spark, sf_dir, "documents")
+    cols = tx.gopher_gate_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+def q_script_mix(spark, sf_dir):
+    """Per-script character fractions (Latin/Cyrillic/Greek/Han) over the
+    multiscript corpus — the language-mix audit for claimed-lang vs
+    actual-script mismatches.  Identical regex ranges in DuckDB
+    (\\x{...} RE2 escapes)."""
+    d = _docs_uni(spark, sf_dir)
+    cols = tx.script_fraction_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -995,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "pack_sequences": q_pack_sequences,
         "url_anatomy": q_url_anatomy,
+        "gopher_gates": q_gopher_gates,
+        "script_mix": q_script_mix,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1361,6 +1383,16 @@ def oracle_sql() -> dict[str, str]:
                 rates=_SAMPLE_RATES)),
         "curate_full": _curate_full_oracle(),
         "winnow_overlap": _winnow_oracle(),
+        "gopher_gates": (
+            "SELECT doc_id, " + ", ".join(
+                f"{v} AS {k}"
+                for k, v in tx.gopher_gate_sqls("text").items())
+            + " FROM documents"),
+        "script_mix": (
+            "SELECT doc_id, " + ", ".join(
+                f"{v} AS {k}"
+                for k, v in tx.script_fraction_sqls("text").items())
+            + f" FROM ({_docs_uni_sql()})"),
         "url_anatomy": (
             f"SELECT doc_id, url, {tx.url_host_sql('url')} AS host, "
             f"{tx.registered_domain_sql('url')} AS domain, "

@@ -399,3 +399,106 @@ def url_path_depth_sql(url_expr: str) -> str:
             f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
     return (f"cast(len(list_filter(string_split({path}, '/'), "
             f"s -> s <> '')) as bigint)")
+
+
+# ---------------------------------------------------------------------------
+# Extended Gopher gates (Rae et al. 2021, Appendix A) + script mix
+# ---------------------------------------------------------------------------
+# The remaining document-shape gates beyond quality_score/repetition:
+# mean word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+# alphabetic-word fraction, stopword count.  All pure JVM HOF/regex
+# expressions with bit-matching DuckDB SQL.
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate_cols(text: Column) -> dict[str, Column]:
+    toks = _tokens(text)
+    ntok = F.size(toks)
+    lines = F.split(text, "\n")
+    nlines = F.size(lines)
+    low = F.transform(toks, F.lower)
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    mean_wl = F.when(ntok == 0, F.lit(0.0)).otherwise(F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / ntok.cast("double"), 6))
+    sym_ratio = F.when(ntok == 0, F.lit(0.0)).otherwise(F.round(
+        F.regexp_count(text, F.lit(r"#|\.\.\.")) / ntok.cast("double"), 6))
+    bullet = F.round(F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*[-*•]\s")))
+        / nlines.cast("double"), 6)
+    ellipsis = F.round(F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"\.\.\.\s*$")))
+        / nlines.cast("double"), 6)
+    alpha_frac = F.when(ntok == 0, F.lit(0.0)).otherwise(F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        / ntok.cast("double"), 6))
+    stop_n = F.size(F.filter(low, lambda t: F.array_contains(stop_arr, t)))
+    return {"mean_word_len": mean_wl, "symbol_word_ratio": sym_ratio,
+            "bullet_line_frac": bullet, "ellipsis_line_frac": ellipsis,
+            "alpha_word_frac": alpha_frac,
+            "stopword_count": stop_n.cast("bigint")}
+
+
+def gopher_gate_sqls(text_expr: str) -> dict[str, str]:
+    toks = (f"(case when length(trim({text_expr})) = 0 then []::varchar[] "
+            f"else regexp_split_to_array(trim({text_expr}), '\\s+') end)")
+    ntok = f"len({toks})"
+    lines = f"string_split({text_expr}, chr(10))"
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    return {
+        "mean_word_len": (
+            f"(case when {ntok} = 0 then 0.0 else round("
+            f"list_sum(list_transform({toks}, t -> length(t)))"
+            f" / cast({ntok} as double), 6) end)"),
+        "symbol_word_ratio": (
+            f"(case when {ntok} = 0 then 0.0 else round("
+            f"len(regexp_extract_all({text_expr}, '#|\\.\\.\\.'))"
+            f" / cast({ntok} as double), 6) end)"),
+        "bullet_line_frac": (
+            f"round(len(list_filter({lines}, "
+            f"ln -> regexp_matches(ln, '^\\s*[-*\\x{{2022}}]\\s')))"
+            f" / cast(len({lines}) as double), 6)"),
+        "ellipsis_line_frac": (
+            f"round(len(list_filter({lines}, "
+            f"ln -> regexp_matches(ln, '\\.\\.\\.\\s*$')))"
+            f" / cast(len({lines}) as double), 6)"),
+        "alpha_word_frac": (
+            f"(case when {ntok} = 0 then 0.0 else round("
+            f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))"
+            f" / cast({ntok} as double), 6) end)"),
+        "stopword_count": (
+            f"cast(len(list_filter(list_transform({toks}, t -> lower(t)), "
+            f"t -> list_contains([{stops}], t))) as bigint)"),
+    }
+
+
+# script mix: per-script character fractions over the total character
+# count — the web-corpus language-mix audit (a page claiming lang=en but
+# 60% CJK chars is mislabeled).  Ranges are the core BMP blocks.
+_SCRIPT_RANGES = {
+    "latin": ("A-Za-z", "A-Za-z"),
+    "cyrillic": ("Ѐ-ӿ", r"\x{0400}-\x{04FF}"),
+    "greek": ("Ͱ-Ͽ", r"\x{0370}-\x{03FF}"),
+    "han": ("一-鿿", r"\x{4E00}-\x{9FFF}"),
+}
+
+
+def script_fraction_cols(text: Column) -> dict[str, Column]:
+    n = F.length(text)
+    out = {}
+    for name, (java_rng, _) in _SCRIPT_RANGES.items():
+        cnt = F.regexp_count(text, F.lit(f"[{java_rng}]"))
+        out[f"frac_{name}"] = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.round(cnt / n.cast("double"), 6))
+    return out
+
+
+def script_fraction_sqls(text_expr: str) -> dict[str, str]:
+    n = f"length({text_expr})"
+    out = {}
+    for name, (_, re2_rng) in _SCRIPT_RANGES.items():
+        cnt = f"len(regexp_extract_all({text_expr}, '[{re2_rng}]'))"
+        out[f"frac_{name}"] = (f"(case when {n} = 0 then 0.0 else "
+                               f"round({cnt} / cast({n} as double), 6) end)")
+    return out

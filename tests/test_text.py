@@ -133,3 +133,23 @@ def test_url_anatomy(spark):
         tx.url_path_depth_col(F.col("url")).alias("n")).collect()
     for row, (_, h, d, n) in zip(sorted(got, key=lambda r: [c[0] for c in cases].index(r.url)), cases):
         assert (row.h, row.d, row.n) == (h, d, n), row
+
+
+def test_gopher_gates_and_script_mix(spark):
+    from pyspark.sql import functions as F
+    from geolake_spark.functions import text as tx
+    txt = ("the cat sat\n- bullet line\nends with dots...\n"
+           "只有中文字符 here with that")
+    df = spark.createDataFrame([(1, txt), (2, "")],
+                               "doc_id bigint, text string")
+    cols = {**tx.gopher_gate_cols(F.col("text")),
+            **tx.script_fraction_cols(F.col("text"))}
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    r = got[1]
+    assert r.bullet_line_frac == 0.25 and r.ellipsis_line_frac == 0.25
+    assert r.stopword_count == 4        # the, with (x2), that
+    assert r.frac_han > 0.05 and r.frac_cyrillic == 0.0
+    assert 0 < r.alpha_word_frac < 1    # CJK token has no [A-Za-z]
+    z = got[2]
+    assert (z.mean_word_len, z.frac_latin, z.stopword_count) == (0.0, 0.0, 0)
