@@ -265,3 +265,33 @@ def streaming_exact_dedup(pages: DataFrame,
             .applyInPandasWithState(
                 _make_dedup_fn(max_state, ttl_ms), DEDUP_OUTPUT, DEDUP_STATE,
                 "append", timeout))  # emits new rows only
+
+
+def curate_stream(pages: DataFrame, langs: list[str] | None = None,
+                  scrub_pii: bool = False,
+                  min_quality: float | None = None,
+                  max_dup_trigram: float | None = None,
+                  max_state: int = DEDUP_MAX_STATE,
+                  ttl_minutes: float | None = None) -> DataFrame:
+    """Streaming form of the curation pipeline's gate stack + exact dedup
+    (the stages that make sense incrementally: global paragraph dedup and
+    near-dup CC need corpus-wide state and stay batch ops — run them on
+    snapshot compaction instead).  The gates are stateless plan
+    expressions evaluated per micro-batch exactly as in batch
+    ``curate_pages`` (same functions, same semantics); cross-batch exact
+    dedup is the bounded-per-host-state operator above.  Emits the
+    surviving (host, url, fp) rows."""
+    from geolake_spark.functions import text as tx
+    out = pages
+    if langs:
+        out = out.filter(F.col("lang").isin(list(langs)))
+    if scrub_pii:
+        out = out.withColumn("text", tx.pii_scrub_col(F.col("text")))
+    if min_quality is not None:
+        out = out.filter(
+            tx.quality_score_col(F.col("text")) >= min_quality)
+    if max_dup_trigram is not None:
+        out = out.filter(
+            tx.dup_ngram_frac_col(F.col("text"), 3) <= max_dup_trigram)
+    return streaming_exact_dedup(out, max_state=max_state,
+                                 ttl_minutes=ttl_minutes)

@@ -127,3 +127,33 @@ def test_exact_once_pairs_collapses_band_duplicates(spark, pages, tmp_path):
     dedup.release_caches()
     assert len(raw) == len(set(raw)), "duplicate emissions survived"
     assert set(raw) == exp and len(exp) >= 25
+
+
+def test_curate_stream_gates_plus_dedup(spark, pages, tmp_path):
+    """The streaming gate stack drops the same rows the batch gates drop,
+    and the stateful dedup still kills cross-batch repeats: final output
+    == batch-filtered distinct urls (synthetic pages are unique bodies)."""
+    drop = str(tmp_path / "drop_curate")
+    # plant a cross-batch duplicate: copy of an existing page, new url
+    dup = (pages.limit(1)
+           .withColumn("url", F.concat(F.col("url"), F.lit("#copy"))))
+    pages.unionByName(dup).repartition(4).write.parquet(drop)
+    stream = ingest.read_pages_stream(spark, drop, max_files_per_trigger=1)
+    kept = stateful.curate_stream(stream, min_quality=0.05,
+                                  max_dup_trigram=0.9)
+    q = (kept.writeStream.format("memory").queryName("curated")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.url for r in spark.sql("select url from curated").collect()}
+    from geolake_spark.functions import text as tx
+    batch_kept = (pages.filter(
+        tx.quality_score_col(F.col("text")) >= 0.05)
+        .filter(tx.dup_ngram_frac_col(F.col("text"), 3) <= 0.9))
+    exp = {r.url for r in batch_kept.select("url").collect()}
+    # one of {original, #copy} survives for the planted dup; which one
+    # depends on micro-batch order, so compare modulo that pair
+    base_url = dup.select("url").first().url[:-5]
+    assert len(got & {base_url, base_url + "#copy"}) == 1
+    got_rest = got - {base_url, base_url + "#copy"}
+    exp_rest = exp - {base_url}
+    assert got_rest == exp_rest
