@@ -232,3 +232,22 @@ def test_paragraph_dedup_global_invariants(spark):
     for r in out:
         for p in r.text.split("\n\n"):
             assert first[p] == r.doc_id
+
+
+def test_pack_job_resume(spark, synth_paths, tmp_path):
+    """jobs/pack.py logic: packing plan commits per shard and a resumed
+    run skips every committed shard (deterministic plan => safe)."""
+    from geolake_spark.catalog import IcebergishTable
+    from geolake_spark.functions import text as tx
+    from geolake_spark.write import write_snapshot
+    docs = (spark.read.parquet(synth_paths["pages"])
+            .withColumn("doc_id", F.xxhash64("url"))
+            .select("doc_id", tx.token_count_col(F.col("text"))
+                    .alias("n_tokens")))
+    plan = C.pack_sequences(docs, seq_len=512, n_shards=4)
+    t = IcebergishTable(str(tmp_path / "pack"))
+    first = write_snapshot(plan, t, ["shard"], resume=True)
+    again = write_snapshot(plan, t, ["shard"], resume=True)
+    assert first["written_partitions"] == 4 and first["rows"] == 500
+    assert again["written_partitions"] == 0
+    assert again["skipped_partitions"] == 4
