@@ -163,6 +163,21 @@ def q_knn_table(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_radius_join(spark, sf_dir):
+    """within-distance (distance-band) join: 400 probe table x docs, all
+    pairs <= 300 km.  Sound disc-cover cells -> one equi-join shuffle ->
+    haversine refine (operators/joins.py radius_join); oracle is the exact
+    cross-join + haversine filter."""
+    d = _docs_geo(spark, sf_dir)
+    probes = (spark.range(400)
+              .select(F.col("id").alias("query_id"),
+                      geo.geocode_lat_col(F.col("id") + 1000000).alias("lat"),
+                      geo.geocode_lon_col(F.col("id") + 1000000).alias("lon")))
+    out = joins.radius_join(d, probes, radius_km=300.0, id_cols=["doc_id"])
+    return out.select("query_id", "doc_id",
+                      F.round("dist_km", 6).alias("dist_km"))
+
+
 def q_range_join(spark, sf_dir):
     """interval join (J5): events bucket-joined to 25 overlapping value
     bands [i*20, i*20+30] — bucketized equi-join + BETWEEN refine, the
@@ -990,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": q_pip_rect_join,
         "knn_docs": q_knn_docs,
         "knn_table": q_knn_table,
+        "radius_join": q_radius_join,
         "range_join": q_range_join,
         "asof_join": q_asof_join,
         "tile_rollup": q_tile_rollup,
@@ -1283,6 +1299,15 @@ def oracle_sql() -> dict[str, str]:
             f"    {geo.geocode_lat_sql('pid + 1000000')} AS q_lat, "
             f"    {geo.geocode_lon_sql('pid + 1000000')} AS q_lon "
             f"    FROM range(400) t(pid)) p) WHERE rank <= 5"),
+        "radius_join": (
+            f"SELECT p.query_id, d.doc_id, "
+            f"round({_hav_sql('p.q_lat', 'p.q_lon')}, 6) AS dist_km "
+            f"FROM {docs} d CROSS JOIN ("
+            f"  SELECT pid AS query_id, "
+            f"  {geo.geocode_lat_sql('pid + 1000000')} AS q_lat, "
+            f"  {geo.geocode_lon_sql('pid + 1000000')} AS q_lon "
+            f"  FROM range(400) t(pid)) p "
+            f"WHERE {_hav_sql('p.q_lat', 'p.q_lon')} <= 300.0"),
         "range_join": (
             "SELECT b.band_id, count(*) AS n_events, "
             "round(cast(sum(e.value) as double), 4) AS sum_value "

@@ -218,6 +218,82 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Great-circle disc covers (radius-join candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def radius_res(radius_km: float) -> int:
+    """Default cover resolution for a ``radius_km`` disc: the finest res
+    whose cell HEIGHT is >= the radius, so the disc spans <= ~3 latitude
+    rows of cells (cover ~9-15 cells away from the poles)."""
+    dlat_deg = np.degrees(radius_km / EARTH_RADIUS_KM)
+    if dlat_deg <= 0:
+        return GRID_MAX_RES
+    r = int(np.floor(np.log2(max(45.0 / dlat_deg, 1.0))))
+    return max(0, min(GRID_MAX_RES, r))
+
+
+def radius_cover(lat: float, lon: float, radius_km: float, res: int,
+                 max_cover: int = 256) -> np.ndarray:
+    """Cell ids (single res per call, possibly coarsened) whose union is a
+    SUPERSET of the great-circle disc of ``radius_km`` around (lat, lon).
+
+    Soundness (this is the radius-join candidate cover, so it must never
+    miss a reachable point):
+
+    * latitude band ``|dphi| <= R/R_E`` — the meridian arc is a lower bound
+      on great-circle distance, so every reachable point lies in the band;
+    * longitude half-width from the haversine identity
+      ``hav(d) = hav(dphi) + cos(phi1) cos(phi2) hav(dlam)`` =>
+      ``sin(dlam/2) <= sin(R/(2 R_E)) / sqrt(cos(phi1) cos(phi2_min))``
+      with ``cos(phi2_min)`` the smallest cosine over the band.  The naive
+      parallel-arc bound (``dlam <= R / (111 cos phi)``) UNDERestimates the
+      reachable lon gap because geodesics cut poleward of their endpoints
+      (the same trap :func:`~geolake_spark.operators.joins.knn_join_table`'s
+      ``dmin_km`` documents) — the identity bound is exact.  When the band
+      touches a pole the denominator hits 0 and the cover degrades to
+      all-longitudes for the band, which subsumes over-pole reachability.
+
+    Coarsens to exact quad-parents (res-1, res-2, ...) until the cover is
+    <= ``max_cover`` cells, so polar probes cannot explode the candidate
+    row count.  Antimeridian wrap handled in ix arithmetic.
+    """
+    dlat = float(np.degrees(radius_km / EARTH_RADIUS_KM))
+    s = float(np.sin(radius_km / (2.0 * EARTH_RADIUS_KM)))
+    res = max(0, min(GRID_MAX_RES, int(res)))
+    while True:
+        nx, ny = grid_dims(res)
+        lat_s, lat_n = max(-90.0, lat - dlat), min(90.0, lat + dlat)
+        iy0 = max(0, min(int(np.floor((90.0 - lat_n) / 180.0 * ny)), ny - 1))
+        iy1 = max(0, min(int(np.floor((90.0 - lat_s) / 180.0 * ny)), ny - 1))
+        denom = np.cos(np.radians(lat)) * min(np.cos(np.radians(lat_s)),
+                                              np.cos(np.radians(lat_n)))
+        if denom <= 0.0 or s * s >= denom:
+            xs = np.arange(nx, dtype=np.int64)
+        else:
+            dlam = float(np.degrees(2.0 * np.arcsin(min(1.0, s / np.sqrt(denom)))))
+            if dlam >= 180.0:
+                xs = np.arange(nx, dtype=np.int64)
+            else:
+                w = ((lon - dlam + 180.0) % 360.0) - 180.0
+                e = ((lon + dlam + 180.0) % 360.0) - 180.0
+                ix0 = max(0, min(int(np.floor((w + 180.0) / 360.0 * nx)), nx - 1))
+                ix1 = max(0, min(int(np.floor((e + 180.0) / 360.0 * nx)), nx - 1))
+                if ix0 <= ix1:
+                    xs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+                else:  # antimeridian crossing
+                    xs = np.concatenate([np.arange(ix0, nx, dtype=np.int64),
+                                         np.arange(0, ix1 + 1, dtype=np.int64)])
+        n_cells = (iy1 - iy0 + 1) * len(xs)
+        if n_cells <= max_cover or res == 0:
+            ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(xs, ys)
+            return ((np.int64(res) << _RES_SHIFT)
+                    | (gy.ravel() << _IY_SHIFT) | gx.ravel()).astype(np.int64)
+        res -= 1
+
+
+# ---------------------------------------------------------------------------
 # Web-Mercator (slippy-map) tiles — the raster<->vector materialization grid
 # ---------------------------------------------------------------------------
 

@@ -822,3 +822,84 @@ def knn_join(points: DataFrame, probes_pdf: pd.DataFrame, k: int,
         raise RuntimeError(f"kNN did not converge for probes {sorted(unresolved)}")
     result = pd.concat(out_frames, ignore_index=True)
     return spark.createDataFrame(result)
+
+
+# ---------------------------------------------------------------------------
+# Radius (within-distance) join
+# ---------------------------------------------------------------------------
+
+
+def radius_join(points: DataFrame, probes: DataFrame, radius_km: float,
+                res: int | None = None,
+                lat_col: str = "lat", lon_col: str = "lon",
+                id_cols: list[str] | None = None,
+                max_cover: int = 256) -> DataFrame:
+    """Exact within-distance spatial join (distance-band join, SURVEY.md
+    §2.3 family; reference nearest-select analogue datastore.py:444-455
+    generalized from 1-NN to "all points within R").
+
+    For every probe row, returns every point whose great-circle distance is
+    <= ``radius_km``.  Shape at scale:
+
+    1. a vectorized Arrow-batched cover UDF maps each probe to the cell ids
+       of a SOUND disc cover (:func:`geolake_spark.cells.radius_cover` —
+       haversine-identity lon bound, pole-safe, antimeridian-safe, coarsened
+       to quad parents so the per-probe cover is <= ``max_cover`` cells);
+    2. covers explode and equi-join the points' cell column — ONE shuffle
+       hash join per cover resolution actually present (in practice one:
+       coarsened tiers only appear for near-pole probes).  AQE skew-join
+       splits hot urban cells; no per-probe driver work anywhere;
+    3. exact ``haversine <= R`` refine, fully inside whole-stage codegen.
+
+    A point lands in exactly one cell per res and a probe's cover is a
+    distinct cell set at one res, so (probe, point) pairs are emitted at
+    most once — no distinct needed.  ``res=None`` picks the finest res whose
+    cell height >= R (:func:`geolake_spark.cells.radius_res`), giving ~9-15
+    cover cells per probe and a candidate area ~9 R^2 vs the disc's pi R^2.
+
+    ``probes``: (query_id, lat, lon).  Returns (query_id, q_lat, q_lon,
+    *id_cols, dist_km).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    id_cols = id_cols or ["url"]
+    base_res = cells.radius_res(radius_km) if res is None else int(res)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series([
+            cells.radius_cover(float(la), float(lo), radius_km, base_res,
+                               max_cover=max_cover)
+            for la, lo in zip(lat.to_numpy(), lon.to_numpy())])
+
+    cov = (probes.select("query_id",
+                         F.col(lat_col).alias("q_lat"),
+                         F.col(lon_col).alias("q_lon"))
+           .withColumn("cell", F.explode(
+               cover_udf(F.col("q_lat"), F.col("q_lon"))))
+           .localCheckpoint(eager=True))  # reused by the res-tier scan below
+
+    # Cover resolutions actually present: driver-sized (<= GRID_MAX_RES+1).
+    res_vals = sorted(r["r"] for r in
+                      cov.select(F.shiftright("cell", 56).alias("r"))
+                      .distinct().collect())
+    pts = points.select(F.col(lat_col).alias("p_lat"),
+                        F.col(lon_col).alias("p_lon"), *id_cols)
+    cand = None
+    for rv in res_vals:
+        tier = (cov.filter(F.shiftright("cell", 56) == int(rv))
+                .join(pts.withColumn("cell", grid_cell_col(
+                    F.col("p_lat"), F.col("p_lon"), int(rv))), "cell"))
+        cand = tier if cand is None else cand.unionByName(tier)
+    if cand is None:  # empty probe table
+        return (cov.select("query_id", "q_lat", "q_lon")
+                .join(pts, F.lit(False))
+                .withColumn("dist_km", F.lit(0.0))
+                .select("query_id", "q_lat", "q_lon", *id_cols, "dist_km"))
+    return (cand
+            .withColumn("dist_km", haversine_col(
+                F.col("q_lat"), F.col("q_lon"),
+                F.col("p_lat"), F.col("p_lon")))
+            .filter(F.col("dist_km") <= F.lit(float(radius_km)))
+            .select("query_id", "q_lat", "q_lon", *id_cols, "dist_km"))

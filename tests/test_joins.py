@@ -233,3 +233,91 @@ def test_meridian_segment_dist_sound_and_tight(spark):
             lats, np.full_like(lats, r["dlam"])).min()
         assert r["d"] <= sampled + 1e-6, r.to_dict()       # sound
         assert sampled - r["d"] <= 5.0, r.to_dict()        # exact (tight)
+
+
+# ---------------------------------------------------------------------------
+# Radius (within-distance) join
+# ---------------------------------------------------------------------------
+
+
+def _brute_radius(pages_pdf, probes_pd, radius_km):
+    exp = set()
+    for _, pr in probes_pd.iterrows():
+        d = cells.haversine_km(pages_pdf["lat"].to_numpy(),
+                               pages_pdf["lon"].to_numpy(),
+                               pr["lat"], pr["lon"])
+        for u in pages_pdf["url"][d <= radius_km]:
+            exp.add((int(pr["query_id"]), u))
+    return exp
+
+
+@pytest.mark.parametrize("radius_km", [150.0, 800.0, 4000.0])
+def test_radius_join_matches_brute_force(spark, pages, pages_pdf, radius_km):
+    """Hostile probe set: equator, mid-lat, near-pole (over-pole reach),
+    antimeridian straddle — every (probe, point) pair within R and none
+    outside, vs the NumPy haversine brute force."""
+    probes_pd = pd.DataFrame({
+        "query_id": [0, 1, 2, 3, 4, 5],
+        "lat": [0.0, 37.5, -41.0, 89.3, 64.0, -89.9],
+        "lon": [0.0, -122.0, 174.8, 10.0, 179.95, -45.0]})
+    probes = spark.createDataFrame(probes_pd)
+    out = joins.radius_join(pages, probes, radius_km)
+    got = set((int(q), u) for q, u in
+              out.select("query_id", "url").toPandas().itertuples(index=False))
+    assert got == _brute_radius(pages_pdf, probes_pd, radius_km)
+
+
+def test_radius_join_no_duplicate_pairs(spark, pages):
+    probes = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7], "lat": [89.0], "lon": [0.0]}))
+    out = joins.radius_join(pages, probes, 2500.0)
+    n = out.count()
+    assert out.select("query_id", "url").distinct().count() == n
+
+
+def test_radius_join_boundary_inclusive(spark):
+    """A point exactly AT distance R is kept; epsilon past it is dropped."""
+    pts = spark.createDataFrame(pd.DataFrame({
+        "url": ["in", "edge", "out"],
+        "lat": [10.0, 10.0, 10.0],
+        "lon": [20.0, 20.0, 20.0]}))
+    probe_lat, probe_lon = 10.0, 21.0
+    d_edge = float(cells.haversine_km(10.0, 20.0, probe_lat, probe_lon))
+    probes = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [0], "lat": [probe_lat], "lon": [probe_lon]}))
+    kept = joins.radius_join(pts, probes, d_edge).count()
+    dropped = joins.radius_join(pts, probes, d_edge * (1 - 1e-9)).count()
+    assert kept == 3 and dropped == 0
+
+
+def test_radius_cover_sound_random(spark):
+    """Property: for random probes and radii, every point within R falls in
+    a cover cell (cover is a superset of the disc)."""
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        plat = float(rng.uniform(-90, 90))
+        plon = float(rng.uniform(-180, 180))
+        r_km = float(rng.uniform(1.0, 12000.0))
+        cover = set(cells.radius_cover(plat, plon, r_km,
+                                       cells.radius_res(r_km)))
+        rv = int(next(iter(cover)) >> 56)
+        assert all((c >> 56) == rv for c in cover)
+        # sample points on the disc boundary and interior
+        for frac in (0.2, 0.9, 0.999, 1.0):
+            for brg in np.linspace(0, 2 * np.pi, 13):
+                ang = (r_km * frac) / cells.EARTH_RADIUS_KM
+                la1, lo1 = np.radians(plat), np.radians(plon)
+                la2 = np.arcsin(np.sin(la1) * np.cos(ang)
+                                + np.cos(la1) * np.sin(ang) * np.cos(brg))
+                lo2 = lo1 + np.arctan2(
+                    np.sin(brg) * np.sin(ang) * np.cos(la1),
+                    np.cos(ang) - np.sin(la1) * np.sin(la2))
+                qlat = float(np.degrees(la2))
+                qlon = float(((np.degrees(lo2) + 180.0) % 360.0) - 180.0)
+                # guard: destination formula + haversine roundtrip can land
+                # epsilon OUTSIDE R; only in-disc points must be covered
+                if float(cells.haversine_km(plat, plon, qlat, qlon)) > r_km:
+                    continue
+                c = int(cells.grid_cell(np.array([qlat]), np.array([qlon]),
+                                        rv)[0])
+                assert c in cover, (plat, plon, r_km, qlat, qlon)
