@@ -622,6 +622,74 @@ def _docs_urls_sql() -> str:
         f"AS url FROM documents")
 
 
+def _docs_urls_messy(spark, sf_dir):
+    """Deterministic MESSY URL corpus — the same logical pages spelled the
+    way a crawl sees them: mixed-case scheme/host, default and non-default
+    ports, tracking params, shuffled param order, trailing slashes,
+    fragments.  Mirrored bit-for-bit by :func:`_docs_urls_messy_sql`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    scheme = F.when(i % 11 == 0, F.lit("HTTPS"))\
+        .when(i % 7 == 0, F.lit("http")).otherwise(F.lit("https"))
+    base = F.concat(F.lit("www.site"), (i % 40).cast("string"), F.lit(".com"))
+    host = F.when(i % 5 == 0, F.upper(base)).otherwise(base)
+    port = F.when(i % 13 == 0, F.lit(":8080"))\
+        .when((i % 6 == 0) & (i % 7 == 0), F.lit(":80"))\
+        .when(i % 6 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.when(i % 4 == 0, F.lit("")).when(i % 4 == 1, F.lit("/a"))\
+        .when(i % 4 == 2, F.lit("/a/b")).otherwise(F.lit("/a/b/c"))
+    slash = F.when(i % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(i % 5 == 1, F.lit("?b=2&a=1"))\
+        .when(i % 5 == 2, F.lit("?utm_source=tw&a=1"))\
+        .when(i % 5 == 3, F.lit("?a=1&utm_campaign=x&b=2"))\
+        .when(i % 5 == 4, F.lit("?utm_medium=email")).otherwise(F.lit(""))
+    frag = F.when(i % 4 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return d.select("doc_id", F.concat(
+        scheme, F.lit("://"), host, port, path, slash, query, frag
+    ).alias("url"))
+
+
+def _docs_urls_messy_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        "(CASE WHEN doc_id % 11 = 0 THEN 'HTTPS' "
+        " WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END) || '://' || "
+        "(CASE WHEN doc_id % 5 = 0 "
+        " THEN upper('www.site' || cast(doc_id % 40 as varchar) || '.com') "
+        " ELSE 'www.site' || cast(doc_id % 40 as varchar) || '.com' END) || "
+        "(CASE WHEN doc_id % 13 = 0 THEN ':8080' "
+        " WHEN doc_id % 6 = 0 AND doc_id % 7 = 0 THEN ':80' "
+        " WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END) || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN '/a' "
+        " WHEN doc_id % 4 = 2 THEN '/a/b' ELSE '/a/b/c' END) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 1 THEN '?b=2&a=1' "
+        " WHEN doc_id % 5 = 2 THEN '?utm_source=tw&a=1' "
+        " WHEN doc_id % 5 = 3 THEN '?a=1&utm_campaign=x&b=2' "
+        " WHEN doc_id % 5 = 4 THEN '?utm_medium=email' ELSE '' END) || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url "
+        "FROM documents")
+
+
+def q_url_canonical(spark, sf_dir):
+    """crawl-URL canonicalization: case, default ports, tracking params,
+    param order, trailing slash and fragments collapse to one key
+    (functions/text.py url_canonical_col; contract in the module docstring)."""
+    u = _docs_urls_messy(spark, sf_dir)
+    return u.select("doc_id", "url",
+                    tx.url_canonical_col(F.col("url")).alias("canon_url"))
+
+
+def q_canonical_dedup(spark, sf_dir):
+    """exact dedup on the canonical-URL key: variant spellings of the same
+    logical page collapse; keeper = min doc_id (deterministic)."""
+    u = _docs_urls_messy(spark, sf_dir)
+    return (u.withColumn("canon_url", tx.url_canonical_col(F.col("url")))
+            .groupBy("canon_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("doc_id").alias("keep_id")))
+
+
 def q_url_anatomy(spark, sf_dir):
     """URL anatomy for per-domain mixing/caps: host (userinfo/port
     stripped), registrable domain (two-level-TLD aware), path depth —
@@ -1031,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "pack_sequences": q_pack_sequences,
         "url_anatomy": q_url_anatomy,
+        "url_canonical": q_url_canonical,
+        "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
         "exact_dedup": q_exact_dedup,
@@ -1423,6 +1493,13 @@ def oracle_sql() -> dict[str, str]:
             f"{tx.registered_domain_sql('url')} AS domain, "
             f"{tx.url_path_depth_sql('url')} AS path_depth "
             f"FROM ({_docs_urls_sql()})"),
+        "url_canonical": (
+            f"SELECT doc_id, url, {tx.url_canonical_sql('url')} AS canon_url "
+            f"FROM ({_docs_urls_messy_sql()})"),
+        "canonical_dedup": (
+            f"SELECT {tx.url_canonical_sql('url')} AS canon_url, "
+            f"count(*) AS n_variants, min(doc_id) AS keep_id "
+            f"FROM ({_docs_urls_messy_sql()}) GROUP BY 1"),
         "pack_sequences": curation.pack_sequences_sql(
             "(SELECT doc_id, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), "

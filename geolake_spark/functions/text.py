@@ -402,6 +402,80 @@ def url_path_depth_sql(url_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup key)
+# ---------------------------------------------------------------------------
+# A crawl sees the same logical page under many spellings: mixed-case
+# scheme/host, default ports, tracking query params, param order, trailing
+# slash, fragments.  Canonicalization maps the variants to ONE key so exact
+# dedup can collapse them (CC/WARC pipelines do this before content dedup).
+# Contract (documented, deliberately conservative — path case, %-encoding
+# and duplicate-slash collapsing are left alone because they can change
+# server-side meaning):
+#   1. scheme and host lowercased, userinfo stripped;
+#   2. default port dropped (:80 for http, :443 for https; others kept);
+#   3. fragment dropped;
+#   4. tracking params dropped (utm_*, fbclid, gclid, msclkid, ref, ref_src),
+#      remaining query params sorted bytewise and rejoined; empty query -> no '?';
+#   5. empty path -> '/', trailing '/' stripped from non-root paths.
+# Pure JVM regex/array expressions in the Java/RE2 common subset, identical
+# pattern strings in the DuckDB mirror.
+
+_URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"^[^#]*\?([^#]*)"
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$"
+
+
+def url_canonical_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (see contract above);
+    '' for values with no scheme://."""
+    scheme = F.lower(F.regexp_extract(url, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _URL_AUTH_RE, 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, ":443$", ""))
+            .otherwise(hostport))
+    rawpath = F.regexp_extract(url, _URL_PATH_RE, 1)
+    trimmed = F.regexp_replace(rawpath, "/$", "")
+    path = (F.when(rawpath == "", F.lit("/"))
+            .when(trimmed == "", F.lit("/"))
+            .otherwise(trimmed))
+    q = F.regexp_extract(url, _URL_QUERY_RE, 1)
+    keep = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE)))
+    qs = F.array_join(keep, "&")
+    return F.when(scheme == "", F.lit("")).otherwise(F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))))
+
+
+def url_canonical_sql(url_expr: str) -> str:
+    """DuckDB mirror of :func:`url_canonical_col` — identical regex
+    patterns, list_filter/list_sort for the query-param set."""
+    u = url_expr
+    scheme = f"lower(regexp_extract({u}, '{_URL_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({u}, '{_URL_AUTH_RE}', 1))"
+    host = (f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+            f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+            f"ELSE {hostport} END)")
+    rawpath = f"regexp_extract({u}, '{_URL_PATH_RE}', 1)"
+    trimmed = f"regexp_replace({rawpath}, '/$', '')"
+    path = (f"(CASE WHEN {rawpath} = '' THEN '/' "
+            f"WHEN {trimmed} = '' THEN '/' ELSE {trimmed} END)")
+    q = f"regexp_extract({u}, '{_URL_QUERY_RE}', 1)"
+    keep = (f"list_sort(list_filter(string_split({q}, '&'), "
+            f"x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_PARAM_RE}')))")
+    # DuckDB's array_to_string([]) is NULL (Spark's array_join is ''):
+    qs = f"coalesce(array_to_string({keep}, '&'), '')"
+    return (f"(CASE WHEN {scheme} = '' THEN '' ELSE "
+            f"{scheme} || '://' || {host} || {path} || "
+            f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END) END)")
+
+
+# ---------------------------------------------------------------------------
 # Extended Gopher gates (Rae et al. 2021, Appendix A) + script mix
 # ---------------------------------------------------------------------------
 # The remaining document-shape gates beyond quality_score/repetition:

@@ -153,3 +153,51 @@ def test_gopher_gates_and_script_mix(spark):
     assert 0 < r.alpha_word_frac < 1    # CJK token has no [A-Za-z]
     z = got[2]
     assert (z.mean_word_len, z.frac_latin, z.stopword_count) == (0.0, 0.0, 0)
+
+
+def test_url_canonical_contract(spark):
+    """Each clause of the url_canonical_col contract (functions/text.py):
+    case, userinfo, default-port-per-scheme, fragment, tracking params,
+    param sort, trailing slash / empty path, and the no-scheme fallback."""
+    cases = [
+        ("HTTPS://WWW.Ex.COM/Path", "https://www.ex.com/Path"),   # case; path case kept
+        ("https://user:pw@ex.com/a", "https://ex.com/a"),         # userinfo stripped
+        ("http://ex.com:80/a", "http://ex.com/a"),                # http default port
+        ("https://ex.com:443/a", "https://ex.com/a"),             # https default port
+        ("http://ex.com:443/a", "http://ex.com:443/a"),           # NOT default for http
+        ("https://ex.com:8080/a", "https://ex.com:8080/a"),       # non-default kept
+        ("https://ex.com/a#frag", "https://ex.com/a"),            # fragment dropped
+        ("https://ex.com/a?utm_source=tw&b=2&a=1", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com/a?fbclid=xyz", "https://ex.com/a"),      # empty query -> no ?
+        ("https://ex.com/a?ref=home&gclid=1&z=9", "https://ex.com/a?z=9"),
+        ("https://ex.com", "https://ex.com/"),                    # empty path -> /
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com/a/b/", "https://ex.com/a/b"),            # trailing / stripped
+        ("https://ex.com/a?", "https://ex.com/a"),                # bare ? dropped
+        ("no scheme here", ""),                                   # fallback
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", tx.url_canonical_col(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_canonical_duckdb_parity(spark):
+    """Spark column and DuckDB SQL mirror agree on every contract case."""
+    import duckdb
+    urls = [
+        "HTTPS://User@WWW.Ex.COM:443/A/b/?utm_campaign=x&b=2&a=1#f",
+        "http://ex.com:8080?gclid=1", "https://ex.com/x?", "plain text",
+        "ftp://Ex.com:21/f/", "https://ex.com/a?a=1&a=0",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.c for r in df.select(
+        "url", tx.url_canonical_col(F.col("url")).alias("c")).collect()}
+    con = duckdb.connect()
+    for u in urls:
+        lit = "'" + u.replace("'", "''") + "'"
+        (want,) = con.sql(
+            f"SELECT {tx.url_canonical_sql(lit)}").fetchone()
+        assert got[u] == want, (u, got[u], want)
