@@ -715,6 +715,27 @@ def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(counted, seq_len=256, n_shards=8)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination report (GPT-3 App. C shape): the
+    "benchmark" is the 20-token prefix of every 31st document — derived
+    identically in Spark and in the DuckDB oracle — so every source doc
+    (and its near-duplicates) must be flagged via shared 5-grams while
+    unrelated word-salad docs stay clean.  Broadcast bench-gram probe;
+    see operators/curation.py:decontaminate_report for the 100 TB plan."""
+    d = _t(spark, sf_dir, "documents")
+    bench = (d.filter(F.col("doc_id") % 31 == 0)
+             .select(F.array_join(
+                 F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 20),
+                 " ").alias("text")))
+    return curation.decontaminate_report(d, bench, n=5)
+
+
+def _bench_prefix_sql() -> str:
+    return ("SELECT array_to_string("
+            "regexp_split_to_array(trim(text), '\\s+')[1:20], ' ') AS text "
+            "FROM documents WHERE doc_id % 31 = 0")
+
+
 def q_gopher_gates(spark, sf_dir):
     """The remaining Gopher document-shape gates (Rae et al. 2021 App. A)
     beyond quality/repetition: mean word length, symbol-to-word ratio,
@@ -1098,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_full": q_curate_full,
         "winnow_overlap": q_winnow_overlap,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "canonical_dedup": q_canonical_dedup,
@@ -1500,6 +1522,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {tx.url_canonical_sql('url')} AS canon_url, "
             f"count(*) AS n_variants, min(doc_id) AS keep_id "
             f"FROM ({_docs_urls_messy_sql()}) GROUP BY 1"),
+        "decontaminate": curation.decontaminate_report_sql(
+            "SELECT doc_id, text FROM documents", _bench_prefix_sql(), n=5),
         "pack_sequences": curation.pack_sequences_sql(
             "(SELECT doc_id, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), "

@@ -287,3 +287,114 @@ SELECT {id_col}, shard, n_tokens, tok_end - n_tokens AS tok_begin,
        (tok_end - 1) // {seq_len} AS seq_last
 FROM _pk_c
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap, GPT-3 style)
+# ---------------------------------------------------------------------------
+# Training corpora must not contain the eval benchmarks: GPT-3 (Brown et
+# al. 2020, Appendix C) flags a training document when it shares a word
+# 13-gram with any benchmark example; later pipelines (PaLM, Llama) use
+# the same shape.  The scale asymmetry is the whole design: benchmarks
+# are tiny (~1e6-1e7 distinct n-grams) while the corpus is ~100 TB, so
+# the benchmark n-gram set is BROADCAST and the corpus is scanned once
+# with a map-side hash probe — the only shuffle is the per-doc hit count
+# over the (rare) matches.  N-grams travel as xxhash64 of the gram text
+# (8 bytes each, both sides); a hash collision could over-count by one
+# (~2^-64 per gram pair — the DuckDB oracle joins on the gram STRING and
+# agrees at test scale).
+
+
+def _gram_hash_set(text: Column, n: int) -> Column:
+    """Distinct xxhash64 values of the lowercased word ``n``-grams of
+    ``text`` (empty array when the doc has fewer than ``n`` tokens)."""
+    t = F.trim(F.lower(text))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.when(cnt <= 0, F.array().cast("array<bigint>")) \
+        .otherwise(F.array_distinct(grams))
+
+
+def decontaminate_report(docs: DataFrame, bench: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         bench_text_col: str | None = None,
+                         n: int = 13, min_overlap: int = 1) -> DataFrame:
+    """Per-document overlap report: ``(id_col, n_hits, contaminated)``
+    for EVERY doc in ``docs``, where ``n_hits`` counts the distinct word
+    ``n``-grams of the doc that appear anywhere in ``bench`` and
+    ``contaminated`` is ``n_hits >= min_overlap``.
+
+    Plan shape at 100 TB: bench grams -> explode -> distinct ->
+    **broadcast**; docs scanned once, grams exploded and probed map-side
+    against the broadcast set (no shuffle of the corpus); only matching
+    (doc, gram) rows — a tiny fraction — shuffle for the per-doc count.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (bench
+                   .select(F.explode(_gram_hash_set(F.col(bcol), n))
+                           .alias("_dc_gram"))
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(_gram_hash_set(F.col(text_col), n)).alias("_dc_gram"))
+    hits = (doc_grams.join(F.broadcast(bench_grams), "_dc_gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") >= min_overlap))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  n: int = 13, min_overlap: int = 1) -> DataFrame:
+    """``docs`` with contaminated documents removed (same schema);
+    left-semi on the clean side of :func:`decontaminate_report`."""
+    rep = decontaminate_report(docs, bench, text_col, id_col,
+                               bench_text_col, n, min_overlap)
+    clean = rep.filter(~F.col("contaminated")).select(id_col)
+    return docs.join(clean, id_col, "left_semi")
+
+
+def _gram_set_sql(text_expr: str, n: int) -> str:
+    """DuckDB mirror of :func:`_gram_hash_set` minus the hashing — the
+    oracle joins on the gram STRING (collision-free by construction)."""
+    t = f"trim(lower({text_expr}))"
+    toks = (f"(case when length({t}) = 0 then []::varchar[] "
+            f"else regexp_split_to_array({t}, '\\s+') end)")
+    cnt = f"(len({toks}) - {n - 1})"
+    grams = (f"list_transform(range(1, greatest({cnt}, 1) + 1), "
+             f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))")
+    return (f"(case when {cnt} <= 0 then []::varchar[] "
+            f"else list_distinct({grams}) end)")
+
+
+def decontaminate_report_sql(docs_sql: str, bench_sql: str,
+                             text_expr: str = "text",
+                             id_col: str = "doc_id",
+                             bench_text_expr: str | None = None,
+                             n: int = 13, min_overlap: int = 1) -> str:
+    """DuckDB mirror of :func:`decontaminate_report` over two subqueries."""
+    bexpr = bench_text_expr or text_expr
+    return f"""
+WITH _dc_bg AS (
+    SELECT DISTINCT unnest({_gram_set_sql(bexpr, n)}) AS gram
+    FROM ({bench_sql})
+), _dc_dg AS (
+    SELECT {id_col}, unnest({_gram_set_sql(text_expr, n)}) AS gram
+    FROM ({docs_sql})
+), _dc_h AS (
+    SELECT {id_col}, count(*) AS n_hits
+    FROM _dc_dg JOIN _dc_bg USING (gram) GROUP BY 1
+)
+SELECT d.{id_col}, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= {min_overlap} AS contaminated
+FROM (SELECT {id_col} FROM ({docs_sql})) d
+LEFT JOIN _dc_h h USING ({id_col})
+"""

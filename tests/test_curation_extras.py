@@ -251,3 +251,48 @@ def test_pack_job_resume(spark, synth_paths, tmp_path):
     assert first["written_partitions"] == 4 and first["rows"] == 500
     assert again["written_partitions"] == 0
     assert again["skipped_partitions"] == 4
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_report_planted(spark):
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string")
+    docs = spark.createDataFrame([
+        (1, "prefix words THE QUICK BROWN fox ran away"),   # 1 shared 3-gram? see below
+        (2, "the quick brown fox jumps over it and the quick brown fox jumps again"),
+        (3, "completely different words in this sentence"),
+        (4, ""),
+        (5, "quick brown"),                                  # < n tokens
+    ], "doc_id bigint, text string")
+    rep = {r.doc_id: r for r in
+           C.decontaminate_report(docs, bench, n=3).collect()}
+    # doc 1: lowercased grams share "the quick brown" + "quick brown fox"
+    assert rep[1].n_hits == 2 and rep[1].contaminated
+    # doc 2: all 3 bench 3-grams appear (distinct count, repeats collapse)
+    assert rep[2].n_hits == 3 and rep[2].contaminated
+    assert rep[3].n_hits == 0 and not rep[3].contaminated
+    assert rep[4].n_hits == 0 and rep[5].n_hits == 0
+    assert len(rep) == 5                                    # every doc reported
+
+
+def test_decontaminate_removes_and_keeps_schema(spark):
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "x a b c y", "k"), (2, "clean text here", "m")],
+        "doc_id bigint, text string, extra string")
+    out = C.decontaminate(docs, bench, n=3)
+    assert out.columns == docs.columns
+    assert [tuple(r) for r in out.collect()] == [(2, "clean text here", "m")]
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "z a b c z"), (2, "a b c d zz")], "doc_id bigint, text string")
+    rep = {r.doc_id: r.contaminated for r in
+           C.decontaminate_report(docs, bench, n=3, min_overlap=2).collect()}
+    assert rep == {1: False, 2: True}    # 1 shared gram vs 2
