@@ -730,6 +730,20 @@ def q_decontaminate(spark, sf_dir):
     return curation.decontaminate_report(d, bench, n=5)
 
 
+def q_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering (CCNet/GPT-3 recipe): linear
+    classifier over hashing-trick bag-of-words features, inference as ONE
+    whole-stage-codegen JVM expression (weights ride the plan as an
+    array literal; md5-prefix bucket hash is bit-identical in DuckDB, so
+    the oracle replays the exact model — functions/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    w = tx.demo_classifier_weights(4096)
+    return d.select(
+        "doc_id",
+        tx.hashed_bow_score_col(F.col("text"), w, bias=0.25)
+        .alias("clf_score"))
+
+
 def _bench_prefix_sql() -> str:
     return ("SELECT array_to_string("
             "regexp_split_to_array(trim(text), '\\s+')[1:20], ' ') AS text "
@@ -1120,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "classifier_scores": q_classifier_scores,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "canonical_dedup": q_canonical_dedup,
@@ -1522,6 +1537,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {tx.url_canonical_sql('url')} AS canon_url, "
             f"count(*) AS n_variants, min(doc_id) AS keep_id "
             f"FROM ({_docs_urls_messy_sql()}) GROUP BY 1"),
+        "classifier_scores": (
+            f"WITH _clf_w AS (SELECT "
+            f"{tx.demo_classifier_weights_sql(4096)} AS w) "
+            f"SELECT doc_id, "
+            f"{tx.hashed_bow_score_sql('text', 'w', 4096, bias=0.25)} "
+            f"AS clf_score FROM documents, _clf_w"),
         "decontaminate": curation.decontaminate_report_sql(
             "SELECT doc_id, text FROM documents", _bench_prefix_sql(), n=5),
         "pack_sequences": curation.pack_sequences_sql(

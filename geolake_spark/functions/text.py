@@ -576,3 +576,69 @@ def script_fraction_sqls(text_expr: str) -> dict[str, str]:
         out[f"frac_{name}"] = (f"(case when {n} = 0 then 0.0 else "
                                f"round({cnt} / cast({n} as double), 6) end)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (hashing-trick linear classifier)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) and GPT-3 (Brown et al. 2020, App. A) gate
+# web documents with a linear classifier over hashed bag-of-words
+# features (the fastText recipe).  Inference is embarrassingly
+# data-parallel: score = sigmoid(bias + mean over tokens of
+# w[h(token) % D]).  Here the whole scorer is ONE whole-stage-codegen
+# JVM expression — the weight vector rides in the plan as a single
+# array<double> literal (shipped once per task, no shuffle, no Python,
+# no join) and the token->bucket hash is the md5-prefix trick that both
+# Spark (conv(substr(md5,..),16,10)) and DuckDB ('0x'||.. ::BIGINT)
+# compute bit-identically, so the oracle can replay the exact model.
+# The plan-literal approach is right for D <= ~2^16 (0.5 MB); a bigger
+# model should ship as a closure over a Pandas UDF instead (the
+# operators/ann.py assign-UDF pattern) — enforced by the assert.
+
+
+def hashed_bow_score_col(text: Column, weights: list[float],
+                         bias: float = 0.0) -> Column:
+    """Classifier probability in [0,1] for each doc (round 6).  Tokens
+    are the lowercased whitespace split; a doc with no tokens scores
+    ``sigmoid(bias)``."""
+    D = len(weights)
+    assert 4 <= D <= 65536, "plan-literal scorer wants 4 <= D <= 2^16"
+    w = F.lit([float(x) for x in weights])
+    t = F.trim(F.lower(text))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    s = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, tok: acc + F.element_at(
+            w, (F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+                       .cast("bigint"), F.lit(D)) + 1).cast("int")))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    z = F.lit(float(bias)) + s / n
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def hashed_bow_score_sql(text_expr: str, weights_expr: str,
+                         n_features: int, bias: float = 0.0) -> str:
+    """DuckDB mirror of :func:`hashed_bow_score_col`; ``weights_expr``
+    must evaluate to the same D-element DOUBLE list."""
+    t = f"trim(lower({text_expr}))"
+    toks = (f"(case when length({t}) = 0 then []::varchar[] "
+            f"else regexp_split_to_array({t}, '\\s+') end)")
+    wt = (f"{weights_expr}[((('0x' || substr(md5(tok),1,15))::BIGINT "
+          f"% {n_features}) + 1)::INT]")
+    s = f"coalesce(list_sum(list_transform({toks}, tok -> {wt})), 0.0)"
+    n = f"greatest(len({toks}), 1)"
+    return (f"round(1.0 / (1.0 + exp(-({bias!r} + {s} / {n}))), 6)")
+
+
+def demo_classifier_weights(n_features: int = 4096) -> list[float]:
+    """Deterministic stand-in model (Knuth-multiplier pseudo-weights in
+    [-1, 1]) so tests and the oracle replay the identical classifier;
+    the SQL twin is :func:`demo_classifier_weights_sql`."""
+    return [((i * 2654435761) % 2001) / 1000.0 - 1.0
+            for i in range(n_features)]
+
+
+def demo_classifier_weights_sql(n_features: int = 4096) -> str:
+    return (f"list_transform(range({n_features}), "
+            f"i -> ((i * 2654435761) % 2001) / 1000.0 - 1.0)")

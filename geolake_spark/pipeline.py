@@ -33,6 +33,7 @@ def curate_pages(df: DataFrame, text_col: str = "text",
                  paragraph_sep: str | None = None,
                  min_quality: float | None = None,
                  max_dup_trigram: float | None = None,
+                 classifier: tuple[list[float], float, float] | None = None,
                  near_threshold: float | None = 0.5,
                  bucket_cap: int | None = dedup.DEFAULT_BAND_BUCKET_CAP,
                  domain_cap: tuple[str, int] | None = None,
@@ -60,6 +61,11 @@ def curate_pages(df: DataFrame, text_col: str = "text",
        the cap; boilerplate/template pages die here BEFORE the MinHash
        tiers, shrinking exactly the near-identical clusters the band
        bucket_cap guards against (None skips).
+    2c. ``classifier`` — ``(weights, bias, min_score)``: model-based
+       quality gate (CCNet/GPT-3 recipe) via the hashing-trick linear
+       scorer (:func:`geolake_spark.functions.text.hashed_bow_score_col`,
+       one codegen expression, weights ride the plan); rows scoring
+       below ``min_score`` drop, survivors keep a ``clf_score`` column.
     3. exact dedup — keep the min-id representative per distinct
        ``text_col`` body (one fingerprint shuffle).
     4. ``near_threshold`` — MinHash-LSH near-dup removal: candidate pairs
@@ -107,6 +113,13 @@ def curate_pages(df: DataFrame, text_col: str = "text",
         out = out.filter(
             T.dup_ngram_frac_col(F.col(text_col), 3) <= max_dup_trigram)
         _n("rows_repetition", out)
+    if classifier is not None:
+        clf_w, clf_bias, min_score = classifier
+        out = (out.withColumn("clf_score",
+                              T.hashed_bow_score_col(F.col(text_col),
+                                                     clf_w, clf_bias))
+               .filter(F.col("clf_score") >= min_score))
+        _n("rows_classifier", out)
     # exact dedup: representatives only (left-semi against min-id per
     # fingerprint — the aggregate's keep_id set is small relative to df
     # only in the dup-heavy case, so join on the id, never collect)

@@ -40,6 +40,12 @@ def main() -> None:
                     help="keep at most N docs per COL value, e.g. host:1000")
     ap.add_argument("--sample-rate", type=float, default=None,
                     help="deterministic hash-sample rate on the id column")
+    ap.add_argument("--min-clf-score", type=float, default=None,
+                    help="model-based quality gate threshold (CCNet-style "
+                         "hashed-BoW linear classifier)")
+    ap.add_argument("--clf-model", default=None, metavar="JSON",
+                    help='path to {"weights": [...], "bias": b}; the '
+                         "deterministic demo model when omitted")
     ap.add_argument("--near-threshold", type=float, default=0.5)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--partition-col", default="lang")
@@ -62,6 +68,17 @@ def main() -> None:
     if args.domain_cap:
         col, n = args.domain_cap.rsplit(":", 1)
         dcap = (col, int(n))
+    clf = None
+    if args.min_clf_score is not None:
+        from geolake_spark.functions import text as tx
+        if args.clf_model:
+            with open(args.clf_model) as fh:
+                model = json.load(fh)
+            clf = (model["weights"], float(model.get("bias", 0.0)),
+                   args.min_clf_score)
+        else:
+            clf = (tx.demo_classifier_weights(4096), 0.0,
+                   args.min_clf_score)
     kept = curate_pages(
         pages, id_col=id_col,
         langs=args.langs.split(",") if args.langs else None,
@@ -69,6 +86,7 @@ def main() -> None:
         paragraph_sep="\n\n" if args.para_dedup else None,
         min_quality=args.min_quality,
         max_dup_trigram=args.max_dup_trigram,
+        classifier=clf,
         near_threshold=None if args.no_near_dedup else args.near_threshold,
         domain_cap=dcap,
         sample_rate=args.sample_rate,

@@ -115,3 +115,25 @@ def test_curate_sample_rates_stratified(spark):
                         sample_rates={"en": 0.0})
     langs = {r.lang for r in kept.select("lang").collect()}
     assert langs == {"de"}  # en sampled out entirely, de kept at 1.0
+
+
+def test_curate_classifier_gate(corpus, spark):
+    """The model-based gate drops exactly the rows the standalone scorer
+    drops, adds clf_score, and records its funnel stage."""
+    from geolake_spark.functions import text as tx
+    w = tx.demo_classifier_weights(256)
+    scored = {r.doc_id: r.s for r in corpus.select(
+        "doc_id", tx.hashed_bow_score_col(F.col("text"), w, 0.0).alias("s")
+    ).collect()}
+    thr = sorted(scored.values())[len(scored) // 2]   # median: a real split
+    funnel = {}
+    kept = curate_pages(corpus, classifier=(w, 0.0, thr),
+                        near_threshold=None, funnel=funnel)
+    got = {r.doc_id: r.clf_score for r in
+           kept.select("doc_id", "clf_score").collect()}
+    # doc 11 is the exact-dup of 10 (dropped later); everything else with
+    # score >= thr must survive with the same score the scorer computed
+    want = {i: s for i, s in scored.items() if s >= thr and i != 11}
+    assert got == want
+    assert funnel["rows_classifier"] == sum(
+        1 for s in scored.values() if s >= thr)

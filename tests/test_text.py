@@ -201,3 +201,44 @@ def test_url_canonical_duckdb_parity(spark):
         (want,) = con.sql(
             f"SELECT {tx.url_canonical_sql(lit)}").fetchone()
         assert got[u] == want, (u, got[u], want)
+
+
+def test_hashed_bow_score_matches_reference_impl(spark):
+    """Spark JVM scorer == a straight Python reimplementation (md5 bucket,
+    mean weight, sigmoid), incl. empty text -> sigmoid(bias)."""
+    import hashlib, math
+    D, bias = 64, 0.25
+    w = tx.demo_classifier_weights(D)
+
+    def ref(s: str) -> float:
+        toks = s.strip().lower().split()
+        z = bias + (sum(w[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % D]
+                        for t in toks) / max(len(toks), 1))
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    texts = ["The quick Brown fox", "", "  ", "one", "a a a b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {r.i: r.s for r in df.select(
+        "i", tx.hashed_bow_score_col(F.col("text"), w, bias).alias("s")
+    ).collect()}
+    for i, t in enumerate(texts):
+        assert abs(got[i] - ref(t)) < 1e-9, (t, got[i], ref(t))
+    assert got[1] == round(1 / (1 + math.exp(-0.25)), 6)  # empty -> sigmoid(bias)
+
+
+def test_hashed_bow_score_stays_jvm_side(spark):
+    """The scorer must not fall off the codegen path into Python."""
+    df = spark.createDataFrame([("x y z",)], "text string")
+    plan = df.select(
+        tx.hashed_bow_score_col(F.col("text"),
+                                tx.demo_classifier_weights(16))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_bow_score_feature_bounds(spark):
+    with pytest.raises(AssertionError):
+        tx.hashed_bow_score_col(F.lit("x"), [0.1, 0.2])       # D too small
+    with pytest.raises(AssertionError):
+        tx.hashed_bow_score_col(F.lit("x"), [0.0] * (1 << 17))  # too big
