@@ -26,7 +26,7 @@ from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
 from geolake_spark.operators import (aggregates, ann, curation, dedup, joins,
-                                     subset, tiles)
+                                     search, subset, tiles)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -730,6 +730,18 @@ def q_decontaminate(spark, sf_dir):
     return curation.decontaminate_report(d, bench, n=5)
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 relevance search over the documents corpus: corpus stats (N,
+    avgdl, per-term df) from ONE aggregate scan broadcast-cross-joined
+    into a codegen scoring scan — two corpus scans, no driver collect
+    (operators/search.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.bm25_scores(d, _BM25_TERMS)
+
+
 def q_classifier_scores(spark, sf_dir):
     """Model-based quality filtering (CCNet/GPT-3 recipe): linear
     classifier over hashing-trick bag-of-words features, inference as ONE
@@ -1135,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "classifier_scores": q_classifier_scores,
+        "bm25_search": q_bm25,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "canonical_dedup": q_canonical_dedup,
@@ -1537,6 +1550,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {tx.url_canonical_sql('url')} AS canon_url, "
             f"count(*) AS n_variants, min(doc_id) AS keep_id "
             f"FROM ({_docs_urls_messy_sql()}) GROUP BY 1"),
+        "bm25_search": search.bm25_scores_sql(
+            "SELECT doc_id, text FROM documents", _BM25_TERMS),
         "classifier_scores": (
             f"WITH _clf_w AS (SELECT "
             f"{tx.demo_classifier_weights_sql(4096)} AS w) "

@@ -1,0 +1,87 @@
+"""BM25 relevance search (operators/search.py) vs a straight Python
+reimplementation of the Robertson/Lucene formula."""
+
+import math
+
+import pytest
+
+from geolake_spark.operators import search
+
+
+def _bm25_ref(corpus: dict[int, str], terms: list[str],
+              k1: float = 1.2, b: float = 0.75) -> dict[int, float]:
+    terms = sorted(set(terms))
+    toks = {i: t.strip().lower().split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        if not any(t in v for t in terms):
+            continue
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        out[i] = round(s, 6)
+    return out
+
+
+CORPUS = {
+    1: "spark shuffles data across the cluster",
+    2: "spark spark spark tuning guide spark",
+    3: "duckdb runs on one node",
+    4: "the cluster scheduler assigns spark executors to the cluster",
+    5: "",
+}
+
+
+def test_bm25_matches_reference(spark):
+    df = spark.createDataFrame(list(CORPUS.items()),
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r.score for r in
+           search.bm25_scores(df, ["spark", "cluster"]).collect()}
+    want = _bm25_ref(CORPUS, ["spark", "cluster"])
+    assert set(got) == set(want)          # doc 3 and the empty doc absent
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6), i
+
+
+def test_bm25_ranking_sanity(spark):
+    """More occurrences of the query term outrank fewer (equal lengths);
+    the term-free doc never appears."""
+    rows = [(1, "apple pie apple tart apple"), (2, "apple pie lemon tart cake"),
+            (3, "lemon pie lemon tart cake")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.score for r in
+           search.bm25_scores(df, ["apple"]).collect()}
+    assert set(got) == {1, 2} and got[1] > got[2] > 0
+
+
+def test_bm25_duplicate_terms_collapse_and_empty_raises(spark):
+    df = spark.createDataFrame([(1, "x y")], "doc_id bigint, text string")
+    a = search.bm25_scores(df, ["x", "x", "y"]).collect()
+    c = search.bm25_scores(df, ["x", "y"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
+    with pytest.raises(AssertionError):
+        search.bm25_scores(df, [])
+
+
+def test_bm25_duckdb_parity_random_corpus(spark):
+    """Spark and the SQL mirror agree on a 200-doc corpus with ties,
+    repeats and misses."""
+    import duckdb
+    rows = [(i, " ".join(f"w{(i * 7 + j * 3) % 11}" for j in range(i % 9)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    terms = ["w0", "w3", "w10"]
+    got = sorted(tuple(r) for r in search.bm25_scores(df, terms).collect())
+    con = duckdb.connect()
+    con.register("docs_py", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    want = sorted(con.sql(search.bm25_scores_sql(
+        "SELECT doc_id, text FROM docs_py", terms)).fetchall())
+    assert len(got) == len(want)
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert gi == wi and gs == pytest.approx(ws, abs=2e-6)
