@@ -730,6 +730,57 @@ def q_decontaminate(spark, sf_dir):
     return curation.decontaminate_report(d, bench, n=5)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011): vectors encode
+    to m=16 one-byte codes (16x scan shrink at 100 TB), probes carry a
+    broadcast lookup table, scoring is a pure-JVM fold over the code
+    array.  Formula codebooks so the DuckDB oracle replays encode + ADC
+    bit-for-bit; TRAINED-codebook recall is pytest-asserted
+    (operators/ann.py, parity contract in the module comment)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = ann.demo_pq_codebooks(dim=64, m=16, ksub=64)
+    enc = ann.pq_encode(e, cb)
+    probes = (e.filter(F.col("vec_id") % 100 == 7)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    return ann.pq_topk_table(enc, probes, k=10, codebooks=cb)
+
+
+def _pq_sql(dim: int = 64, m: int = 16, ksub: int = 64, k: int = 10) -> str:
+    dsub = dim // m
+    # squared-L2 between subspace s of vector expr v and centroid j —
+    # inner sum is a sequential list_reduce (the parity contract)
+    def d2(v: str, j: str) -> str:
+        t = (f"(({v}[s*{dsub}+d+1] - cb[((s*{ksub}+({j}))*{dsub})+d+1]) * "
+             f"({v}[s*{dsub}+d+1] - cb[((s*{ksub}+({j}))*{dsub})+d+1]))")
+        return (f"list_reduce(list_transform(range({dsub}), d -> {t}), "
+                f"(a, b) -> a + b)")
+
+    dl = f"list_transform(range({ksub}), j -> {d2('embedding', 'j')})"
+    codes = (f"list_transform(range({m}), s -> "
+             f"(list_position({dl}, list_min({dl})) - 1))")
+    adc = (f"list_reduce(list_transform(range({m}), s -> "
+           f"{d2('p.probe_vec', 'c.codes[s+1]')}), (a, b) -> a + b)")
+    return f"""
+WITH _pq_cb AS (
+    SELECT {ann.demo_pq_codebooks_sql(dim, m, ksub)} AS cb
+), _pq_codes AS (
+    SELECT vec_id, {codes} AS codes FROM embeddings, _pq_cb
+), _pq_probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+    WHERE vec_id % 100 = 7
+), _pq_scored AS (
+    SELECT p.probe_id, c.vec_id, round({adc}, 6) AS adc_dist
+    FROM _pq_codes c, _pq_probes p, _pq_cb
+)
+SELECT probe_id, vec_id, adc_dist,
+       cast(row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc_dist ASC, vec_id ASC) as int) AS rank
+FROM _pq_scored
+QUALIFY rank <= {k}
+"""
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 
@@ -1148,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "classifier_scores": q_classifier_scores,
         "bm25_search": q_bm25,
+        "pq_topk": q_pq_topk,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "canonical_dedup": q_canonical_dedup,
@@ -1552,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_messy_sql()}) GROUP BY 1"),
         "bm25_search": search.bm25_scores_sql(
             "SELECT doc_id, text FROM documents", _BM25_TERMS),
+        "pq_topk": _pq_sql(),
         "classifier_scores": (
             f"WITH _clf_w AS (SELECT "
             f"{tx.demo_classifier_weights_sql(4096)} AS w) "

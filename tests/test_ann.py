@@ -141,3 +141,69 @@ def test_ivf_table_equals_driver_routing(vectors, probes):
     a = ann.ivf_topk(vectors, probes, k=3, nprobe=3, centers=centers)
     b = ann.ivf_topk_table(vectors, probes, k=3, nprobe=3, centers=centers)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _np_mat(vectors):
+    return np.stack([np.array(r["embedding"], dtype=np.float64) for r in
+                     vectors.orderBy("vec_id").collect()])
+
+
+def test_pq_encode_matches_numpy(vectors):
+    cb = ann.pq_train(vectors, m=8, ksub=16, dim=32)
+    assert cb.shape == (8, 16, 4)
+    enc = {r.vec_id: list(r.codes) for r in
+           ann.pq_encode(vectors, cb).collect()}
+    x = _np_mat(vectors)
+    for s in range(8):
+        xs = x[:, s * 4:(s + 1) * 4]
+        want = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1).argmin(1)
+        got = np.array([enc[i][s] for i in range(len(x))])
+        assert (got == want).all(), s
+    assert all(0 <= c < 16 for v in enc.values() for c in v)
+
+
+def test_pq_adc_matches_numpy_and_self_rank(vectors, probes):
+    cb = ann.pq_train(vectors, m=8, ksub=16, dim=32)
+    enc = ann.pq_encode(vectors, cb)
+    out = ann.pq_topk_table(enc, probes, k=5, codebooks=cb).collect()
+    x = _np_mat(vectors)
+    codes = np.array([[((x[i, s * 4:(s + 1) * 4][None, :] - cb[s]) ** 2)
+                       .sum(-1).argmin() for s in range(8)]
+                      for i in range(len(x))])
+    for r in out:
+        q = x[r.probe_id]
+        want = sum(((q[s * 4:(s + 1) * 4] - cb[s][codes[r.vec_id, s]]) ** 2)
+                   .sum() for s in range(8))
+        assert r.adc_dist == pytest.approx(want, abs=1e-5)
+    # the probe's own vector quantizes to itself -> rank 1 (300 gaussian
+    # points, 16^8 cells: a tie with a different vector is ~impossible)
+    r1 = {r.probe_id: r.vec_id for r in out if r.rank == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_pq_trained_recall_beats_formula(vectors, probes):
+    """Trained codebooks must reconstruct better than the formula ones —
+    recall@10 of ADC vs exact L2 over the 300-vector corpus."""
+    x = _np_mat(vectors)
+    qs = x[:4]
+    exact = np.argsort(((qs[:, None, :] - x[None, :, :]) ** 2).sum(-1),
+                       axis=1)[:, :10]
+
+    def recall(cb) -> float:
+        out = ann.pq_topk_table(ann.pq_encode(vectors, cb), probes, k=10,
+                                codebooks=cb).collect()
+        hit = 0
+        for p in range(4):
+            got = {r.vec_id for r in out if r.probe_id == p}
+            hit += len(got & set(exact[p]))
+        return hit / 40.0
+
+    r_trained = recall(ann.pq_train(vectors, m=8, ksub=16, dim=32))
+    r_formula = recall(ann.demo_pq_codebooks(dim=32, m=8, ksub=16))
+    assert r_trained >= 0.5
+    assert r_trained > r_formula
