@@ -781,6 +781,48 @@ QUALIFY rank <= {k}
 """
 
 
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage retrieval: PQ/ADC shortlist (40) over the compressed
+    code table, exact squared-L2 re-rank of the shortlist only (top 10)
+    — the production recipe that keeps exact math off the corpus scan
+    (operators/ann.py:pq_rerank_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = ann.demo_pq_codebooks(dim=64, m=16, ksub=64)
+    enc = ann.pq_encode(e, cb)
+    probes = (e.filter(F.col("vec_id") % 100 == 7)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    return ann.pq_rerank_topk(e, enc, probes, k=10, shortlist=40,
+                              codebooks=cb)
+
+
+def _pq_rerank_sql(k: int = 10, shortlist: int = 40) -> str:
+    # ::DOUBLE before subtracting — DuckDB keeps FLOAT-FLOAT in single
+    # precision, Spark casts the arrays to double first
+    exact = ("list_reduce(list_transform(range(64), i -> "
+             "(e.embedding[i+1]::DOUBLE - p.probe_vec[i+1]::DOUBLE) * "
+             "(e.embedding[i+1]::DOUBLE - p.probe_vec[i+1]::DOUBLE)), "
+             "(a, b) -> a + b)")
+    return f"""
+WITH _pr_cand AS (
+    SELECT probe_id, vec_id FROM ({_pq_sql(k=shortlist)})
+), _pr_probes AS (
+    SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+    WHERE vec_id % 100 = 7
+), _pr_scored AS (
+    SELECT c.probe_id, c.vec_id, round({exact}, 6) AS l2_dist
+    FROM _pr_cand c
+    JOIN embeddings e USING (vec_id)
+    JOIN _pr_probes p USING (probe_id)
+)
+SELECT probe_id, vec_id, l2_dist,
+       cast(row_number() OVER (PARTITION BY probe_id
+            ORDER BY l2_dist ASC, vec_id ASC) as int) AS rank
+FROM _pr_scored
+QUALIFY rank <= {k}
+"""
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 
@@ -1200,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "bm25_search": q_bm25,
         "pq_topk": q_pq_topk,
+        "pq_rerank": q_pq_rerank,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "canonical_dedup": q_canonical_dedup,
@@ -1605,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": search.bm25_scores_sql(
             "SELECT doc_id, text FROM documents", _BM25_TERMS),
         "pq_topk": _pq_sql(),
+        "pq_rerank": _pq_rerank_sql(),
         "classifier_scores": (
             f"WITH _clf_w AS (SELECT "
             f"{tx.demo_classifier_weights_sql(4096)} AS w) "

@@ -457,3 +457,36 @@ def pq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(probe_id, id_col, "adc_dist", "rank"))
+
+
+def pq_rerank_topk(vectors: DataFrame, encoded: DataFrame,
+                   probes: DataFrame, k: int, shortlist: int,
+                   codebooks: np.ndarray,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   probe_id: str = "probe_id",
+                   probe_vec: str = "probe_vec") -> DataFrame:
+    """Two-stage retrieval (the production PQ recipe): ADC over the
+    compressed code table picks a ``shortlist`` per probe, then ONLY the
+    shortlisted vectors are re-scored exactly (squared L2, a sequential
+    JVM ``zip_with`` fold) and the top ``k`` kept.  The expensive exact
+    math thus touches ``|probes| * shortlist`` rows instead of the
+    corpus; the shortlist frame is broadcast into the vector table join,
+    so the full-width embedding column is scanned once and filtered
+    map-side.  Returns ``(probe_id, vec_id, l2_dist, rank)``."""
+    cand = (pq_topk_table(encoded, probes, shortlist, codebooks,
+                          id_col=id_col, probe_id=probe_id,
+                          probe_vec=probe_vec)
+            .select(probe_id, id_col))
+    j = (vectors.join(F.broadcast(cand), id_col)
+         .join(F.broadcast(probes), probe_id))
+    dist = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"),
+                   F.col(probe_vec).cast("array<double>"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy(probe_id).orderBy(F.col("l2_dist").asc(),
+                                             F.col(id_col).asc())
+    return (j.withColumn("l2_dist", F.round(dist, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, id_col, "l2_dist", "rank"))

@@ -207,3 +207,40 @@ def test_pq_trained_recall_beats_formula(vectors, probes):
     r_formula = recall(ann.demo_pq_codebooks(dim=32, m=8, ksub=16))
     assert r_trained >= 0.5
     assert r_trained > r_formula
+
+
+def test_pq_rerank_full_shortlist_is_exact(vectors, probes):
+    """shortlist = corpus size makes the second stage exact brute force."""
+    cb = ann.pq_train(vectors, m=8, ksub=16, dim=32)
+    enc = ann.pq_encode(vectors, cb)
+    out = ann.pq_rerank_topk(vectors, enc, probes, k=5, shortlist=300,
+                             codebooks=cb).collect()
+    x = _np_mat(vectors)
+    for p in range(4):
+        want = np.argsort(((x[p][None, :] - x) ** 2).sum(-1),
+                          kind="stable")[:5]
+        got = [r.vec_id for r in sorted(
+            (r for r in out if r.probe_id == p), key=lambda r: r.rank)]
+        assert got == list(want), p
+
+
+def test_pq_rerank_recall_at_least_adc(vectors, probes):
+    """Re-ranking a 50-shortlist can only improve recall@10 over raw ADC
+    order (same candidates, exact scores)."""
+    cb = ann.pq_train(vectors, m=8, ksub=16, dim=32)
+    enc = ann.pq_encode(vectors, cb)
+    x = _np_mat(vectors)
+    exact = np.argsort(((x[:4][:, None, :] - x[None, :, :]) ** 2).sum(-1),
+                       axis=1)[:, :10]
+
+    def recall(rows) -> float:
+        hit = 0
+        for p in range(4):
+            got = {r.vec_id for r in rows if r.probe_id == p}
+            hit += len(got & set(exact[p]))
+        return hit / 40.0
+
+    r_adc = recall(ann.pq_topk_table(enc, probes, 10, cb).collect())
+    r_rr = recall(ann.pq_rerank_topk(vectors, enc, probes, 10, 50,
+                                     cb).collect())
+    assert r_rr >= r_adc and r_rr >= 0.7
