@@ -56,7 +56,7 @@ SOLO_BASELINE = {
     "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.62,
     "dedup_exact": 0.26, "minhash_sigs": 2.19, "dedup_e2e": 7.99,
     "minhash_sigs_uni": 2.76, "ivf_train": 6.6, "ivf_query": 2.44,
-    "para_dedup": 2.94,
+    "para_dedup": 2.94, "pq_adc": 5.52,
 }
 PLAUSIBLE_FACTOR = 1.5
 PLAUSIBLE_RETRIES = 2
@@ -305,6 +305,9 @@ def extra_queries(spark) -> tuple[dict, dict]:
       IVF top-10 query against the trained lists.  (Recall >= 0.9 vs brute
       force is asserted in tests/test_ann.py::test_ivf_sf1_scale — marked
       slow — not here; the bench measures wall time only.)
+    * pq_adc — the compression tier end-to-end: Arrow PQ-encode pass over
+      the same 500k x 64 table (m=16 -> 16x scan shrink) + 32-probe ADC
+      top-10 via the broadcast-LUT pure-JVM fold (round 5).
     """
     from geolake_spark.operators import ann, dedup
     from geolake_spark.sources import synth
@@ -436,6 +439,24 @@ def extra_queries(spark) -> tuple[dict, dict]:
 
     timings["ivf_query"] = round(m_ivf_query(), 3)
     remeasure["ivf_query"] = m_ivf_query
+
+    def m_pq_adc():
+        # end-to-end compression-tier cycle: Arrow encode pass over the
+        # 500k x 64 table (16x shrink) + ADC top-10 for 32 probes via the
+        # broadcast-LUT JVM fold.  Formula codebooks: encode+score cost is
+        # codebook-independent, and training wall time is ivf_train's job.
+        cb = ann.demo_pq_codebooks(dim=synth.EMB_DIM, m=16, ksub=64)
+        best = 1e18
+        for _ in range(2):
+            t0 = time.time()
+            enc = ann.pq_encode(emb, cb)
+            res = ann.pq_topk_table(enc, probes, k=10, codebooks=cb)
+            info["pq_adc_rows"] = res.count()
+            best = min(best, time.time() - t0)
+        return best
+
+    timings["pq_adc"] = round(m_pq_adc(), 3)
+    remeasure["pq_adc"] = m_pq_adc
     return timings, info, remeasure
 
 
