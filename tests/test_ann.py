@@ -244,3 +244,37 @@ def test_pq_rerank_recall_at_least_adc(vectors, probes):
     r_rr = recall(ann.pq_rerank_topk(vectors, enc, probes, 10, 50,
                                      cb).collect())
     assert r_rr >= r_adc and r_rr >= 0.7
+
+
+def test_pq_index_build_resume(spark, tmp_path):
+    """jobs/build_index.py logic: the encoded (id, codes) table commits
+    per shard; a resumed run with the SAVED codebooks skips every
+    committed shard and would reproduce identical codes (deterministic
+    encode)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geolake_spark.catalog import IcebergishTable
+    from geolake_spark.write import write_snapshot
+    rng = np.random.RandomState(3)
+    vecs = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [list(r) for r in rng.randn(200, 32)]}))
+    cb = ann.pq_train(vecs, m=8, ksub=16, dim=32)
+    enc = (ann.pq_encode(vecs, cb)
+           .withColumn("shard", F.pmod(F.xxhash64("vec_id"), F.lit(4))))
+    t = IcebergishTable(str(tmp_path / "pq"))
+    first = write_snapshot(enc, t, ["shard"], resume=True)
+    again = write_snapshot(enc, t, ["shard"], resume=True)
+    assert first["written_partitions"] == 4 and first["rows"] == 200
+    assert again["written_partitions"] == 0 and again["skipped_partitions"] == 4
+    # the committed index round-trips and ADC-queries exactly like the
+    # in-memory encode
+    back = t.read(spark)
+    probes = (vecs.filter(F.col("vec_id") < 2)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    a = sorted(tuple(r) for r in ann.pq_topk_table(
+        back.select("vec_id", "codes"), probes, 5, cb).collect())
+    b = sorted(tuple(r) for r in ann.pq_topk_table(
+        enc.select("vec_id", "codes"), probes, 5, cb).collect())
+    assert a == b
