@@ -26,7 +26,7 @@ from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
 from geolake_spark.operators import (aggregates, ann, curation, dedup, joins,
-                                     search, subset, tiles)
+                                     search, subset, tiles, trips)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -1108,6 +1108,16 @@ def q_regrid_values(spark, sf_dir):
                       F.round("value", 6).alias("mean_value"), "n_points")
 
 
+def q_trip_stats(spark, sf_dir):
+    """Gap-based trip segmentation + per-trip rollup (operators/trips.py):
+    one window shuffle, shuffle-free rollup, integer-microsecond gaps."""
+    ev = _events_geo(spark, sf_dir)
+    out = trips.trip_stats(ev, gap_minutes=480.0)
+    return out.select("user_id", "trip_seq", "n_points", "start_ts",
+                      "end_ts", "duration_us",
+                      F.round("path_km", 4).alias("path_km"))
+
+
 def q_json_props(spark, sf_dir):
     """JSON scalar functions (§2.8): extract props.k, aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -1266,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg": q_rolling_avg,
         "tile_distinct_users": q_tile_distinct_users,
         "regrid_values": q_regrid_values,
+        "trip_stats": q_trip_stats,
         "json_props": q_json_props,
         "cube_doc_stats": q_cube_doc_stats,
         "customers_without_orders": q_customers_without_orders,
@@ -1788,6 +1799,13 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             f"{cells.tile_y_sql('lat', 6)} AS tile_y, "
             f"round(avg(value), 6) AS mean_value, count(*) AS n_points "
             f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2, 3"),
+        "trip_stats": (
+            "SELECT user_id, trip_seq, n_points, start_ts, end_ts, "
+            "duration_us, round(path_km, 4) AS path_km FROM ("
+            + trips.trip_stats_sql(
+                "events", geo.geocode_lat_sql("event_id"),
+                geo.geocode_lon_sql("event_id"), gap_minutes=480.0)
+            + ") t"),
         "json_props": (
             "SELECT event_type, count(*) AS n, "
             "round(avg(cast(json_extract_string(props, '$.k') as bigint)), 6) AS avg_k, "

@@ -1,0 +1,141 @@
+"""Gap-based trip (session) segmentation over a point-event stream.
+
+The geospatial analogue of web-log sessionization: each entity's events,
+ordered by time, are cut into *trips* wherever the gap to the previous
+event exceeds ``gap_minutes``; trips are then rolled up into per-trip
+summaries (point count, time span, great-circle path length).
+
+Spark plan — ONE shuffle end to end:
+
+* :func:`segment_trips` runs a single window over
+  ``partitionBy(entity) orderBy(ts, id)`` computing the lag gap, the
+  new-trip flag, the running trip index, and the per-step haversine km.
+* :func:`trip_stats` groups on ``(entity, trip_seq)``.  The rows are
+  already hash-partitioned on ``entity`` — a subset of the grouping
+  keys — so Catalyst satisfies the aggregate's distribution without a
+  second exchange and the partial aggregation is map-side.  At 100 TB
+  the cost is one shuffle of the point table, same as any per-entity
+  window; skewed entities are bounded by per-entity event volume, not
+  corpus size.
+
+Determinism contract (shared with the DuckDB oracle): ordering is total
+via the ``(ts, id)`` tie-break, gaps compare in integer microseconds
+(``unix_micros`` / ``epoch_us``), and the step distance reuses the exact
+haversine formula from :mod:`geolake_spark.cells`.
+
+Reference analogue: none — geolake (reference ``datastore/``) has no
+event sessionization; this is part of the training-data/telemetry
+pipeline surface SURVEY §2.9/§6 mandates beyond the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import haversine_col
+
+
+def _micros(ts_col: str) -> Column:
+    """Integer epoch microseconds.  Parquet timestamps load as
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects; the session timezone
+    is pinned to UTC (session.py:32) so the cast is an exact epoch
+    mapping — identical to DuckDB ``epoch_us`` on naive timestamps."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def segment_trips(events: DataFrame, gap_minutes: float = 480.0,
+                  entity_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", lat_col: str = "lat",
+                  lon_col: str = "lon") -> DataFrame:
+    """Label each point with its ``trip_seq`` (1-based per entity) and
+    the great-circle ``step_km`` from the previous point of the SAME
+    trip (0.0 on trip starts).
+
+    All added columns come from one window; everything stays in
+    whole-stage codegen (no Python UDFs).
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    us = _micros(ts_col)
+    prev_us = F.lag(us).over(w)
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    new_trip = (prev_us.isNull()
+                | ((us - prev_us) > F.lit(gap_us))).cast("bigint")
+    out = events.withColumn("_new_trip", new_trip)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = F.when(
+        F.col("_new_trip") == 1, F.lit(0.0)
+    ).otherwise(haversine_col(
+        F.lag(F.col(lat_col)).over(w), F.lag(F.col(lon_col)).over(w),
+        F.col(lat_col), F.col(lon_col)))
+    return (out
+            .withColumn("trip_seq", F.sum("_new_trip").over(wrun))
+            .withColumn("step_km", step)
+            .drop("_new_trip"))
+
+
+def trip_stats(events: DataFrame, gap_minutes: float = 480.0,
+               entity_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", lat_col: str = "lat",
+               lon_col: str = "lon") -> DataFrame:
+    """Per-trip rollup: ``(entity, trip_seq, n_points, start_ts, end_ts,
+    duration_us, path_km)``.
+
+    ``duration_us`` stays integer microseconds (exact); ``path_km`` is
+    the sum of in-trip haversine steps.  Grouping keys extend the
+    window's partition key, so this adds NO shuffle beyond
+    :func:`segment_trips`'s one.
+    """
+    pts = segment_trips(events, gap_minutes, entity_col, ts_col,
+                        id_col, lat_col, lon_col)
+    us = _micros(ts_col)
+    return (pts.groupBy(entity_col, "trip_seq")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("end_ts"),
+                 (F.max(us) - F.min(us)).alias("duration_us"),
+                 F.sum("step_km").alias("path_km")))
+
+
+def trip_stats_sql(table: str, lat_sql: str, lon_sql: str,
+                   gap_minutes: float = 480.0,
+                   entity_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id") -> str:
+    """ANSI-SQL twin of :func:`trip_stats` (DuckDB oracle).
+
+    ``lat_sql``/``lon_sql`` are expressions over the base table's
+    columns (the oracles pass the deterministic geocode formulas).
+    """
+    from ..cells import haversine_sql
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    return f"""
+WITH pts AS (
+  SELECT {entity_col}, {id_col}, {ts_col},
+         epoch_us({ts_col}) AS us,
+         {lat_sql} AS lat, {lon_sql} AS lon
+  FROM {table}
+), lagd AS (
+  SELECT *, lag(us) OVER w AS pus,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pts
+  WINDOW w AS (PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col})
+), flags AS (
+  SELECT *, CASE WHEN pus IS NULL OR us - pus > {gap_us}
+                 THEN 1 ELSE 0 END AS nt
+  FROM lagd
+), seq AS (
+  SELECT *,
+         sum(nt) OVER (PARTITION BY {entity_col}
+                       ORDER BY {ts_col}, {id_col}
+                       ROWS UNBOUNDED PRECEDING) AS trip_seq,
+         CASE WHEN nt = 1 THEN 0.0
+              ELSE {haversine_sql('plat', 'plon', 'lat', 'lon')}
+         END AS step_km
+  FROM flags
+)
+SELECT {entity_col}, trip_seq, count(*) AS n_points,
+       min({ts_col}) AS start_ts, max({ts_col}) AS end_ts,
+       max(us) - min(us) AS duration_us, sum(step_km) AS path_km
+FROM seq
+GROUP BY {entity_col}, trip_seq
+"""

@@ -1,0 +1,84 @@
+"""Trip segmentation (operators/trips.py): planted-scenario semantics +
+the one-shuffle plan claim."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.cells import haversine_km
+from geolake_spark.operators import trips
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts",
+                                    "lat", "lon"]))
+
+
+T0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # user 1: three points 10 min apart (one trip), then a 2 h gap and
+    # two more points (second trip).  user 2: one lone point.
+    rows = [
+        (1, 10, _ts(0), 10.0, 20.0),
+        (1, 11, _ts(10), 10.0, 21.0),
+        (1, 12, _ts(20), 11.0, 21.0),
+        (1, 13, _ts(140), 40.0, -3.0),
+        (1, 14, _ts(150), 40.5, -3.0),
+        (2, 20, _ts(5), -30.0, 100.0),
+    ]
+    return _events(spark, rows)
+
+
+def test_segment_trips_boundaries(planted):
+    pts = trips.segment_trips(planted, gap_minutes=60.0).collect()
+    seq = {r.event_id: r.trip_seq for r in pts}
+    assert seq == {10: 1, 11: 1, 12: 1, 13: 2, 14: 2, 20: 1}
+    steps = {r.event_id: r.step_km for r in pts}
+    # trip starts restart the step distance at 0
+    assert steps[10] == 0.0 and steps[13] == 0.0 and steps[20] == 0.0
+    assert steps[11] == pytest.approx(
+        haversine_km(10.0, 20.0, 10.0, 21.0), rel=1e-12)
+
+
+def test_trip_stats_rollup(planted):
+    out = {(r.user_id, r.trip_seq): r
+           for r in trips.trip_stats(planted, gap_minutes=60.0).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    t11 = out[(1, 1)]
+    assert t11.n_points == 3
+    assert t11.duration_us == 20 * 60 * 1_000_000
+    expect = (haversine_km(10.0, 20.0, 10.0, 21.0)
+              + haversine_km(10.0, 21.0, 11.0, 21.0))
+    assert t11.path_km == pytest.approx(expect, rel=1e-12)
+    assert out[(1, 2)].n_points == 2
+    lone = out[(2, 1)]
+    assert lone.n_points == 1 and lone.duration_us == 0
+    assert lone.path_km == 0.0
+
+
+def test_exact_gap_is_same_trip(spark):
+    # the cut is strictly-greater-than: a gap of exactly gap_minutes
+    # stays in the same trip (integer-microsecond comparison)
+    rows = [(1, 1, _ts(0), 0.0, 0.0), (1, 2, _ts(60), 0.0, 1.0),
+            (1, 3, _ts(120.0001), 0.0, 2.0)]
+    out = trips.trip_stats(_events(spark, rows), gap_minutes=60.0).collect()
+    by_seq = {r.trip_seq: r.n_points for r in out}
+    assert by_seq == {1: 2, 2: 1}
+
+
+def test_trip_stats_single_shuffle(planted):
+    # grouping on (user_id, trip_seq) extends the window's hash
+    # partitioning on user_id — Catalyst must not add a second Exchange
+    plan = trips.trip_stats(planted)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
