@@ -1108,6 +1108,16 @@ def q_regrid_values(spark, sf_dir):
                       F.round("value", 6).alias("mean_value"), "n_points")
 
 
+def q_geohash_rollup(spark, sf_dir):
+    """Geohash cells (functions/geo.geohash_col — one codegen expression,
+    no UDF) as the third cell scheme next to the res-grid and S2: per-cell
+    doc counts at precision 4."""
+    d = _docs_geo(spark, sf_dir)
+    return (d.withColumn("gh4", geo.geohash_col(F.col("lat"), F.col("lon"), 4))
+            .groupBy("gh4").agg(F.count(F.lit(1)).alias("n_docs"),
+                                F.round(F.avg("lat"), 6).alias("avg_lat")))
+
+
 def q_trip_stats(spark, sf_dir):
     """Gap-based trip segmentation + per-trip rollup (operators/trips.py):
     one window shuffle, shuffle-free rollup, integer-microsecond gaps."""
@@ -1277,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_distinct_users": q_tile_distinct_users,
         "regrid_values": q_regrid_values,
         "trip_stats": q_trip_stats,
+        "geohash_rollup": q_geohash_rollup,
         "json_props": q_json_props,
         "cube_doc_stats": q_cube_doc_stats,
         "customers_without_orders": q_customers_without_orders,
@@ -1799,6 +1810,10 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             f"{cells.tile_y_sql('lat', 6)} AS tile_y, "
             f"round(avg(value), 6) AS mean_value, count(*) AS n_points "
             f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2, 3"),
+        "geohash_rollup": (
+            f"SELECT {cells.geohash_sql('lat', 'lon', 4)} AS gh4, "
+            f"count(*) AS n_docs, round(avg(lat), 6) AS avg_lat "
+            f"FROM ({_DOCS_GEO_SQL}) d GROUP BY 1"),
         "trip_stats": (
             "SELECT user_id, trip_seq, n_points, start_ts, end_ts, "
             "duration_us, round(path_km, 4) AS path_km FROM ("

@@ -330,6 +330,66 @@ def tile_y_sql(lat_expr: str, zoom: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Geohash — the base-32 interleaved-bit cell scheme (public algorithm:
+# Niemeyer 2008; en.wikipedia.org/wiki/Geohash).  Encoded as pure integer
+# math so the NumPy kernel, the Spark Column (functions/geo.geohash_col)
+# and the DuckDB SQL below are bit-identical: quantize lat/lon once to
+# their full bit widths, Morton-interleave (lon first), emit 5-bit chars.
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_widths(precision: int) -> tuple[int, int, int]:
+    """(total_bits, lon_bits, lat_bits) — lon gets the extra odd bit."""
+    n = 5 * precision
+    return n, (n + 1) // 2, n // 2
+
+
+def geohash(lat, lon, precision: int = 7) -> np.ndarray:
+    """Vectorized geohash strings.  Quantization is a single floor per
+    axis (equivalent to the classic per-bit bisection, without the loop);
+    the +90/+180 shift-scale-floor form matches tile_xy's convention."""
+    n, nlon, nlat = geohash_widths(precision)
+    lonq = np.minimum(np.floor((np.asarray(lon, dtype=np.float64) + 180.0)
+                               / 360.0 * float(1 << nlon)),
+                      (1 << nlon) - 1).astype(np.int64)
+    latq = np.minimum(np.floor((np.asarray(lat, dtype=np.float64) + 90.0)
+                               / 180.0 * float(1 << nlat)),
+                      (1 << nlat) - 1).astype(np.int64)
+    v = np.zeros_like(lonq)
+    for j in range(nlon):
+        v |= ((lonq >> (nlon - 1 - j)) & 1) << (n - 1 - 2 * j)
+    for j in range(nlat):
+        v |= ((latq >> (nlat - 1 - j)) & 1) << (n - 2 - 2 * j)
+    abc = np.array(list(GEOHASH32))
+    out = abc[(v >> (5 * (precision - 1))) & 31]
+    for c in range(1, precision):
+        out = np.char.add(out, abc[(v >> (5 * (precision - 1 - c))) & 31])
+    return out
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7) -> str:
+    """DuckDB twin of :func:`geohash` (same float op order, then exact
+    integer bit math via ``>>``/``&``/``<<``)."""
+    n, nlon, nlat = geohash_widths(precision)
+    lonq = (f"cast(least(floor((({lon_expr}) + 180.0) / 360.0 * "
+            f"{float(1 << nlon)}), {(1 << nlon) - 1}) as bigint)")
+    latq = (f"cast(least(floor((({lat_expr}) + 90.0) / 180.0 * "
+            f"{float(1 << nlat)}), {(1 << nlat) - 1}) as bigint)")
+    terms = [f"(((lq >> {nlon - 1 - j}) & 1) << {n - 1 - 2 * j})"
+             for j in range(nlon)]
+    terms += [f"(((tq >> {nlat - 1 - j}) & 1) << {n - 2 - 2 * j})"
+              for j in range(nlat)]
+    chars = [f"substr('{GEOHASH32}', "
+             f"cast(((v >> {5 * (precision - 1 - c)}) & 31) as int) + 1, 1)"
+             for c in range(precision)]
+    return (f"(SELECT {' || '.join(chars)} FROM (SELECT "
+            f"{' | '.join(terms)} AS v FROM (SELECT {lonq} AS lq, "
+            f"{latq} AS tq) qz) qv)")
+
+
+# ---------------------------------------------------------------------------
 # Ray-casting point-in-polygon (vectorized points x polygon)
 # ---------------------------------------------------------------------------
 

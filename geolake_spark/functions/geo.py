@@ -67,6 +67,37 @@ def haversine_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Col
     return F.lit(2.0 * cells.EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
+def geohash_col(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Geohash string as ONE whole-stage-codegen expression (no UDF):
+    quantize each axis to its full bit width, OR together the unrolled
+    Morton-interleave terms (<= 5*precision shifts, constant-folded
+    shift amounts), then emit the 5-bit base-32 chars.  Bit-identical
+    to cells.geohash / cells.geohash_sql."""
+    n, nlon, nlat = cells.geohash_widths(precision)
+    lonq = F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                           * F.lit(float(1 << nlon))),
+                   F.lit((1 << nlon) - 1)).cast("long")
+    latq = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                           * F.lit(float(1 << nlat))),
+                   F.lit((1 << nlat) - 1)).cast("long")
+    v = F.lit(0).cast("long")
+    for j in range(nlon):
+        v = v.bitwiseOR(F.shiftleft(
+            F.shiftright(lonq, nlon - 1 - j).bitwiseAND(F.lit(1)),
+            n - 1 - 2 * j))
+    for j in range(nlat):
+        v = v.bitwiseOR(F.shiftleft(
+            F.shiftright(latq, nlat - 1 - j).bitwiseAND(F.lit(1)),
+            n - 2 - 2 * j))
+    abc = F.lit(cells.GEOHASH32)
+    return F.concat(*[
+        F.substr(abc,
+                 (F.shiftright(v, 5 * (precision - 1 - c))
+                  .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+                 F.lit(1))
+        for c in range(precision)])
+
+
 def bbox_filter(lat: Column, lon: Column,
                 south: float, north: float, west: float, east: float) -> Column:
     """geolake ``geobbox`` predicate (datastore.py:429-431), antimeridian-aware."""
