@@ -26,7 +26,7 @@ from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
 from geolake_spark.operators import (aggregates, ann, curation, dedup, joins,
-                                     search, subset, tiles, trips)
+                                     search, sketches, subset, tiles, trips)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -1108,6 +1108,17 @@ def q_regrid_values(spark, sf_dir):
                       F.round("value", 6).alias("mean_value"), "n_points")
 
 
+def q_hll_users(spark, sf_dir):
+    """HyperLogLog distinct users per event type (operators/sketches.py)
+    next to the exact count — deterministic register math, so the DuckDB
+    oracle replays the sketch bit-identically."""
+    ev = _t(spark, sf_dir, "events")
+    approx = sketches.approx_distinct_hll(ev, "user_id", ["event_type"], p=9)
+    exact = (ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n_exact")))
+    return exact.join(approx, "event_type")
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Geohash cells (functions/geo.geohash_col — one codegen expression,
     no UDF) as the third cell scheme next to the res-grid and S2: per-cell
@@ -1288,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_values": q_regrid_values,
         "trip_stats": q_trip_stats,
         "geohash_rollup": q_geohash_rollup,
+        "hll_users": q_hll_users,
         "json_props": q_json_props,
         "cube_doc_stats": q_cube_doc_stats,
         "customers_without_orders": q_customers_without_orders,
@@ -1810,6 +1822,12 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             f"{cells.tile_y_sql('lat', 6)} AS tile_y, "
             f"round(avg(value), 6) AS mean_value, count(*) AS n_points "
             f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2, 3"),
+        "hll_users": (
+            "SELECT e.event_type, e.n_exact, a.approx_distinct FROM "
+            "(SELECT event_type, count(DISTINCT user_id) AS n_exact "
+            "FROM events GROUP BY 1) e JOIN ("
+            + sketches.hll_sql("events", "user_id", ["event_type"], p=9)
+            + ") a USING (event_type)"),
         "geohash_rollup": (
             f"SELECT {cells.geohash_sql('lat', 'lon', 4)} AS gh4, "
             f"count(*) AS n_docs, round(avg(lat), 6) AS avg_lat "

@@ -1,0 +1,151 @@
+"""Distributed cardinality sketches (HyperLogLog).
+
+At 100 TB, ``count_distinct`` is a full shuffle of every distinct key;
+the HLL sketch (Flajolet et al. 2007, the public algorithm) reduces each
+group to ``m = 2**p`` integer registers that combine with ``max`` — the
+partial aggregation is map-side, the shuffle carries at most ``m`` rows
+per group, and shards/days/snapshots merge without touching raw data.
+
+Spark already ships ``approx_count_distinct``; this operator exists for
+the pipeline capabilities that built-in can't give:
+
+* the REGISTER TABLE is first-class (:func:`hll_sketch`) — persist it
+  through the snapshot layer, merge across partitions/corpora later
+  (:func:`hll_merge`), finish with :func:`hll_estimate`;
+* the whole pipeline is deterministic, engine-independent integer/float
+  arithmetic, so the DuckDB oracle (:func:`hll_sql`) replays it
+  BIT-IDENTICALLY (value-hash parity) — impossible with the built-in's
+  opaque binary sketch.
+
+Hash: the repo's md5-prefix trick (functions/text.py hashed-BOW scorer)
+— ``conv(substr(md5(key),1,15),16,10)`` in Spark equals
+``('0x'||substr(md5(key),1,15))::BIGINT`` in DuckDB: a 60-bit value.
+Low ``p`` bits pick the register; the remaining ``W = 60 - p`` bits give
+``rho`` = leading-zero count + 1 via exact ``length(bin(w))`` (no
+float log2).  The register sum uses INTEGER ``2**(SCALE - rho)`` terms
+(SCALE = W + 1 <= 52 for p >= 9, within exact-double range) so the sum
+is order-free — float summation order can't break oracle parity.
+
+Estimator: alpha_m * m^2 / Z with the standard small-range linear
+counting fallback (V empty registers -> m * ln(m / V)).  The 32-bit
+large-range correction is irrelevant at 60 hash bits and is omitted.
+
+Reference analogue: none — geolake has no sketches; SURVEY §6 mandates
+scale-path aggregates beyond the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60
+
+
+def _hash60(key: Column) -> Column:
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+            .cast("bigint"))
+
+
+def _alpha(m: int) -> float:
+    assert m >= 128, "use p >= 7"
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, key_col: str,
+               group_cols: Sequence[str] = (), p: int = 9) -> DataFrame:
+    """Register table ``(*group_cols, bucket, max_rho)`` — the mergeable
+    partial sketch (<= 2**p rows per group).  Pure codegen expressions
+    + one map-side-combinable groupBy."""
+    assert 7 <= p <= 16
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    h = _hash60(F.col(key_col))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)) \
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+    return (df.withColumn("bucket", bucket).withColumn("rho", rho)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge(*sketches: DataFrame,
+              group_cols: Sequence[str] = ()) -> DataFrame:
+    """Union register tables (shards, days, corpora) into one sketch:
+    register-wise max.  ``merge(sketch(A), sketch(B)) ==
+    sketch(A union B)`` exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "bucket")
+            .agg(F.max("max_rho").alias("max_rho")))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: Sequence[str] = (),
+                 p: int = 9) -> DataFrame:
+    """Finish a register table into ``approx_distinct`` per group
+    (round 4).  The register sum is exact integer math; absent
+    registers contribute 2^0 = 1 each."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    assert scale <= 52, "p too small: integer register terms must be exact"
+    # column-valued shift amount: the Python shiftleft wrapper only
+    # accepts a literal int, the SQL function accepts expressions
+    zint = F.sum(F.expr(
+        f"shiftleft(cast(1 as bigint), cast({scale} - max_rho as int))"))
+    present = F.count(F.lit(1))
+    agg = (sketch.groupBy(*group_cols)
+           .agg(zint.alias("_zint"), present.alias("_present")))
+    z = (F.col("_zint").cast("double") / F.lit(float(1 << scale))
+         + (F.lit(m) - F.col("_present")).cast("double"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = (F.lit(m) - F.col("_present")).cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(raw)
+    return (agg.withColumn("approx_distinct", F.round(est, 4))
+            .drop("_zint", "_present"))
+
+
+def approx_distinct_hll(df: DataFrame, key_col: str,
+                        group_cols: Sequence[str] = (),
+                        p: int = 9) -> DataFrame:
+    """sketch + estimate in one call (the common query path)."""
+    return hll_estimate(hll_sketch(df, key_col, group_cols, p),
+                        group_cols, p)
+
+
+def hll_sql(table: str, key_expr: str, group_cols: Sequence[str] = (),
+            p: int = 9) -> str:
+    """DuckDB twin of :func:`approx_distinct_hll` — identical hash,
+    register, and estimator arithmetic."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    scale = w_bits + 1
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = ", ".join(group_cols) if group_cols else ""
+    h = (f"('0x' || substr(md5(cast({key_expr} as varchar)), 1, 15))"
+         f"::BIGINT")
+    z = f"(cast(zint as double) / {float(1 << scale)!r} + ({m} - present))"
+    raw = f"({_alpha(m) * m * m!r} / {z})"
+    v = f"cast({m} - present as double)"
+    est = (f"case when {raw} <= {2.5 * m!r} and {v} > 0 "
+           f"then {float(m)!r} * ln({float(m)!r} / {v}) else {raw} end")
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}{h} AS h FROM {table}
+), regs AS (
+  SELECT {gsel}h & {m - 1} AS bucket,
+         max(CASE WHEN h >> {p} = 0 THEN {w_bits + 1}
+                  ELSE {w_bits + 1} - length(bin(h >> {p})) END) AS max_rho
+  FROM hashed GROUP BY {gsel}bucket
+), agg AS (
+  SELECT {gsel}sum(cast(1 as bigint) << ({scale} - max_rho)) AS zint,
+         count(*) AS present
+  FROM regs{(' GROUP BY ' + gby) if gby else ''}
+)
+SELECT {gsel}round({est}, 4) AS approx_distinct FROM agg
+"""

@@ -1,0 +1,74 @@
+"""HyperLogLog sketch (operators/sketches.py): estimator accuracy,
+exact merge property, small-range linear-counting path, codegen-only
+register computation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.operators import sketches
+
+
+def _ids(spark, lo, hi, label="g"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("key"), F.lit(label).alias("grp"))
+
+
+def _est(df, p):
+    return df.collect()[0]["approx_distinct"]
+
+
+def test_accuracy_large(spark):
+    # 50k distinct at p=11 (m=2048): standard error 1.04/sqrt(m) = 2.3%;
+    # assert within 4 sigma
+    n = 50_000
+    est = _est(sketches.approx_distinct_hll(
+        _ids(spark, 0, n), "key", p=11), 11)
+    assert abs(est - n) / n < 0.092
+
+
+def test_small_range_linear_counting(spark):
+    # 40 distinct << m=512: the linear-counting branch is near-exact
+    est = _est(sketches.approx_distinct_hll(
+        _ids(spark, 0, 40), "key", p=9), 9)
+    assert abs(est - 40) < 2.0
+
+
+def test_merge_equals_union(spark):
+    a, b = _ids(spark, 0, 3000), _ids(spark, 2000, 6000)  # overlapping
+    direct = sketches.hll_estimate(
+        sketches.hll_sketch(a.unionByName(b), "key", ["grp"], p=9),
+        ["grp"], p=9).collect()
+    merged = sketches.hll_estimate(
+        sketches.hll_merge(sketches.hll_sketch(a, "key", ["grp"], p=9),
+                           sketches.hll_sketch(b, "key", ["grp"], p=9),
+                           group_cols=["grp"]),
+        ["grp"], p=9).collect()
+    assert [r.asDict() for r in direct] == [r.asDict() for r in merged]
+
+
+def test_duplicates_do_not_move_estimate(spark):
+    once = _ids(spark, 0, 5000)
+    thrice = once.unionByName(once).unionByName(once)
+    assert _est(sketches.approx_distinct_hll(once, "key", p=9), 9) == \
+        _est(sketches.approx_distinct_hll(thrice, "key", p=9), 9)
+
+
+def test_sketch_bounded_and_codegen(spark):
+    sk = sketches.hll_sketch(_ids(spark, 0, 100_000), "key", p=9)
+    assert sk.count() <= 512
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # mergeable partial aggregation on the map side
+    assert "partial_max" in plan.lower() or "HashAggregate" in plan
+
+
+def test_grouped(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "key": list(range(200)) + list(range(50)),
+        "grp": ["a"] * 200 + ["b"] * 50}))
+    out = {r.grp: r.approx_distinct
+           for r in sketches.approx_distinct_hll(
+               df, "key", ["grp"], p=9).collect()}
+    assert abs(out["a"] - 200) / 200 < 0.1
+    assert abs(out["b"] - 50) / 50 < 0.1
