@@ -671,6 +671,68 @@ def _docs_urls_messy_sql() -> str:
         "FROM documents")
 
 
+def _docs_html(spark, sf_dir):
+    """Deterministic HTML wrapping of the documents corpus — scripts with
+    '<'/'&&'/fake close tags, styles, comments hiding markup, entities,
+    multi-line layout — mirrored bit-for-bit by :func:`_docs_html_sql`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    nl = F.lit("\n")
+    title = F.concat(F.lit("Page "), i.cast("string"),
+                     F.when(i % 3 == 0, F.lit(" - news")).otherwise(F.lit("")))
+    script = F.when(i % 2 == 0, F.lit(
+        '<script type="text/javascript">if (a<b && c>d) { s="</div>"; }'
+        '</script>')).otherwise(F.lit(""))
+    style = F.when(i % 4 == 1,
+                   F.lit("<style>p > a {color:#333}</style>")) \
+        .otherwise(F.lit(""))
+    comment = F.when(i % 5 == 2,
+                     F.lit("<!-- hidden <p>not text</p>\n second line -->")) \
+        .otherwise(F.lit(""))
+    body = F.concat(F.lit('<h1 class="t">'), title, F.lit("</h1>"), nl,
+                    F.lit("<p>"), F.substring(F.col("text"), 1, 120),
+                    F.lit(" &amp; more&nbsp;&lt;end&gt;</p>"))
+    return d.select("doc_id", F.concat(
+        F.lit("<html><head><title>"), nl, F.lit("  "), title,
+        F.lit("</title>"), script, style, F.lit("</head>"), nl,
+        comment, F.lit("<body>"), body, F.lit("</body></html>")
+    ).alias("html"))
+
+
+_DOCS_HTML_SQL = (
+    "SELECT doc_id, "
+    "'<html><head><title>' || chr(10) || '  ' || "
+    "('Page ' || cast(doc_id as varchar) || "
+    " (CASE WHEN doc_id % 3 = 0 THEN ' - news' ELSE '' END)) || "
+    "'</title>' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<script type=\"text/javascript\">if (a<b && c>d) { s=\"</div>\"; }"
+    "</script>' ELSE '' END) || "
+    "(CASE WHEN doc_id % 4 = 1 THEN '<style>p > a {color:#333}</style>' "
+    " ELSE '' END) || '</head>' || chr(10) || "
+    "(CASE WHEN doc_id % 5 = 2 THEN "
+    "'<!-- hidden <p>not text</p>' || chr(10) || ' second line -->' "
+    " ELSE '' END) || "
+    "'<body>' || '<h1 class=\"t\">' || "
+    "('Page ' || cast(doc_id as varchar) || "
+    " (CASE WHEN doc_id % 3 = 0 THEN ' - news' ELSE '' END)) || "
+    "'</h1>' || chr(10) || '<p>' || substr(text, 1, 120) || "
+    "' &amp; more&nbsp;&lt;end&gt;</p>' || '</body></html>' AS html "
+    "FROM documents")
+
+
+def q_html_extract(spark, sf_dir):
+    """WET-style HTML -> text extraction (functions/text.py html_strip):
+    drop script/style/comments, strip tags, decode entities, collapse
+    whitespace — one codegen regexp_replace chain, plus the <title>."""
+    h = _docs_html(spark, sf_dir)
+    stripped = tx.html_strip_col(F.col("html"))
+    return h.select(
+        "doc_id", tx.html_title_col(F.col("html")).alias("title"),
+        stripped.alias("page_text"),
+        F.size(F.split(stripped, r"\s+")).cast("bigint").alias("n_tokens"))
+
+
 def q_url_canonical(spark, sf_dir):
     """crawl-URL canonicalization: case, default ports, tracking params,
     param order, trailing slash and fragments collapse to one key
@@ -1276,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank": q_pq_rerank,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
+        "html_extract": q_html_extract,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1672,6 +1735,12 @@ def oracle_sql() -> dict[str, str]:
             f"{tx.registered_domain_sql('url')} AS domain, "
             f"{tx.url_path_depth_sql('url')} AS path_depth "
             f"FROM ({_docs_urls_sql()})"),
+        "html_extract": (
+            f"SELECT doc_id, {tx.html_title_sql('html')} AS title, "
+            f"{tx.html_strip_sql('html')} AS page_text, "
+            f"len(regexp_split_to_array({tx.html_strip_sql('html')}, "
+            f"'\\s+'))::BIGINT AS n_tokens "
+            f"FROM ({_DOCS_HTML_SQL}) h"),
         "url_canonical": (
             f"SELECT doc_id, url, {tx.url_canonical_sql('url')} AS canon_url "
             f"FROM ({_docs_urls_messy_sql()})"),

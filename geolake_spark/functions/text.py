@@ -642,3 +642,66 @@ def demo_classifier_weights(n_features: int = 4096) -> list[float]:
 def demo_classifier_weights_sql(n_features: int = 4096) -> str:
     return (f"list_transform(range({n_features}), "
             f"i -> ((i * 2654435761) % 2001) / 1000.0 - 1.0)")
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction: the first step of every web-crawl pipeline
+# (WET-style text extraction).  Heuristic regex stripper on purpose —
+# a full HTML5 parser is a per-document library call (trafilatura /
+# lxml territory, the functions/media.py stub pattern); this tier
+# handles the standard crawl shape (drop script/style/comments, strip
+# tags, decode the common entities, collapse whitespace) as a chain of
+# JVM regexp_replace expressions in whole-stage codegen.  Patterns are
+# the Java-regex/RE2 common subset (non-greedy spans, (?is) flags, no
+# backrefs) so the SAME strings run in DuckDB — order is the contract:
+# scripts/styles/comments BEFORE generic tags (their bodies contain
+# '<'), entities AFTER tags (decoded '&lt;p&gt;' must NOT re-strip).
+# ---------------------------------------------------------------------------
+
+_HTML_DROP = [
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"(?is)</?[a-z][^>]*>",
+]
+# (entity, replacement) — &amp; LAST so '&amp;lt;' decodes to '&lt;'
+# literally, never double-decodes to '<'
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&quot;", "\""), ("&#39;", "'"),
+    ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"),
+]
+_WS_CLASS = r"[ \t\n\r\f]+"  # explicit: Java \s and RE2 \s differ on \x0B
+
+
+def html_strip_col(html: Column) -> Column:
+    """Visible text of an HTML document (codegen-only)."""
+    out = html
+    for pat in _HTML_DROP:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, _WS_CLASS, " "))
+
+
+def html_strip_sql(html_expr: str) -> str:
+    out = html_expr
+    # dotall comes from the INLINE (?s)/(?is) flags — DuckDB's 's'
+    # option means newline-SENSITIVE (the opposite), never pass it
+    for pat in _HTML_DROP:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({out}, '{_WS_CLASS}', ' ', 'g'))"
+
+
+def html_title_col(html: Column) -> Column:
+    """<title> contents ('' when absent), inner whitespace collapsed."""
+    raw = F.regexp_extract(html, r"(?is)<title\b[^>]*>(.*?)</title>", 1)
+    return F.trim(F.regexp_replace(raw, _WS_CLASS, " "))
+
+
+def html_title_sql(html_expr: str) -> str:
+    raw = (f"coalesce(regexp_extract({html_expr}, "
+           f"'(?is)<title\\b[^>]*>(.*?)</title>', 1), '')")
+    return f"trim(regexp_replace({raw}, '{_WS_CLASS}', ' ', 'g'))"
