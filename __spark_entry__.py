@@ -721,6 +721,17 @@ _DOCS_HTML_SQL = (
     "FROM documents")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/curation.py): fit target/raw
+    hashed-unigram models (target = src0 docs), score ln-likelihood
+    ratios via the plan-literal fold, Gumbel-top-k resample 100 docs.
+    The oracle refits and reselects the exact row set in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    lr = curation.dsir_fit(target, d, n_features=4096)
+    return curation.dsir_select(d, lr, k=100)
+
+
 def q_html_extract(spark, sf_dir):
     """WET-style HTML -> text extraction (functions/text.py html_strip):
     drop script/style/comments, strip tags, decode entities, collapse
@@ -1339,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
+        "dsir_select": q_dsir_select,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1735,6 +1747,9 @@ def oracle_sql() -> dict[str, str]:
             f"{tx.registered_domain_sql('url')} AS domain, "
             f"{tx.url_path_depth_sql('url')} AS path_depth "
             f"FROM ({_docs_urls_sql()})"),
+        "dsir_select": curation.dsir_sql(
+            "SELECT doc_id, text, source FROM documents",
+            "source = 'src0'", k=100, n_features=4096),
         "html_extract": (
             f"SELECT doc_id, {tx.html_title_sql('html')} AS title, "
             f"{tx.html_strip_sql('html')} AS page_text, "

@@ -596,6 +596,32 @@ def script_fraction_sqls(text_expr: str) -> dict[str, str]:
 # operators/ann.py assign-UDF pattern) — enforced by the assert.
 
 
+def bow_tokens_col(text: Column) -> Column:
+    """Lowercased whitespace-split tokens ([] for blank docs) — the
+    hashed-feature tokenizer shared by the BOW classifier and DSIR."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+
+
+def bow_tokens_sql(text_expr: str) -> str:
+    t = f"trim(lower({text_expr}))"
+    return (f"(case when length({t}) = 0 then []::varchar[] "
+            f"else regexp_split_to_array({t}, '\\s+') end)")
+
+
+def token_bucket_col(tok: Column, n_features: int) -> Column:
+    """0-based feature bucket via the md5-prefix 60-bit hash (identical
+    in DuckDB: :func:`token_bucket_sql`)."""
+    return F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
+                  .cast("bigint"), F.lit(n_features))
+
+
+def token_bucket_sql(tok_expr: str, n_features: int) -> str:
+    return (f"(('0x' || substr(md5({tok_expr}),1,15))::BIGINT "
+            f"% {n_features})")
+
+
 def hashed_bow_score_col(text: Column, weights: list[float],
                          bias: float = 0.0) -> Column:
     """Classifier probability in [0,1] for each doc (round 6).  Tokens
@@ -604,14 +630,11 @@ def hashed_bow_score_col(text: Column, weights: list[float],
     D = len(weights)
     assert 4 <= D <= 65536, "plan-literal scorer wants 4 <= D <= 2^16"
     w = F.lit([float(x) for x in weights])
-    t = F.trim(F.lower(text))
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-        .otherwise(F.split(t, r"\s+"))
+    toks = bow_tokens_col(text)
     s = F.aggregate(
         toks, F.lit(0.0),
         lambda acc, tok: acc + F.element_at(
-            w, (F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10)
-                       .cast("bigint"), F.lit(D)) + 1).cast("int")))
+            w, (token_bucket_col(tok, D) + 1).cast("int")))
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     z = F.lit(float(bias)) + s / n
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
@@ -621,11 +644,8 @@ def hashed_bow_score_sql(text_expr: str, weights_expr: str,
                          n_features: int, bias: float = 0.0) -> str:
     """DuckDB mirror of :func:`hashed_bow_score_col`; ``weights_expr``
     must evaluate to the same D-element DOUBLE list."""
-    t = f"trim(lower({text_expr}))"
-    toks = (f"(case when length({t}) = 0 then []::varchar[] "
-            f"else regexp_split_to_array({t}, '\\s+') end)")
-    wt = (f"{weights_expr}[((('0x' || substr(md5(tok),1,15))::BIGINT "
-          f"% {n_features}) + 1)::INT]")
+    toks = bow_tokens_sql(text_expr)
+    wt = f"{weights_expr}[({token_bucket_sql('tok', n_features)} + 1)::INT]"
     s = f"coalesce(list_sum(list_transform({toks}, tok -> {wt})), 0.0)"
     n = f"greatest(len({toks}), 1)"
     return (f"round(1.0 / (1.0 + exp(-({bias!r} + {s} / {n}))), 6)")

@@ -398,3 +398,132 @@ SELECT d.{id_col}, coalesce(h.n_hits, 0) AS n_hits,
 FROM (SELECT {id_col} FROM ({docs_sql})) d
 LEFT JOIN _dc_h h USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023, the public method): pick raw-corpus documents whose hashed
+# bag-of-words distribution looks like a small TARGET corpus.
+#
+#   weight(x) = sum over tokens of  ln p_target(b(tok)) - ln p_raw(b(tok))
+#
+# with +1-smoothed bucket unigram models, then Gumbel-top-k resampling
+# so the selection is a sample, not just the argmax head.
+#
+# Scale shape: fitting is two token-count aggregations (map-side
+# partial, <= n_features rows out each — the model volume is D, not
+# corpus size); scoring is the plan-literal codegen fold shared with
+# the hashed-BOW classifier; selection is a TakeOrdered top-k (no full
+# sort materialization).  Everything is deterministic: bucket hash =
+# md5-prefix trick, Gumbel noise from the Knuth sample hash, ln via
+# libm on identical doubles — so the DuckDB oracle (dsir_sql) refits
+# and reselects the EXACT row set.
+# ---------------------------------------------------------------------------
+
+
+def _token_buckets(df: DataFrame, text_col: str, n_features: int):
+    from ..functions import text as _tx
+    toks = _tx.bow_tokens_col(F.col(text_col))
+    return (df.select(F.explode(toks).alias("tok"))
+            .select(_tx.token_bucket_col(F.col("tok"), n_features)
+                    .alias("b")))
+
+
+def dsir_fit(target: DataFrame, raw: DataFrame, text_col: str = "text",
+             n_features: int = 4096) -> list[float]:
+    """Dense log-likelihood-ratio vector (length ``n_features``).
+
+    Two distributed count aggregations; the collect is D-sized model
+    state, not data.  ``math.log`` (libm) keeps the literals
+    bit-identical to DuckDB's ``ln`` on the same smoothed ratios."""
+    import math
+    D = n_features
+    assert 4 <= D <= 65536, "plan-literal weights want 4 <= D <= 2^16"
+
+    def counts(df):
+        rows = (_token_buckets(df, text_col, D)
+                .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())
+        dense = [0] * D
+        for r in rows:
+            dense[int(r["b"])] = int(r["c"])
+        return dense
+
+    tc, rc = counts(target), counts(raw)
+    T, R = sum(tc), sum(rc)
+    return [math.log((tc[b] + 1.0) / (T + D))
+            - math.log((rc[b] + 1.0) / (R + D)) for b in range(D)]
+
+
+def dsir_score_col(text: Column, log_ratio: list[float]) -> Column:
+    """Unnormalized importance weight ln(p_tgt(x)/p_raw(x)) — a codegen
+    fold over the token array, weights as one plan literal."""
+    from ..functions import text as _tx
+    D = len(log_ratio)
+    w = F.lit([float(x) for x in log_ratio])
+    toks = _tx.bow_tokens_col(text)
+    return F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, tok: acc + F.element_at(
+            w, (_tx.token_bucket_col(tok, D) + 1).cast("int")))
+
+
+def dsir_select(df: DataFrame, log_ratio: list[float], k: int,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Gumbel-top-k resample: key = score + Gumbel(0,1) from the
+    deterministic Knuth hash of ``id_col``; returns ``(id, dsir_score,
+    gumbel_key)`` for the k winners (global top-k, not a sort)."""
+    score = dsir_score_col(F.col(text_col), log_ratio)
+    u = ((sample_hash_col(F.col(id_col)).cast("double") + F.lit(0.5))
+         / F.lit(float(SAMPLE_MOD)))
+    key = score + (-F.log(-F.log(u)))
+    return (df.select(F.col(id_col), score.alias("_s"), key.alias("_k"))
+            .orderBy(F.col("_k").desc(), F.col(id_col)).limit(k)
+            .select(id_col, F.round("_s", 6).alias("dsir_score"),
+                    F.round("_k", 6).alias("gumbel_key")))
+
+
+def dsir_sql(docs_sql: str, target_pred: str, k: int,
+             text_col: str = "text", id_col: str = "doc_id",
+             n_features: int = 4096) -> str:
+    """DuckDB twin of fit + score + select in one query: refit the two
+    smoothed models, densify over range(D), rebuild the weight list,
+    refold per doc, re-draw the Gumbel keys, take the same top-k."""
+    from ..functions import text as _tx
+    D = n_features
+    toks = _tx.bow_tokens_sql(text_col)
+    bucket = _tx.token_bucket_sql("tok", D)
+    wt = f"w[({bucket} + 1)::INT]"
+    u = f"(({sample_hash_sql(id_col)}) + 0.5) / {float(SAMPLE_MOD)!r}"
+    return f"""
+WITH _ds_tt AS (
+    SELECT unnest({toks}) AS tok FROM ({docs_sql}) WHERE {target_pred}
+), _ds_rt AS (
+    SELECT unnest({toks}) AS tok FROM ({docs_sql})
+), _ds_tc AS (
+    SELECT {bucket} AS b, count(*) AS c FROM _ds_tt GROUP BY 1
+), _ds_rc AS (
+    SELECT {bucket} AS b, count(*) AS c FROM _ds_rt GROUP BY 1
+), _ds_tot AS (
+    SELECT (SELECT count(*) FROM _ds_tt) AS t_n,
+           (SELECT count(*) FROM _ds_rt) AS r_n
+), _ds_dense AS (
+    SELECT g.range AS b, coalesce(t.c, 0) AS tc, coalesce(r.c, 0) AS rc
+    FROM range({D}) g
+    LEFT JOIN _ds_tc t ON t.b = g.range
+    LEFT JOIN _ds_rc r ON r.b = g.range
+), _ds_w AS (
+    SELECT list(ln((tc + 1.0) / (t_n + {D})) -
+                ln((rc + 1.0) / (r_n + {D})) ORDER BY b) AS w
+    FROM _ds_dense, _ds_tot
+), _ds_scored AS (
+    SELECT {id_col},
+           coalesce(list_sum(list_transform({toks}, tok -> {wt})), 0.0)
+             AS s
+    FROM ({docs_sql}), _ds_w
+)
+SELECT {id_col}, round(s, 6) AS dsir_score,
+       round(s + (-ln(-ln({u}))), 6) AS gumbel_key
+FROM _ds_scored
+ORDER BY s + (-ln(-ln({u}))) DESC, {id_col} LIMIT {k}
+"""
