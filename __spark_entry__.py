@@ -1192,6 +1192,20 @@ def q_hll_users(spark, sf_dir):
     return exact.join(approx, "event_type")
 
 
+def q_cms_heavy_users(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketches.py): users with
+    estimated event count >= 80, exact count alongside (est >= exact
+    always — the CMS one-sided error, visible in the result)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.cms_sketch(ev, "user_id", depth=4, width=1024)
+    cand = ev.select("user_id").distinct()
+    est = sketches.cms_estimate(sk, cand, "user_id", depth=4, width=1024)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (est.join(exact, "user_id")
+            .filter(F.col("est_count") >= 80)
+            .select("user_id", "est_count", "n_exact"))
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Geohash cells (functions/geo.geohash_col — one codegen expression,
     no UDF) as the third cell scheme next to the res-grid and S2: per-cell
@@ -1375,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_stats": q_trip_stats,
         "geohash_rollup": q_geohash_rollup,
         "hll_users": q_hll_users,
+        "cms_heavy_users": q_cms_heavy_users,
         "json_props": q_json_props,
         "cube_doc_stats": q_cube_doc_stats,
         "customers_without_orders": q_customers_without_orders,
@@ -1906,6 +1921,9 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             f"{cells.tile_y_sql('lat', 6)} AS tile_y, "
             f"round(avg(value), 6) AS mean_value, count(*) AS n_points "
             f"FROM ({_EVENTS_GEO_SQL}) e GROUP BY 1, 2, 3"),
+        "cms_heavy_users": sketches.cms_heavy_hitters_sql(
+            "events", "user_id", threshold=80, depth=4, width=1024,
+            out_col="user_id"),
         "hll_users": (
             "SELECT e.event_type, e.n_exact, a.approx_distinct FROM "
             "(SELECT event_type, count(DISTINCT user_id) AS n_exact "

@@ -149,3 +149,100 @@ WITH hashed AS (
 )
 SELECT {gsel}round({est}, 4) AS approx_distinct FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, the public algorithm):
+# frequency estimation / heavy hitters in FIXED memory.  The sketch is a
+# (depth x width) counter table — rows here, not executor state — so it
+# persists through the snapshot layer and merges across shards/windows
+# by cell-wise SUM (cms_merge).  Estimates are biased high only
+# (min over depth); with the deterministic md5-row-seed hash the DuckDB
+# oracle rebuilds the identical table and estimates.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    # row-seeded hash: md5('<row>\x1f<key>'); \x1f cannot appear in the
+    # cast of a numeric key, so seeds can't collide across rows
+    return F.pmod(_hash60(F.concat(F.lit(f"{row}\x1f"),
+                                   key.cast("string"))), F.lit(width))
+
+
+def _cms_bucket_sql(key_expr: str, row: int, width: int) -> str:
+    h = (f"('0x' || substr(md5('{row}' || chr(31) || "
+         f"cast({key_expr} as varchar)), 1, 15))::BIGINT")
+    return f"({h} % {width})"
+
+
+def cms_sketch(df: DataFrame, key_col: str, depth: int = 4,
+               width: int = 1024) -> DataFrame:
+    """Counter table ``(r, c, cnt)`` (<= depth*width rows).  Each input
+    row increments one cell per sketch row; the groupBy partial-
+    aggregates map-side so the shuffle carries cells, not events."""
+    k = F.col(key_col)
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 _cms_bucket(k, r, width).alias("c"))
+        for r in range(depth)])
+    return (df.select(F.explode(cells).alias("cell"))
+            .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum: ``merge(cms(A), cms(B)) == cms(A ++ B)`` exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """``(key, est_count)`` for each candidate key: min over the depth
+    cells, absent cells count 0.  The sketch side is <= depth*width
+    rows — broadcast it; candidates stream map-side."""
+    from pyspark.sql.functions import broadcast
+    k = F.col(key_col)
+    probes = keys.select(key_col, F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"), _cms_bucket(k, r, width).alias("c"))
+        for r in range(depth)])).alias("cell")) \
+        .select(key_col, F.col("cell.r").alias("r"),
+                F.col("cell.c").alias("c"))
+    joined = probes.join(broadcast(sketch), ["r", "c"], "left")
+    return (joined.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))
+
+
+def cms_heavy_hitters_sql(table: str, key_expr: str, threshold: int,
+                          depth: int = 4, width: int = 1024,
+                          out_col: str = "key") -> str:
+    """DuckDB twin of sketch + estimate + threshold filter, with the
+    exact count alongside (the overestimate-only property is visible:
+    est_count >= n_exact always)."""
+    buckets_src = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql('k', r, width)} AS c, k "
+        f"FROM _cms_src" for r in range(depth))
+    return f"""
+WITH _cms_src AS (
+  SELECT {key_expr} AS k FROM {table}
+), _cms_cells AS (
+  SELECT r, c, count(*) AS cnt FROM ({buckets_src}) GROUP BY r, c
+), _cms_cand AS (
+  SELECT DISTINCT k FROM _cms_src
+), _cms_probe AS (
+  {" UNION ALL ".join(
+      f"SELECT k, {r} AS r, {_cms_bucket_sql('k', r, width)} AS c "
+      f"FROM _cms_cand" for r in range(depth))}
+), _cms_est AS (
+  SELECT p.k, min(coalesce(s.cnt, 0)) AS est_count
+  FROM _cms_probe p LEFT JOIN _cms_cells s USING (r, c) GROUP BY p.k
+), _cms_exact AS (
+  SELECT k, count(*) AS n_exact FROM _cms_src GROUP BY 1
+)
+SELECT e.k AS {out_col}, e.est_count, x.n_exact
+FROM _cms_est e JOIN _cms_exact x USING (k)
+WHERE e.est_count >= {threshold}
+"""

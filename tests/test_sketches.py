@@ -72,3 +72,47 @@ def test_grouped(spark):
                df, "key", ["grp"], p=9).collect()}
     assert abs(out["a"] - 200) / 200 < 0.1
     assert abs(out["b"] - 50) / 50 < 0.1
+
+
+# --- count-min sketch ---
+
+
+def test_cms_overestimates_only_and_tight_when_wide(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": sum(([i] * (10 + i) for i in range(30)), [])}))
+    sk = sketches.cms_sketch(df, "k", depth=4, width=2048)
+    est = {r.k: r.est_count for r in sketches.cms_estimate(
+        sk, df.select("k").distinct(), "k", depth=4, width=2048).collect()}
+    for i in range(30):
+        assert est[i] >= 10 + i           # never under
+        assert est[i] <= 10 + i + 5       # wide sketch, tiny corpus: tight
+    # 30 distinct keys in 2048 buckets: collisions are unlikely enough
+    assert sum(est[i] - (10 + i) for i in range(30)) <= 10
+
+
+def test_cms_merge_equals_union(spark):
+    a = spark.range(0, 4000).selectExpr("id % 37 as k")
+    b = spark.range(0, 6000).selectExpr("id % 53 as k")
+    direct = sketches.cms_sketch(a.unionByName(b), "k", 4, 256)
+    merged = sketches.cms_merge(sketches.cms_sketch(a, "k", 4, 256),
+                                sketches.cms_sketch(b, "k", 4, 256))
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_cms_bounded_size_and_unseen_key_zero(spark):
+    df = spark.range(0, 100_000).selectExpr("id % 1000 as k")
+    sk = sketches.cms_sketch(df, "k", depth=4, width=128)
+    assert sk.count() <= 4 * 128
+    unseen = spark.createDataFrame(pd.DataFrame({"k": [10**12 + 7]}))
+    est = sketches.cms_estimate(sk, unseen, "k", 4, 128).collect()[0]
+    # narrow sketch: the unseen key may collide, but never goes negative
+    assert est.est_count >= 0
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    df = spark.range(0, 1000).selectExpr("id % 50 as k")
+    sk = sketches.cms_sketch(df, "k", 4, 256)
+    plan = sketches.cms_estimate(sk, df.select("k").distinct(), "k", 4, 256) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
