@@ -56,3 +56,41 @@ def start_cell_count_stream(spark: SparkSession, drop_dir: str, out_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def sessionized_counts(events: DataFrame, gap: str = "8 hours",
+                       entity_col: str = "user_id", ts_col: str = "ts",
+                       watermark: str = "1 day") -> DataFrame:
+    """Event-time session windows — the streaming twin of the batch trip
+    segmentation (operators/trips.py): an entity's events merge into one
+    session while consecutive gaps stay under ``gap`` (native
+    ``session_window`` state merging, JVM-side); the watermark finalizes
+    a session once no on-time event can still extend it.  State is one
+    open session per active entity — bounded by current activity, not by
+    history length.  Boundary nuance vs the batch operator: the batch
+    cut is strictly-greater-than ``gap``, session_window merges strictly-
+    less-than — a gap EXACTLY equal to ``gap`` differs (measure-zero on
+    real timestamps; documented contract)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.col(entity_col),
+                     F.session_window(F.col(ts_col), gap).alias("s"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("end_ts"))
+            .select(entity_col, "start_ts", "end_ts", "n_points"))
+
+
+def start_session_stream(spark: SparkSession, drop_dir: str, out_dir: str,
+                         checkpoint_dir: str, schema: T.StructType,
+                         gap: str = "8 hours", watermark: str = "1 day"):
+    """append-mode sink: finalized (entity, session) rollups to parquet."""
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 4).parquet(drop_dir))
+    return (sessionized_counts(ev, gap=gap, watermark=watermark)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,67 @@
+"""Streaming sessionization (streaming/ingest.sessionized_counts):
+finalized stream output == batch session_window subset, and batch
+session_window == the trips operator's segmentation on the same gap."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.operators import trips
+from geolake_spark.streaming import ingest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # parquet loads TIMESTAMP_NTZ; session_window wants TIMESTAMP —
+    # session tz is UTC so the cast is exact
+    return (ev.select("event_id", "user_id",
+                      F.col("ts").cast("timestamp").alias("ts"))
+            .cache())
+
+
+def _batch_sessions(events, gap="8 hours"):
+    return (events.groupBy("user_id",
+                           F.session_window(F.col("ts"), gap).alias("s"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min("ts").alias("start_ts"),
+                 F.max("ts").alias("end_ts"))
+            .select("user_id", "start_ts", "end_ts", "n_points"))
+
+
+def test_stream_matches_batch_finalized(spark, events, tmp_path):
+    drop = str(tmp_path / "drop")
+    events.repartition(3).write.parquet(drop)
+    q = ingest.start_session_stream(
+        spark, drop, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        schema=events.schema, gap="8 hours", watermark="1 day")
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(days=1)
+    # append mode emits a session once gap past its end <= watermark
+    exp = _batch_sessions(events).filter(
+        F.col("end_ts") + F.expr("INTERVAL 8 HOURS") <= F.lit(wm))
+    cols = ["user_id", "start_ts", "end_ts", "n_points"]
+    assert got.count() == exp.count() > 0
+    assert got.join(exp, cols, "left_anti").count() == 0
+    assert exp.join(got, cols, "left_anti").count() == 0
+
+
+def test_batch_session_window_equals_trips_operator(spark, events):
+    """same gap, same data: the native session_window rollup and the
+    window-function trip segmentation agree session-for-session (no
+    exactly-gap-sized gaps in microsecond-noise data)."""
+    sess = _batch_sessions(events, "8 hours")
+    tr = (trips.trip_stats(
+        events.withColumn("lat", F.lit(0.0)).withColumn("lon", F.lit(0.0)),
+        gap_minutes=480.0, id_col="event_id")
+        .select("user_id", "start_ts", "end_ts", "n_points"))
+    cols = ["user_id", "start_ts", "end_ts", "n_points"]
+    assert sess.count() == tr.count() > 0
+    assert sess.join(tr, cols, "left_anti").count() == 0
