@@ -1211,9 +1211,14 @@ def q_geohash_rollup(spark, sf_dir):
     no UDF) as the third cell scheme next to the res-grid and S2: per-cell
     doc counts at precision 4."""
     d = _docs_geo(spark, sf_dir)
-    return (d.withColumn("gh4", geo.geohash_col(F.col("lat"), F.col("lon"), 4))
-            .groupBy("gh4").agg(F.count(F.lit(1)).alias("n_docs"),
-                                F.round(F.avg("lat"), 6).alias("avg_lat")))
+    # group on the 8-byte integer cell; stringify AFTER aggregation so
+    # only distinct cells pay the base-32 concat (2x at 256M rows)
+    return (d.withColumn("ghi", geo.geohash_int_col(F.col("lat"),
+                                                    F.col("lon"), 4))
+            .groupBy("ghi").agg(F.count(F.lit(1)).alias("n_docs"),
+                                F.round(F.avg("lat"), 6).alias("avg_lat"))
+            .select(geo.geohash_from_int_col(F.col("ghi"), 4).alias("gh4"),
+                    "n_docs", "avg_lat"))
 
 
 def q_trip_stats(spark, sf_dir):
