@@ -50,12 +50,17 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
 def write_snapshot(df: DataFrame, table: IcebergishTable,
                    partition_cols: list[str],
                    resume: bool = False,
-                   lat_col: str = "lat", lon_col: str = "lon") -> dict:
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   repartition: bool = True) -> dict:
     """Write df into the table, one snapshot. Returns a summary dict.
 
     The whole write is ONE distributed job (partitionBy write) plus ONE
     metrics aggregation — planned/committed partition reconciliation happens
     on partition *values* (metadata), never on data rows.
+
+    ``repartition=False`` preserves the incoming partitioning/ordering —
+    layout.zorder_write pre-arranges rows by (partition, z-value) and a
+    hash repartition here would scramble that clustering.
     """
     if not os.path.exists(os.path.join(table.meta_dir, "table-spec.json")):
         table.init(df.schema.json(), partition_cols)
@@ -88,7 +93,9 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
         return {"snapshot_id": table.current_snapshot_id(),
                 "written_partitions": 0, "skipped_partitions": len(skip_keys)}
 
-    (work.repartition(*[F.col(c) for c in partition_cols])
+    laid_out = (work.repartition(*[F.col(c) for c in partition_cols])
+                if repartition else work)
+    (laid_out
      .write.mode("overwrite")
      .partitionBy(*partition_cols)
      .option("partitionOverwriteMode", "dynamic")

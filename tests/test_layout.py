@@ -1,0 +1,101 @@
+"""Z-order layout (geolake_spark/layout.py): Morton correctness, the
+pruning-stats claim (per-file bboxes shrink), snapshot-write layout
+preservation + resume."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark import layout
+from geolake_spark.catalog import IcebergishTable
+
+
+def _morton_ref(xs, ys, bits):
+    out = []
+    for x, y in zip(xs, ys):
+        v = 0
+        for j in range(bits):
+            v |= ((x >> j) & 1) << (2 * j)
+            v |= ((y >> j) & 1) << (2 * j + 1)
+        out.append(v)
+    return out
+
+
+def test_morton_matches_reference(spark):
+    rng = np.random.RandomState(5)
+    xs = rng.randint(0, 1 << 10, 50)
+    ys = rng.randint(0, 1 << 10, 50)
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    got = [r[0] for r in df.select(layout.morton_col(
+        [F.col("x").cast("long"), F.col("y").cast("long")], 10)).collect()]
+    assert got == _morton_ref(xs.tolist(), ys.tolist(), 10)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.RandomState(9)
+    n = 200_000
+    return spark.createDataFrame(pd.DataFrame({
+        "pid": range(n),
+        "lat": rng.uniform(-90, 90, n),
+        "lon": rng.uniform(-180, 180, n)})).cache()
+
+
+def _mean_file_bbox_area(spark, path):
+    per_file = (spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(((F.max("lat") - F.min("lat"))
+                      * (F.max("lon") - F.min("lon"))).alias("area"))
+                .collect())
+    assert len(per_file) >= 4
+    return sum(r.area for r in per_file) / len(per_file)
+
+
+def test_zorder_shrinks_file_bboxes(spark, points, tmp_path):
+    rand_path = str(tmp_path / "rand")
+    z_path = str(tmp_path / "z")
+    points.repartition(32).write.parquet(rand_path)
+    layout.zorder_layout(points, ["lat", "lon"], 32).write.parquet(z_path)
+    a_rand = _mean_file_bbox_area(spark, rand_path)
+    a_z = _mean_file_bbox_area(spark, z_path)
+    # random layout: every file spans the globe regardless of file
+    # count; z-order: each file is a compact tile whose area shrinks
+    # ~1/n_files (a contiguous z-range covers O(1/n) of the curve,
+    # modulo the curve's quadrant jumps)
+    assert a_z < 0.1 * a_rand, (a_z, a_rand)
+
+
+def test_zorder_is_a_permutation(spark, points):
+    out = layout.zorder_layout(points, ["lat", "lon"], 8)
+    assert out.columns == points.columns
+    assert out.count() == points.count()
+    assert out.select("pid").exceptAll(points.select("pid")).count() == 0
+
+
+def test_zorder_write_preserves_layout_and_resumes(spark, points, tmp_path):
+    t = IcebergishTable(str(tmp_path / "tbl"))
+    pts = points.withColumn("shard", (F.col("pid") % 2).cast("bigint"))
+    info = layout.zorder_write(pts, t, ["shard"], ["lat", "lon"],
+                               total_files=16)
+    assert info["written_partitions"] == 2 and info["rows"] == pts.count()
+    # inside one table partition the committed files are still z-compact
+    part0 = glob.glob(os.path.join(t.data_dir, "shard=0"))
+    assert part0
+    a_z = _mean_file_bbox_area(spark, part0[0])
+    whole = (90.0 - -90.0) * (180.0 - -180.0)
+    assert a_z < 0.2 * whole
+    again = layout.zorder_write(pts, t, ["shard"], ["lat", "lon"],
+                                total_files=16, resume=True)
+    assert again["written_partitions"] == 0
+    assert again["skipped_partitions"] == 2
+
+
+def test_constant_column_safe(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [1.0] * 100, "b": np.linspace(0, 1, 100)}))
+    out = layout.zorder_layout(df, ["a", "b"], 2)
+    assert out.count() == 100
