@@ -80,6 +80,62 @@ class IcebergishTable:
         """Partition-value dicts present in the current snapshot."""
         return [m["partition"] for m in self.manifests(snap_id)]
 
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest -> newest (metadata only): follow
+        parent_id links from the current hint."""
+        out = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            s = self.snapshot(sid)
+            out.append({k: s[k] for k in
+                        ("snapshot_id", "parent_id", "timestamp_ms",
+                         "summary")})
+            sid = s["parent_id"]
+        return list(reversed(out))
+
+    def diff(self, from_snap: int | None,
+             to_snap: int | None = None) -> dict:
+        """Partition-level diff between two snapshots — METADATA ONLY
+        (manifest identity), no data scan.  ``from_snap=None`` diffs
+        against the empty table.  A partition counts as *rewritten*
+        when both snapshots carry it but under different manifests
+        (dynamic partition overwrite committed new files for it).
+
+        Note on time travel: partition overwrites REPLACE data files in
+        place (unlike Iceberg's immutable file sets), so old snapshots
+        retain lineage/metrics but not readable old data — diff and
+        history are the supported archaeology, read-at-snapshot is
+        deliberately not offered."""
+
+        def by_part(sid):
+            snap = self.snapshot(sid) if sid is not None else None
+            if snap is None:
+                return {}
+            out = {}
+            for name in snap["manifest_list"]:
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    man = json.load(f)
+                out[json.dumps(man["partition"], sort_keys=True)] = \
+                    (name, man)
+            return out
+
+        a = by_part(from_snap)
+        b = by_part(to_snap if to_snap is not None
+                    else self.current_snapshot_id())
+        added = sorted(k for k in b if k not in a)
+        removed = sorted(k for k in a if k not in b)
+        rewritten = sorted(k for k in a if k in b and a[k][0] != b[k][0])
+        unchanged = sorted(k for k in a if k in b and a[k][0] == b[k][0])
+        rows = (sum(m["row_count"] for _, m in b.values())
+                - sum(m["row_count"] for _, m in a.values()))
+        return {
+            "added": [b[k][1]["partition"] for k in added],
+            "removed": [a[k][1]["partition"] for k in removed],
+            "rewritten": [b[k][1]["partition"] for k in rewritten],
+            "unchanged": len(unchanged),
+            "row_delta": rows,
+        }
+
     # -- write path ----------------------------------------------------------
 
     def init(self, schema_json: str, partition_cols: list[str]) -> None:
