@@ -854,6 +854,80 @@ QUALIFY rank <= {k}
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (FAISS IndexIVFPQ shape, non-residual): coarse quantizer
+    routes each probe to nprobe=4 of nlist=16 inverted lists; ADC scores
+    only the routed lists' codes (operators/ann.py ivfpq_*).  Formula
+    centers + codebooks so the oracle replays assignment, routing, and
+    ADC bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    cc = ann.demo_ivf_centers(dim=64, nlist=16)
+    cb = ann.demo_pq_codebooks(dim=64, m=16, ksub=64)
+    enc = ann.ivfpq_encode(e, cc, cb)
+    probes = (e.filter(F.col("vec_id") % 100 == 7)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("probe_vec")))
+    return ann.ivfpq_topk_table(enc, probes, k=10, nprobe=4,
+                                centers=cc, codebooks=cb)
+
+
+def _ivfpq_sql(dim: int = 64, m: int = 16, ksub: int = 64,
+               nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    dsub = dim // m
+
+    # subspace-shaped squared L2 to coarse center l (the parity contract:
+    # nested sequential folds, matching the NumPy UDF's subspace loop)
+    def d2c(v: str, l: str) -> str:
+        t = (f"(({v}[s*{dsub}+d+1] - cc[({l})*{dim} + s*{dsub} + d + 1]) * "
+             f"({v}[s*{dsub}+d+1] - cc[({l})*{dim} + s*{dsub} + d + 1]))")
+        inner = (f"list_reduce(list_transform(range({dsub}), d -> {t}), "
+                 f"(a, b) -> a + b)")
+        return (f"list_reduce(list_transform(range({m}), s -> {inner}), "
+                f"(a, b) -> a + b)")
+
+    def d2(v: str, j: str) -> str:
+        t = (f"(({v}[s*{dsub}+d+1] - cb[((s*{ksub}+({j}))*{dsub})+d+1]) * "
+             f"({v}[s*{dsub}+d+1] - cb[((s*{ksub}+({j}))*{dsub})+d+1]))")
+        return (f"list_reduce(list_transform(range({dsub}), d -> {t}), "
+                f"(a, b) -> a + b)")
+
+    dl_assign = f"list_transform(range({nlist}), l -> {d2c('embedding', 'l')})"
+    dl = f"list_transform(range({ksub}), j -> {d2('embedding', 'j')})"
+    codes = (f"list_transform(range({m}), s -> "
+             f"(list_position({dl}, list_min({dl})) - 1))")
+    routed = (f"list_transform(list_slice(list_sort("
+              f"list_transform(range({nlist}), l -> "
+              f"{{'d': {d2c('probe_vec', 'l')}, 'l': l}})), 1, {nprobe}), "
+              f"s -> s.l)")
+    adc = (f"list_reduce(list_transform(range({m}), s -> "
+           f"{d2('p.probe_vec', 'c.codes[s+1]')}), (a, b) -> a + b)")
+    return f"""
+WITH _ipq_cb AS (
+    SELECT {ann.demo_pq_codebooks_sql(dim, m, ksub)} AS cb
+), _ipq_cc AS (
+    SELECT {ann.demo_ivf_centers_sql(dim, nlist)} AS cc
+), _ipq_codes AS (
+    SELECT vec_id,
+           (list_position({dl_assign}, list_min({dl_assign})) - 1)
+             AS list_id,
+           {codes} AS codes
+    FROM embeddings, _ipq_cb, _ipq_cc
+), _ipq_routed AS (
+    SELECT probe_id, probe_vec, unnest({routed}) AS list_id
+    FROM (SELECT vec_id AS probe_id, embedding AS probe_vec
+          FROM embeddings WHERE vec_id % 100 = 7), _ipq_cc
+), _ipq_scored AS (
+    SELECT p.probe_id, c.vec_id, round({adc}, 6) AS adc_dist
+    FROM _ipq_codes c JOIN _ipq_routed p USING (list_id), _ipq_cb
+)
+SELECT probe_id, vec_id, adc_dist,
+       cast(row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc_dist ASC, vec_id ASC) as int) AS rank
+FROM _ipq_scored
+QUALIFY rank <= {k}
+"""
+
+
 def q_pq_rerank(spark, sf_dir):
     """Two-stage retrieval: PQ/ADC shortlist (40) over the compressed
     code table, exact squared-L2 re-rank of the shortlist only (top 10)
@@ -1365,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores": q_classifier_scores,
         "bm25_search": q_bm25,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "pq_rerank": q_pq_rerank,
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
@@ -1786,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": search.bm25_scores_sql(
             "SELECT doc_id, text FROM documents", _BM25_TERMS),
         "pq_topk": _pq_sql(),
+        "ivfpq_topk": _ivfpq_sql(),
         "pq_rerank": _pq_rerank_sql(),
         "classifier_scores": (
             f"WITH _clf_w AS (SELECT "

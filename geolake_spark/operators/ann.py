@@ -490,3 +490,124 @@ def pq_rerank_topk(vectors: DataFrame, encoded: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(probe_id, id_col, "l2_dist", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the billion-scale combination (Jégou et al. 2011, FAISS
+# IndexIVFPQ shape, non-residual variant): coarse quantizer routes each
+# probe to nprobe inverted lists, ADC scores ONLY the PQ codes in those
+# lists.  Candidate volume drops from |corpus| to ~|corpus|*nprobe/nlist
+# per probe while the scan side stays 16x-compressed codes.
+#
+# PARITY CONTRACT (same as PQ above): every L2 reduction is sequential
+# and SUBSPACE-SHAPED — d2(x, c) = fold over m subspaces of (fold over
+# dsub dims) — in the NumPy UDFs (python loop over subspaces, dsub < 8
+# so the inner np sum is sequential), in the JVM fold, and in the DuckDB
+# nested list_reduce.  That makes assignment, routing, and ADC
+# bit-identical across all three engines, so the oracle can replay the
+# whole index.
+# ---------------------------------------------------------------------------
+
+
+def demo_ivf_centers(dim: int = 64, nlist: int = 16) -> np.ndarray:
+    """Deterministic formula coarse centers (Lehmer-multiplier values in
+    [-1, 1]); SQL twin :func:`demo_ivf_centers_sql`."""
+    flat = np.arange(nlist * dim, dtype=np.int64)
+    return (((flat * 48271) % 2001) / 1000.0 - 1.0).reshape(nlist, dim)
+
+
+def demo_ivf_centers_sql(dim: int = 64, nlist: int = 16) -> str:
+    return (f"list_transform(range({nlist * dim}), "
+            f"i -> ((i * 48271) % 2001) / 1000.0 - 1.0)")
+
+
+def _subspace_l2(x: np.ndarray, centers: np.ndarray, m: int,
+                 dsub: int) -> np.ndarray:
+    """(rows, n_centers) squared L2 accumulated SEQUENTIALLY over the m
+    subspaces (inner dsub sum is sequential for dsub < 8) — the parity
+    shape shared with the SQL nested list_reduce."""
+    acc = np.zeros((len(x), len(centers)), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cs = centers[:, s * dsub:(s + 1) * dsub]
+        acc = acc + ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(-1)
+    return acc
+
+
+def ivfpq_encode(vectors: DataFrame, centers: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """``(id, list_id, codes)`` — the persisted IVF-PQ index table:
+    coarse L2 assignment (first-minimum) + PQ codes in ONE Arrow pass.
+    At 100 TB this frame is written through the snapshot layer
+    partitioned by list_id, so a query touches only routed partitions."""
+    cc = centers.astype(np.float64)
+    cb = codebooks.astype(np.float64)
+    m, ksub, dsub = cb.shape
+    dim = cc.shape[1]
+    assert dim == m * dsub
+
+    @pandas_udf(T.StructType([
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType()))]))
+    def enc_udf(vec: pd.Series) -> pd.DataFrame:
+        x = sim.stack_vectors(vec, dtype=np.float64)
+        lists = _subspace_l2(x, cc, m, dsub).argmin(axis=1).astype(np.int32)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.DataFrame({"list_id": lists, "codes": list(codes)})
+
+    enc = vectors.select(F.col(id_col), enc_udf(F.col(vec_col)).alias("_e"))
+    return enc.select(id_col, F.col("_e.list_id").alias("list_id"),
+                      F.col("_e.codes").alias("codes"))
+
+
+def ivfpq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
+                     nprobe: int, centers: np.ndarray,
+                     codebooks: np.ndarray, id_col: str = "vec_id",
+                     probe_id: str = "probe_id",
+                     probe_vec: str = "probe_vec") -> DataFrame:
+    """ADC top-k restricted to each probe's ``nprobe`` routed lists:
+    probes (small) carry their flattened LUT and explode to list ids,
+    the broadcast join on ``list_id`` prunes the code scan map-side,
+    and scoring is the same pure-JVM fold as :func:`pq_topk_table`.
+    Exact at ``nprobe == nlist`` (== pq_topk_table output)."""
+    cc = centers.astype(np.float64)
+    cb = codebooks.astype(np.float64)
+    m, ksub, dsub = cb.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def route_udf(vec: pd.Series) -> pd.Series:
+        q = sim.stack_vectors(vec, dtype=np.float64)
+        d = _subspace_l2(q, cc, m, dsub)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut_udf(vec: pd.Series) -> pd.Series:
+        q = sim.stack_vectors(vec, dtype=np.float64)
+        out = []
+        for row in q:
+            sub = row.reshape(m, 1, dsub)
+            out.append(((sub - cb) ** 2).sum(-1).ravel())
+        return pd.Series(out)
+
+    pr = (probes.select(probe_id,
+                        lut_udf(F.col(probe_vec)).alias("_pq_lut"),
+                        F.explode(route_udf(F.col(probe_vec)))
+                        .alias("list_id")))
+    j = encoded.join(F.broadcast(pr), "list_id")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            "_pq_lut", (s * ksub + F.element_at("codes", (s + 1).cast("int"))
+                        + 1).cast("int")))
+    w = Window.partitionBy(probe_id).orderBy(F.col("adc_dist").asc(),
+                                             F.col(id_col).asc())
+    return (j.withColumn("adc_dist", F.round(dist, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, id_col, "adc_dist", "rank"))

