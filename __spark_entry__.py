@@ -721,6 +721,17 @@ _DOCS_HTML_SQL = (
     "FROM documents")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality signal: per-doc perplexity under a hashed
+    bigram LM fit on the corpus (operators/curation.py lm_*).  The
+    oracle refits both count tables and rescores bit-identically."""
+    d = _t(spark, sf_dir, "documents")
+    c1, c2 = curation.lm_fit(d)
+    return d.select("doc_id",
+                    curation.lm_perplexity_col(F.col("text"), c1, c2)
+                    .alias("perplexity"))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR data selection (operators/curation.py): fit target/raw
     hashed-unigram models (target = src0 docs), score ln-likelihood
@@ -1445,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
         "dsir_select": q_dsir_select,
+        "lm_perplexity": q_lm_perplexity,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1842,6 +1854,8 @@ def oracle_sql() -> dict[str, str]:
             f"{tx.registered_domain_sql('url')} AS domain, "
             f"{tx.url_path_depth_sql('url')} AS path_depth "
             f"FROM ({_docs_urls_sql()})"),
+        "lm_perplexity": curation.lm_sql(
+            "SELECT doc_id, text FROM documents"),
         "dsir_select": curation.dsir_sql(
             "SELECT doc_id, text, source FROM documents",
             "source = 'src0'", k=100, n_features=4096),

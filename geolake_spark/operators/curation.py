@@ -527,3 +527,120 @@ SELECT {id_col}, round(s, 6) AS dsir_score,
 FROM _ds_scored
 ORDER BY s + (-ln(-ln({u}))) DESC, {id_col} LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed bigram-LM perplexity (the CCNet quality signal, Wenzek et al.
+# 2020, with hashed counts instead of KenLM): score each document by
+# exp(-mean log p(tok | prev)) under add-one-smoothed bucket counts
+#
+#   p(tok | prev) = (c2[h2(prev, tok)] + 1) / (c1[h1(prev)] + D2)
+#
+# where c1 counts CONTEXT occurrences (tokens that have a successor) so
+# the hashed conditional normalizes.  Fitting is two map-side count
+# aggregations collecting only D1 + D2 model integers; scoring is a
+# codegen fold with both count tables riding the plan as literals (the
+# hashed-BOW/DSIR pattern).  Fluent, corpus-typical text scores LOW
+# perplexity; token salad scores high — the standard gate orders docs
+# the same way CCNet's LM buckets do.  Deterministic end to end, so the
+# DuckDB oracle refits and rescores bit-identically.
+# ---------------------------------------------------------------------------
+
+_LM_SEP = "\x1f"  # cannot appear in whitespace-split tokens
+
+
+def lm_fit(df: DataFrame, text_col: str = "text", d1: int = 4096,
+           d2: int = 16384) -> tuple[list[int], list[int]]:
+    """(context_counts[d1], bigram_counts[d2]) from the corpus."""
+    from ..functions import text as _tx
+    assert d1 <= 65536 and d2 <= 65536, "plan-literal tables want <= 2^16"
+    toks = _tx.bow_tokens_col(F.col(text_col))
+    n = F.size(toks)
+    contexts = F.when(n >= 2, F.slice(toks, 1, n - 1)) \
+        .otherwise(F.array().cast("array<string>"))
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+        lambda i: F.concat(F.element_at(toks, (i - 1).cast("int")),
+                           F.lit(_LM_SEP),
+                           F.element_at(toks, i.cast("int"))))) \
+        .otherwise(F.array().cast("array<string>"))
+
+    def counts(col, d):
+        rows = (df.select(F.explode(col).alias("g"))
+                .select(_tx.token_bucket_col(F.col("g"), d).alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect())
+        dense = [0] * d
+        for r in rows:
+            dense[int(r["b"])] = int(r["c"])
+        return dense
+
+    return counts(contexts, d1), counts(bigrams, d2)
+
+
+def lm_perplexity_col(text: Column, c1: list[int],
+                      c2: list[int]) -> Column:
+    """Per-doc perplexity (round 6); docs with < 2 tokens score exp(0)
+    = 1.0 (no bigram evidence — documented contract)."""
+    from ..functions import text as _tx
+    d1, d2 = len(c1), len(c2)
+    w1 = F.lit([float(x) for x in c1])
+    w2 = F.lit([float(x) for x in c2])
+    toks = _tx.bow_tokens_col(text)
+    n = F.size(toks)
+
+    def logp(i):
+        prev = F.element_at(toks, (i - 1).cast("int"))
+        tok = F.element_at(toks, i.cast("int"))
+        big = F.concat(prev, F.lit(_LM_SEP), tok)
+        num = F.element_at(
+            w2, (_tx.token_bucket_col(big, d2) + 1).cast("int")) + F.lit(1.0)
+        den = F.element_at(
+            w1, (_tx.token_bucket_col(prev, d1) + 1).cast("int")) \
+            + F.lit(float(d2))
+        return F.log(num / den)
+
+    lp = F.when(n >= 2, F.aggregate(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))), F.lit(0.0),
+        lambda acc, i: acc + logp(i))).otherwise(F.lit(0.0))
+    pairs = F.greatest(n - 1, F.lit(1)).cast("double")
+    return F.round(F.exp(-lp / pairs), 6)
+
+
+def lm_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id",
+           d1: int = 4096, d2: int = 16384) -> str:
+    """DuckDB twin: refit both hashed count tables and rescore."""
+    from ..functions import text as _tx
+    toks = _tx.bow_tokens_sql(text_col)
+    b1 = _tx.token_bucket_sql("g", d1)
+    b2 = _tx.token_bucket_sql("g", d2)
+    big_list = (f"list_transform(range(len({toks}) - 1), "
+                f"i -> {toks}[i+1] || chr(31) || {toks}[i+2])")
+    ctx_list = f"list_slice({toks}, 1, len({toks}) - 1)"
+    prev_b = _tx.token_bucket_sql(f"{toks}[i+1]", d1)
+    pair_b = _tx.token_bucket_sql(f"{toks}[i+1] || chr(31) || {toks}[i+2]",
+                                  d2)
+    lp = (f"coalesce(list_sum(list_transform(range(len({toks}) - 1), "
+          f"i -> ln((w2[({pair_b})+1] + 1.0) / "
+          f"(w1[({prev_b})+1] + {float(d2)!r})))), 0.0)")
+    return f"""
+WITH _lm_ctx AS (
+    SELECT unnest({ctx_list}) AS g FROM ({docs_sql})
+), _lm_big AS (
+    SELECT unnest({big_list}) AS g FROM ({docs_sql})
+), _lm_c1 AS (
+    SELECT {b1} AS b, count(*) AS c FROM _lm_ctx GROUP BY 1
+), _lm_c2 AS (
+    SELECT {b2} AS b, count(*) AS c FROM _lm_big GROUP BY 1
+), _lm_w AS (
+    SELECT (SELECT list(coalesce(c, 0)::DOUBLE ORDER BY g.range)
+            FROM range({d1}) g LEFT JOIN _lm_c1 ON _lm_c1.b = g.range)
+             AS w1,
+           (SELECT list(coalesce(c, 0)::DOUBLE ORDER BY g.range)
+            FROM range({d2}) g LEFT JOIN _lm_c2 ON _lm_c2.b = g.range)
+             AS w2
+)
+SELECT {id_col},
+       round(exp(-({lp}) / greatest(len({toks}) - 1, 1)), 6)
+         AS perplexity
+FROM ({docs_sql}), _lm_w
+"""
