@@ -34,6 +34,7 @@ def curate_pages(df: DataFrame, text_col: str = "text",
                  min_quality: float | None = None,
                  max_dup_trigram: float | None = None,
                  classifier: tuple[list[float], float, float] | None = None,
+                 lm_gate: tuple[list[int], list[int], float] | None = None,
                  near_threshold: float | None = 0.5,
                  bucket_cap: int | None = dedup.DEFAULT_BAND_BUCKET_CAP,
                  domain_cap: tuple[str, int] | None = None,
@@ -66,6 +67,10 @@ def curate_pages(df: DataFrame, text_col: str = "text",
        scorer (:func:`geolake_spark.functions.text.hashed_bow_score_col`,
        one codegen expression, weights ride the plan); rows scoring
        below ``min_score`` drop, survivors keep a ``clf_score`` column.
+    2d. ``lm_gate`` — ``(c1, c2, max_ppl)``: CCNet-style perplexity gate
+       under the hashed bigram LM
+       (:func:`geolake_spark.operators.curation.lm_perplexity_col`);
+       rows above ``max_ppl`` drop, survivors keep ``perplexity``.
     3. exact dedup — keep the min-id representative per distinct
        ``text_col`` body (one fingerprint shuffle).
     4. ``near_threshold`` — MinHash-LSH near-dup removal: candidate pairs
@@ -120,6 +125,16 @@ def curate_pages(df: DataFrame, text_col: str = "text",
                                                      clf_w, clf_bias))
                .filter(F.col("clf_score") >= min_score))
         _n("rows_classifier", out)
+    if lm_gate is not None:
+        # CCNet perplexity gate: (c1, c2, max_ppl) from curation.lm_fit —
+        # drop docs the corpus LM finds unlikely (token salad, wrong
+        # language slipping past the allowlist)
+        c1, c2, max_ppl = lm_gate
+        out = (out.withColumn("perplexity",
+                              curation.lm_perplexity_col(F.col(text_col),
+                                                         c1, c2))
+               .filter(F.col("perplexity") <= max_ppl))
+        _n("rows_lm", out)
     # exact dedup: representatives only (left-semi against min-id per
     # fingerprint — the aggregate's keep_id set is small relative to df
     # only in the dup-heavy case, so join on the id, never collect)

@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--clf-model", default=None, metavar="JSON",
                     help='path to {"weights": [...], "bias": b}; the '
                          "deterministic demo model when omitted")
+    ap.add_argument("--max-perplexity", type=float, default=None,
+                    help="CCNet-style gate: drop docs whose hashed "
+                         "bigram-LM perplexity (model fit on the input "
+                         "corpus itself) exceeds this")
     ap.add_argument("--near-threshold", type=float, default=0.5)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--partition-col", default="lang")
@@ -79,6 +83,11 @@ def main() -> None:
         else:
             clf = (tx.demo_classifier_weights(4096), 0.0,
                    args.min_clf_score)
+    lm_gate = None
+    if args.max_perplexity is not None:
+        from geolake_spark.operators import curation
+        c1, c2 = curation.lm_fit(pages)
+        lm_gate = (c1, c2, args.max_perplexity)
     kept = curate_pages(
         pages, id_col=id_col,
         langs=args.langs.split(",") if args.langs else None,
@@ -87,6 +96,7 @@ def main() -> None:
         min_quality=args.min_quality,
         max_dup_trigram=args.max_dup_trigram,
         classifier=clf,
+        lm_gate=lm_gate,
         near_threshold=None if args.no_near_dedup else args.near_threshold,
         domain_cap=dcap,
         sample_rate=args.sample_rate,

@@ -54,3 +54,21 @@ def test_scoring_is_codegen(spark, model):
     plan = df.select(curation.lm_perplexity_col(F.col("text"), c1, c2)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_lm_gate(spark, model):
+    """curate_pages lm_gate drops the out-of-distribution doc and keeps
+    fluent ones; funnel records the stage."""
+    from geolake_spark.pipeline import curate_pages
+    from geolake_spark.operators import dedup
+    df, c1, c2 = model
+    salad = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9001], "text": ["zq1 zq7 zq3 zq8 zq2 zq5 zq4 zq6 zq0"]}))
+    corpus = df.limit(20).unionByName(salad)
+    funnel = {}
+    kept = curate_pages(corpus, lang_col="doc_id", lm_gate=(c1, c2, 100.0),
+                        near_threshold=None, funnel=funnel)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    dedup.release_caches()
+    assert 9001 not in ids and len(ids) > 0
+    assert funnel["rows_lm"] == funnel["rows_in"] - 1
