@@ -25,8 +25,9 @@ from geolake_spark import cells
 from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
-from geolake_spark.operators import (aggregates, ann, curation, dedup, joins,
-                                     search, sketches, subset, tiles, trips)
+from geolake_spark.operators import (aggregates, ann, curation, dedup, graph,
+                                     joins, search, sketches, subset, tiles,
+                                     trips)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -719,6 +720,24 @@ _DOCS_HTML_SQL = (
     "'</h1>' || chr(10) || '<p>' || substr(text, 1, 120) || "
     "' &amp; more&nbsp;&lt;end&gt;</p>' || '</body></html>' AS html "
     "FROM documents")
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (docs link to
+    (id*7 + j*131) % 500 for j = 1..id%4; id%4==0 docs are dangling) —
+    operators/graph.py, deterministic mode: per-dst and dangling sums
+    fold in sorted order so the unrolled-CTE DuckDB oracle replays all
+    10 iterations bit-identically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 4
+    edges = (d.select(F.col("doc_id").alias("src"),
+                      F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))
+                                .otherwise(F.array().cast("array<bigint>")))
+                      .alias("j"))
+             .select("src", ((F.col("src") * 7 + F.col("j") * 131) % 500)
+                     .alias("dst")))
+    out = graph.pagerank(edges, n_iter=10, deterministic=True)
+    return out.select("node", F.round("rank", 9).alias("rank"))
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -1457,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
+        "pagerank": q_pagerank,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1856,6 +1876,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_sql()})"),
         "lm_perplexity": curation.lm_sql(
             "SELECT doc_id, text FROM documents"),
+        "pagerank": (
+            "SELECT node, round(rank, 9) AS rank FROM ("
+            + graph.pagerank_sql(
+                "SELECT doc_id AS src, (doc_id * 7 + j * 131) % 500 AS dst"
+                " FROM (SELECT doc_id, unnest(range(1, (doc_id % 4) + 1))"
+                " AS j FROM documents)", n_iter=10)
+            + ") t"),
         "dsir_select": curation.dsir_sql(
             "SELECT doc_id, text, source FROM documents",
             "source = 'src0'", k=100, n_features=4096),

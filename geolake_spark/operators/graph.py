@@ -1,0 +1,116 @@
+"""Link-graph analytics: PageRank (Brin & Page 1998, the public
+algorithm) over an edge table.
+
+The scale shape per iteration is one hash join (ranks -> edges on src,
+both sides partitioned by the join key across iterations) and one
+groupBy(dst) aggregation; dangling mass is a scalar reduce.  Connected
+components for dedup live in operators/dedup.py (star contraction);
+this module covers the weighted/iterative family.
+
+Float determinism: a distributed double sum depends on reduction order,
+which would break the DuckDB value-hash oracle and any bit-exact
+regression test.  ``deterministic=True`` therefore folds each dst's
+contributions in ascending ``src`` order (array_sort + sequential
+aggregate — the repo's proven Spark-fold == DuckDB ``list_sum`` parity)
+and the dangling mass in ascending node order.  That mode costs a
+collect_list per dst and is for oracles/tests; production scale uses
+the default commutative ``sum`` (same result up to float associativity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sorted_fold(struct_col):
+    return F.aggregate(F.array_sort(F.collect_list(struct_col)),
+                       F.lit(0.0), lambda acc, x: acc + x["v"])
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             deterministic: bool = False) -> DataFrame:
+    """``(node, rank)`` after ``n_iter`` power iterations with uniform
+    init, dangling-mass redistribution, and teleport ``1 - damping``.
+    Ranks sum to 1 each iteration (up to float error)."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").cache()
+    out_nodes = deg.select(F.col("src").alias("node"))
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n)))
+                         .alias("rank"))
+    for _ in range(n_iter):
+        # truncate lineage every iteration: without this the logical plan
+        # doubles per iteration and Catalyst analysis dominates wall
+        # time long before the data does
+        ranks = ranks.localCheckpoint(eager=True)
+        dangling = ranks.join(out_nodes, "node", "left_anti")
+        if deterministic:
+            dang_expr = _sorted_fold(
+                F.struct(F.col("node"), F.col("rank").alias("v")))
+        else:
+            dang_expr = F.coalesce(F.sum("rank"), F.lit(0.0))
+        dang = float(dangling.agg(dang_expr).collect()[0][0] or 0.0)
+
+        contribs = (ed.join(ranks, ed.src == F.col("node"))
+                    .select("dst", "src",
+                            (F.col("rank") / F.col("deg")).alias("v")))
+        if deterministic:
+            s = contribs.groupBy("dst").agg(_sorted_fold(
+                F.struct(F.col("src"), F.col("v"))).alias("s"))
+        else:
+            s = contribs.groupBy("dst").agg(F.sum("v").alias("s"))
+        new_rank = (F.lit(1.0 - damping) / F.lit(float(n))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0))
+                       + F.lit(dang) / F.lit(float(n))))
+        ranks = (nodes.join(s, nodes.node == F.col("dst"), "left")
+                 .select("node", new_rank.alias("rank")))
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, n_iter: int = 10,
+                 damping: float = 0.85) -> str:
+    """DuckDB twin of ``pagerank(deterministic=True)``: the power
+    iteration unrolled into ``n_iter`` CTE stages, per-dst sums as
+    ``list_sum(list(v ORDER BY src))`` and the dangling mass as
+    ``list_sum(list(rank ORDER BY node))`` — the same sequential folds
+    as the Spark deterministic mode."""
+    d = damping
+    parts = [f"""_pr_e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM ({edges_sql})
+), _pr_nodes AS MATERIALIZED (
+    SELECT src AS node FROM _pr_e UNION SELECT dst FROM _pr_e
+), _pr_n AS MATERIALIZED (
+    SELECT cast(count(*) as double) AS n FROM _pr_nodes
+), _pr_deg AS MATERIALIZED (
+    SELECT src, count(*) AS deg FROM _pr_e GROUP BY 1
+), _pr_r0 AS MATERIALIZED (
+    SELECT node, 1.0 / n AS rank FROM _pr_nodes, _pr_n
+)"""]
+    for i in range(1, n_iter + 1):
+        p = f"_pr_r{i - 1}"
+        parts.append(f"""_pr_dang{i} AS MATERIALIZED (
+    SELECT coalesce(list_sum(list(rank ORDER BY node)), 0.0) AS dang
+    FROM {p} WHERE node NOT IN (SELECT src FROM _pr_e)
+), _pr_s{i} AS MATERIALIZED (
+    SELECT e.dst, list_sum(list(r.rank / d.deg ORDER BY e.src)) AS s
+    FROM _pr_e e JOIN {p} r ON e.src = r.node
+    JOIN _pr_deg d ON d.src = e.src
+    GROUP BY e.dst
+), _pr_r{i} AS MATERIALIZED (
+    SELECT nn.node,
+           (1.0 - {d!r}) / n + {d!r} * (coalesce(s.s, 0.0) + dang / n)
+             AS rank
+    FROM _pr_nodes nn LEFT JOIN _pr_s{i} s ON s.dst = nn.node,
+         _pr_n, _pr_dang{i}
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM _pr_r{n_iter}")

@@ -1,0 +1,50 @@
+"""PageRank (operators/graph.py): closed-form graphs, mass
+conservation, dangling handling, deterministic-mode equivalence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geolake_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["src", "dst"]))
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    r = _ranks(graph.pagerank(_edges(spark, [(1, 2), (2, 1)]), n_iter=5))
+    assert r[1] == pytest.approx(0.5, abs=1e-12)
+    assert r[2] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_star_center_dominates(spark):
+    # 4 leaves all link to the hub; hub links back to leaf 1
+    e = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    r = _ranks(graph.pagerank(_edges(spark, e), n_iter=20))
+    assert r[0] > r[1] > r[2]
+    assert r[2] == pytest.approx(r[3], abs=1e-12)  # symmetric leaves
+
+
+def test_mass_conserved_with_dangling(spark):
+    # node 3 has no out-edges: its mass redistributes, total stays 1
+    e = [(1, 2), (2, 3), (1, 3)]
+    out = graph.pagerank(_edges(spark, e), n_iter=10)
+    total = out.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_deterministic_mode_matches_default(spark):
+    e = [(i, (i * 3 + 1) % 20) for i in range(20)] + \
+        [(i, (i * 7 + 2) % 20) for i in range(20)]
+    fast = _ranks(graph.pagerank(_edges(spark, e), n_iter=8))
+    det = _ranks(graph.pagerank(_edges(spark, e), n_iter=8,
+                                deterministic=True))
+    assert set(fast) == set(det)
+    for k in fast:
+        assert fast[k] == pytest.approx(det[k], rel=1e-12)
