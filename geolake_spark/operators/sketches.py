@@ -54,22 +54,46 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def _register_cols(key: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) codegen expressions for one key."""
+    assert 7 <= p <= 16
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    h = _hash60(key)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(w_bits + 1)) \
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+    return bucket, rho
+
+
 def hll_sketch(df: DataFrame, key_col: str,
                group_cols: Sequence[str] = (), p: int = 9) -> DataFrame:
     """Register table ``(*group_cols, bucket, max_rho)`` — the mergeable
     partial sketch (<= 2**p rows per group).  Pure codegen expressions
     + one map-side-combinable groupBy."""
-    assert 7 <= p <= 16
-    m = 1 << p
-    w_bits = _HASH_BITS - p
-    h = _hash60(F.col(key_col))
-    bucket = h.bitwiseAND(F.lit(m - 1))
-    w = F.shiftright(h, p)
-    rho = F.when(w == 0, F.lit(w_bits + 1)) \
-        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+    bucket, rho = _register_cols(F.col(key_col), p)
     return (df.withColumn("bucket", bucket).withColumn("rho", rho)
             .groupBy(*group_cols, "bucket")
             .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_sketch_windowed(df: DataFrame, key_col: str, ts_col: str = "ts",
+                        window: str = "1 hour", watermark: str = "1 day",
+                        p: int = 9) -> DataFrame:
+    """Event-time-windowed register table ``(window_start, bucket,
+    max_rho)`` — works on batch AND streaming frames (``max`` is an
+    incrementally-maintainable aggregate, so Structured Streaming
+    finalizes a window's registers at the watermark and state stays
+    <= 2**p rows per open window).  Finish windows downstream with
+    :func:`hll_estimate` over ``group_cols=["window_start"]``."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    bucket, rho = _register_cols(F.col(key_col), p)
+    return (src.withColumn("bucket", bucket).withColumn("rho", rho)
+            .groupBy(F.window(ts_col, window).alias("w"), "bucket")
+            .agg(F.max("rho").alias("max_rho"))
+            .select(F.col("w.start").alias("window_start"),
+                    "bucket", "max_rho"))
 
 
 def hll_merge(*sketches: DataFrame,

@@ -65,3 +65,46 @@ def test_batch_session_window_equals_trips_operator(spark, events):
     cols = ["user_id", "start_ts", "end_ts", "n_points"]
     assert sess.count() == tr.count() > 0
     assert sess.join(tr, cols, "left_anti").count() == 0
+
+
+def test_streaming_windowed_hll(spark, events, tmp_path):
+    """HLL registers stream: finalized streaming register rows == the
+    batch windowed sketch, and per-window estimates track exact distinct
+    counts (4-sigma at p=9)."""
+    from geolake_spark.operators import sketches
+
+    drop = str(tmp_path / "hll_drop")
+    events.repartition(3).write.parquet(drop)
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 4).parquet(drop))
+    regs = sketches.hll_sketch_windowed(stream, "user_id", ts_col="ts",
+                                        window="2 days",
+                                        watermark="1 day", p=9)
+    q = (regs.writeStream.format("parquet")
+         .option("path", str(tmp_path / "hll_out"))
+         .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "hll_out"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(days=1)
+    batch = sketches.hll_sketch_windowed(events, "user_id", ts_col="ts",
+                                         window="2 days", p=9)
+    exp = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 2 DAYS") <= F.lit(wm))
+    cols = ["window_start", "bucket", "max_rho"]
+    assert got.count() == exp.count() > 0
+    assert got.join(exp, cols, "left_anti").count() == 0
+
+    # finish the streamed registers: estimates track exact distincts
+    est = {r.window_start: r.approx_distinct for r in sketches.hll_estimate(
+        got, ["window_start"], p=9).collect()}
+    exact = {r.window_start: r.n for r in events.filter(
+        F.col("ts").cast("timestamp") < wm).groupBy(
+        F.window("ts", "2 days").alias("w")).agg(
+        F.count_distinct("user_id").alias("n")).select(
+        F.col("w.start").alias("window_start"), "n").collect()
+        if r.window_start in est}
+    for w, n in exact.items():
+        assert abs(est[w] - n) / n < 0.19  # 4 sigma at m=512
