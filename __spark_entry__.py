@@ -722,6 +722,27 @@ _DOCS_HTML_SQL = (
     "FROM documents")
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Corpus profiling: per-source EXACT token-count percentiles
+    (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition) + doc counts and mean quality."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    tc = F.when(F.length(t) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
+    d = d.withColumn("tc", tc)
+    pct = F.percentile("tc", F.lit([0.25, 0.5, 0.75, 0.95]))
+    # avg over BIGINTs (exact integer sum, order-free) — an avg over
+    # doubles would be float-summation-order dependent and break parity
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(pct[0], 6).alias("tc_p25"),
+                 F.round(pct[1], 6).alias("tc_p50"),
+                 F.round(pct[2], 6).alias("tc_p75"),
+                 F.round(pct[3], 6).alias("tc_p95"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over a deterministic synthetic link graph (docs link to
     (id*7 + j*131) % 500 for j = 1..id%4; id%4==0 docs are dangling) —
@@ -1477,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
         "pagerank": q_pagerank,
+        "corpus_profile": q_corpus_profile,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1876,6 +1898,16 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_sql()})"),
         "lm_perplexity": curation.lm_sql(
             "SELECT doc_id, text FROM documents"),
+        "corpus_profile": (
+            "SELECT source, count(*) AS n_docs, "
+            "round(quantile_cont(tc, 0.25), 6) AS tc_p25, "
+            "round(quantile_cont(tc, 0.5), 6) AS tc_p50, "
+            "round(quantile_cont(tc, 0.75), 6) AS tc_p75, "
+            "round(quantile_cont(tc, 0.95), 6) AS tc_p95, "
+            "round(avg(n_chars), 6) AS avg_chars FROM ("
+            "SELECT source, n_chars, cast(case when length(trim(text)) = 0 "
+            "then 0 else len(regexp_split_to_array(trim(text), '\\s+')) end "
+            "as bigint) AS tc FROM documents) GROUP BY source"),
         "pagerank": (
             "SELECT node, round(rank, 9) AS rank FROM ("
             + graph.pagerank_sql(
