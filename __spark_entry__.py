@@ -722,6 +722,15 @@ _DOCS_HTML_SQL = (
     "FROM documents")
 
 
+def q_interpolate_daily(spark, sf_dir):
+    """Time-series gap filling (operators/aggregates.interpolate_gaps):
+    per-user daily grid from first to last event, values linearly
+    interpolated between surrounding observations — the temporal twin of
+    the W4 spatial regrid.  Two window passes, no joins, no float sums."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.interpolate_gaps(ev, step="1 day")
+
+
 def q_corpus_profile(spark, sf_dir):
     """Corpus profiling: per-source EXACT token-count percentiles
     (Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -1499,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "pagerank": q_pagerank,
         "corpus_profile": q_corpus_profile,
+        "interpolate_daily": q_interpolate_daily,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1898,6 +1908,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_sql()})"),
         "lm_perplexity": curation.lm_sql(
             "SELECT doc_id, text FROM documents"),
+        "interpolate_daily": aggregates.interpolate_gaps_sql(
+            "events", step="1 day"),
         "corpus_profile": (
             "SELECT source, count(*) AS n_docs, "
             "round(quantile_cont(tc, 0.25), 6) AS tc_p25, "

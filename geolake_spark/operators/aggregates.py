@@ -10,7 +10,7 @@ like NumPy when any NaN is present.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _AGGS = {"max": F.max, "min": F.min, "mean": F.avg, "sum": F.sum}
@@ -74,3 +74,110 @@ def average(df: DataFrame, dim: str, value_col: str = "value") -> DataFrame:
     keys = [c for c in df.columns if c not in (dim, value_col)]
     val = F.when(F.isnan(F.col(value_col)), F.lit(None)).otherwise(F.col(value_col))
     return df.groupBy(*keys).agg(F.avg(val).alias(value_col))
+
+
+def interpolate_gaps(df: DataFrame, step: str = "1 hour",
+                     entity_col: str = "user_id", ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Regularize an irregular time series per entity: generate the
+    step-spaced grid from each entity's first to last observation and
+    linearly interpolate ``value_col`` between the surrounding
+    observations (the temporal analogue of the W4 ``to_regular``
+    spatial regrid; xarray ``interp``-style, public semantics).
+
+    Plan shape: one groupBy for the per-entity bounds (map-side), one
+    ``sequence``-explode producing the grid (no driver work — the grid
+    materializes distributed), a union with the observations, and ONE
+    window pass per direction (``last_value IGNORE NULLS`` backward,
+    ``first_value IGNORE NULLS`` forward) — two sorts over the same
+    per-entity partitioning, no joins.  Exact observation timestamps on
+    the grid take their observed value (frac = 0); grid points at/after
+    the last observation carry it forward (next is null -> prev).
+
+    Float determinism: the interpolation is a single expression per row
+    (no distributed float sums), so the DuckDB twin is bit-identical.
+
+    Returns ``(entity, grid_ts, value, interpolated)``.
+    """
+    w_back = (Window.partitionBy(entity_col)
+              .orderBy(F.col("_t"), F.col("_obs").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(entity_col)
+             .orderBy(F.col("_t"), F.col("_obs").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+    bounds = (df.groupBy(entity_col)
+              .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")))
+    grid = bounds.select(
+        entity_col,
+        F.explode(F.expr(f"sequence(_lo, _hi, interval {step})"))
+        .alias("_t")).withColumn("_obs", F.lit(0)) \
+        .withColumn("_v", F.lit(None).cast("double"))
+    obs = df.select(entity_col, F.col(ts_col).alias("_t"),
+                    F.lit(1).alias("_obs"),
+                    F.col(value_col).cast("double").alias("_v"))
+
+    u = grid.unionByName(obs)
+    prev_v = F.last(F.col("_v"), ignorenulls=True).over(w_back)
+    prev_t = F.last(F.when(F.col("_obs") == 1, F.col("_t")),
+                    ignorenulls=True).over(w_back)
+    next_v = F.first(F.col("_v"), ignorenulls=True).over(w_fwd)
+    next_t = F.first(F.when(F.col("_obs") == 1, F.col("_t")),
+                     ignorenulls=True).over(w_fwd)
+    pu = F.unix_micros(F.col("_pt").cast("timestamp"))
+    nu = F.unix_micros(F.col("_nt").cast("timestamp"))
+    tu = F.unix_micros(F.col("_t").cast("timestamp"))
+    frac = (tu - pu).cast("double") / (nu - pu).cast("double")
+    interp = F.when(F.col("_nt").isNull() | (nu == pu), F.col("_pv")) \
+        .otherwise(F.col("_pv")
+                   + (F.col("_nv") - F.col("_pv")) * frac)
+    return (u.withColumn("_pv", prev_v).withColumn("_pt", prev_t)
+            .withColumn("_nv", next_v).withColumn("_nt", next_t)
+            .filter(F.col("_obs") == 0)
+            .select(entity_col, F.col("_t").alias("grid_ts"),
+                    F.round(interp, 6).alias("value"),
+                    (F.col("_pt") != F.col("_t")).alias("interpolated")))
+
+
+def interpolate_gaps_sql(table: str, step: str = "1 hour",
+                         entity_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value") -> str:
+    """DuckDB twin of :func:`interpolate_gaps` (same window passes,
+    IGNORE NULLS, integer-microsecond fractions)."""
+    return f"""
+WITH _ig_b AS (
+    SELECT {entity_col}, min({ts_col}) AS lo, max({ts_col}) AS hi
+    FROM {table} GROUP BY 1
+), _ig_grid AS (
+    SELECT {entity_col}, unnest(generate_series(lo, hi,
+           interval {step})) AS t, 0 AS obs, NULL::DOUBLE AS v
+    FROM _ig_b
+), _ig_obs AS (
+    SELECT {entity_col}, {ts_col} AS t, 1 AS obs,
+           {value_col}::DOUBLE AS v
+    FROM {table}
+), _ig_u AS (
+    SELECT * FROM _ig_grid UNION ALL SELECT * FROM _ig_obs
+), _ig_w AS (
+    SELECT {entity_col}, t, obs,
+           last_value(v IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN obs = 1 THEN t END IGNORE NULLS)
+             OVER wb AS pt,
+           first_value(v IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN obs = 1 THEN t END IGNORE NULLS)
+             OVER wf AS nt
+    FROM _ig_u
+    WINDOW wb AS (PARTITION BY {entity_col} ORDER BY t, obs DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY {entity_col} ORDER BY t, obs DESC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT {entity_col}, t AS grid_ts,
+       round(CASE WHEN nt IS NULL OR epoch_us(nt) = epoch_us(pt) THEN pv
+             ELSE pv + (nv - pv) *
+                  (cast(epoch_us(t) - epoch_us(pt) as double)
+                   / cast(epoch_us(nt) - epoch_us(pt) as double))
+             END, 6) AS value,
+       pt != t AS interpolated
+FROM _ig_w WHERE obs = 0
+"""
