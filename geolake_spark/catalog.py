@@ -82,16 +82,82 @@ class IcebergishTable:
 
     def history(self) -> list[dict]:
         """Snapshot log, oldest -> newest (metadata only): follow
-        parent_id links from the current hint."""
+        parent_id links from the current hint; stops at the first
+        expired (deleted) ancestor."""
         out = []
         sid = self.current_snapshot_id()
         while sid is not None:
-            s = self.snapshot(sid)
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                break  # ancestor expired by expire_snapshots()
             out.append({k: s[k] for k in
                         ("snapshot_id", "parent_id", "timestamp_ms",
                          "summary")})
             sid = s["parent_id"]
         return list(reversed(out))
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact_partition(self, spark: SparkSession, partition: dict,
+                          target_files: int = 1) -> dict:
+        """Rewrite one partition's files into ``target_files`` larger
+        ones and commit a new snapshot — the small-files maintenance op
+        (Iceberg ``rewrite_data_files`` analogue).  Row content is
+        unchanged: the rewrite is verified by count BEFORE the
+        destructive swap, and the manifest keeps its lineage metrics
+        (row_count, cell_histogram) with only byte_size refreshed."""
+        import shutil
+        path = self.partition_path(partition)
+        before = [m for m in self.manifests() if m["partition"] == partition]
+        if not before:
+            raise ValueError(f"unknown partition: {partition}")
+        man = dict(before[0])
+        df = spark.read.parquet(path)
+        n_before = df.count()
+        tmp = path + f".compact-{uuid.uuid4().hex[:8]}"
+        df.coalesce(target_files).write.parquet(tmp)
+        if spark.read.parquet(tmp).count() != n_before:
+            shutil.rmtree(tmp)
+            raise RuntimeError("compaction row-count mismatch; aborted "
+                               "before swap")
+        old = path + f".pre-compact-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        man["byte_size"] = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if not f.startswith("."))
+        snap_id = self.commit([man])
+        files = len([f for f in os.listdir(path)
+                     if f.endswith(".parquet")])
+        return {"snapshot_id": snap_id, "rows": n_before, "files": files}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Metadata garbage collection: drop snapshot JSONs older than
+        the newest ``keep_last`` plus any manifest no retained snapshot
+        references.  Data files are never touched here (partition
+        overwrite already replaces them in place).  ``history()``/
+        ``diff()`` remain valid for retained snapshots only."""
+        assert keep_last >= 1
+        hist = self.history()
+        keep = [h["snapshot_id"] for h in hist[-keep_last:]]
+        referenced: set[str] = set()
+        for sid in keep:
+            referenced |= set(self.snapshot(sid)["manifest_list"])
+        removed_snaps = 0
+        for h in hist:
+            if h["snapshot_id"] not in keep:
+                os.remove(self._snap_path(h["snapshot_id"]))
+                removed_snaps += 1
+        removed_manifests = 0
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("manifest-") and f not in referenced:
+                os.remove(os.path.join(self.meta_dir, f))
+                removed_manifests += 1
+        return {"removed_snapshots": removed_snaps,
+                "removed_manifests": removed_manifests,
+                "retained": keep}
 
     def diff(self, from_snap: int | None,
              to_snap: int | None = None) -> dict:

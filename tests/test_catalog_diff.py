@@ -43,3 +43,43 @@ def test_diff_defaults_to_current(spark, tmp_path):
     write_snapshot(_df(spark, [1]), t, ["shard"])
     d = t.diff(1)
     assert d["added"] == [{"shard": 1}] and d["unchanged"] == 1
+
+
+def test_compact_partition(spark, tmp_path):
+    t = IcebergishTable(str(tmp_path / "t"))
+    df = _df(spark, [0], rows_per=40).repartition(8)
+    write_snapshot(df, t, ["shard"], repartition=False)
+    import glob, os
+    part = os.path.join(t.data_dir, "shard=0")
+    n_files_before = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert n_files_before > 1
+    man_before = t.manifests()[0]
+
+    info = t.compact_partition(spark, {"shard": 0}, target_files=1)
+    assert info["files"] == 1 and info["rows"] == 40
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    # content identical, lineage metrics preserved, snapshot advanced
+    back = t.read(spark)
+    assert back.count() == 40
+    man_after = t.manifests()[0]
+    assert man_after["row_count"] == man_before["row_count"]
+    assert man_after["cell_histogram"] == man_before["cell_histogram"]
+    d = t.diff(info["snapshot_id"] - 1, info["snapshot_id"])
+    assert d["rewritten"] == [{"shard": 0}] and d["row_delta"] == 0
+
+
+def test_expire_snapshots(spark, tmp_path):
+    import os
+    t = IcebergishTable(str(tmp_path / "t"))
+    for i in range(4):
+        write_snapshot(_df(spark, [i]), t, ["shard"])
+    assert len(t.history()) == 4
+    out = t.expire_snapshots(keep_last=2)
+    assert out["removed_snapshots"] == 2 and out["retained"] == [3, 4]
+    # history stops at the expiry horizon; current reads still work
+    assert [h["snapshot_id"] for h in t.history()] == [3, 4]
+    assert t.read(spark).count() == 4 * 10
+    # every retained manifest file still exists
+    for m in (set(t.snapshot(3)["manifest_list"])
+              | set(t.snapshot(4)["manifest_list"])):
+        assert os.path.exists(os.path.join(t.meta_dir, m))
