@@ -722,6 +722,29 @@ _DOCS_HTML_SQL = (
     "FROM documents")
 
 
+def q_nfc_text(spark, sf_dir):
+    """Unicode NFC normalization (functions/text.py make_normalize_udf):
+    decomposed combining marks, Hangul jamo, and already-composed forms
+    collapse to NFC before hashing/dedup.  Suffixes are built from
+    chr()/chr codes in BOTH engines so the raw bytes really are
+    decomposed on the way in; the oracle normalizes with DuckDB's
+    nfc_normalize (utf8proc) — verified to agree with Python's
+    unicodedata on these forms."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    # explicit chr() codes — a combining mark pasted into source could
+    # be silently recomposed by an editor; chr(769) cannot
+    suffix = (F.when(i % 4 == 0, F.lit("e" + chr(769)))
+              .when(i % 4 == 1, F.lit(chr(4352) + chr(4449)))
+              .when(i % 4 == 2, F.lit("A" + chr(778)))
+              .otherwise(F.lit(chr(233))))
+    raw = F.concat(F.substring(F.col("text"), 1, 40), F.lit(" "), suffix)
+    norm = tx.nfc_normalize_col(raw)
+    return d.select(
+        "doc_id", norm.alias("text_nfc"),
+        (F.length(raw) - F.length(norm)).cast("bigint").alias("chars_saved"))
+
+
 def q_interpolate_daily(spark, sf_dir):
     """Time-series gap filling (operators/aggregates.interpolate_gaps):
     per-user daily grid from first to last event, values linearly
@@ -1509,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "corpus_profile": q_corpus_profile,
         "interpolate_daily": q_interpolate_daily,
+        "nfc_text": q_nfc_text,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1908,6 +1932,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_sql()})"),
         "lm_perplexity": curation.lm_sql(
             "SELECT doc_id, text FROM documents"),
+        "nfc_text": (
+            "SELECT doc_id, nfc_normalize(raw) AS text_nfc, "
+            "cast(length(raw) - length(nfc_normalize(raw)) as bigint) "
+            "AS chars_saved FROM ("
+            "SELECT doc_id, substr(text, 1, 40) || ' ' || "
+            "(CASE WHEN doc_id % 4 = 0 THEN 'e' || chr(769) "
+            " WHEN doc_id % 4 = 1 THEN chr(4352) || chr(4449) "
+            " WHEN doc_id % 4 = 2 THEN 'A' || chr(778) "
+            " ELSE chr(233) END) AS raw FROM documents) q"),
         "interpolate_daily": aggregates.interpolate_gaps_sql(
             "events", step="1 day"),
         "corpus_profile": (

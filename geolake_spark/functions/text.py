@@ -725,3 +725,34 @@ def html_title_sql(html_expr: str) -> str:
     raw = (f"coalesce(regexp_extract({html_expr}, "
            f"'(?is)<title\\b[^>]*>(.*?)</title>', 1), '')")
     return f"trim(regexp_replace({raw}, '{_WS_CLASS}', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization — crawl hygiene before any hashing/dedup tier:
+# the same visible text arrives precomposed on one site and decomposed
+# (NFD, combining marks) on another, and every fingerprint/MinHash/
+# exact-dedup operator in this repo hashes BYTES, so un-normalized
+# corpora under-deduplicate.  Normalization tables aren't expressible
+# as SQL expressions -> Arrow-batched Pandas UDF (the functions/geo.py
+# S2 pattern).  Python's unicodedata and DuckDB's nfc_normalize
+# (utf8proc) agree on NFC for real-world text (verified on combining
+# marks, Hangul jamo, ligatures, fullwidth forms), which is what lets
+# the oracle value-hash the UDF output.
+# ---------------------------------------------------------------------------
+
+
+def make_normalize_udf(form: str = "NFC"):
+    """Pandas UDF text -> unicodedata.normalize(form, text); nulls and
+    non-strings pass through unchanged."""
+    import unicodedata
+    assert form in ("NFC", "NFKC", "NFD", "NFKD")
+
+    @pandas_udf(T.StringType())
+    def norm_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize(form, x)
+                     if isinstance(x, str) else x)
+    return norm_udf
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    return make_normalize_udf("NFC")(text)

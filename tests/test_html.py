@@ -59,3 +59,42 @@ def test_codegen_only(spark):
     plan = df.select(tx.html_strip_col(F.col("html"))) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- Unicode normalization ---
+
+
+def test_nfc_composes_and_is_idempotent(spark):
+    import unicodedata
+    cases = ["e" + chr(769), chr(4352) + chr(4449), "A" + chr(778),
+             chr(233), "plain ascii", ""]
+    df = spark.createDataFrame(pd.DataFrame({"t": cases}))
+    out = [r[0] for r in df.select(
+        tx.nfc_normalize_col(F.col("t"))).collect()]
+    assert out == [unicodedata.normalize("NFC", c) for c in cases]
+    assert out[0] == chr(233) and out[1] == chr(44032)  # é, 가
+    # idempotent
+    df2 = spark.createDataFrame(pd.DataFrame({"t": out}))
+    again = [r[0] for r in df2.select(
+        tx.nfc_normalize_col(F.col("t"))).collect()]
+    assert again == out
+
+
+def test_nfkc_folds_compat_forms(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["ﬁle ｆｕｌｌ"]}))
+    out = df.select(tx.make_normalize_udf("NFKC")(F.col("t"))).collect()
+    assert out[0][0] == "file full"
+
+
+def test_normalization_fixes_dedup_misses(spark):
+    """the motivating case: byte-different, visually identical docs
+    exact-dedup ONLY after NFC."""
+    from geolake_spark.operators import dedup
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["caf" + chr(233), "cafe" + chr(769)]}))
+    raw_reps = dedup.exact_dedup(df, text_col="text", id_col="doc_id")
+    assert raw_reps.count() == 2  # missed without normalization
+    norm = df.withColumn("text", tx.nfc_normalize_col(F.col("text")))
+    assert dedup.exact_dedup(norm, text_col="text",
+                             id_col="doc_id").count() == 1
