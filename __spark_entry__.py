@@ -25,7 +25,7 @@ from geolake_spark import cells
 from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
-from geolake_spark.operators import (aggregates, ann, curation, dedup, graph,
+from geolake_spark.operators import (aggregates, ann, blooms, curation, dedup, graph,
                                      joins, search, sketches, subset, tiles,
                                      trips)
 from geolake_spark.pipeline import curate_pages
@@ -720,6 +720,22 @@ _DOCS_HTML_SQL = (
     "'</h1>' || chr(10) || '<p>' || substr(text, 1, 120) || "
     "' &amp; more&nbsp;&lt;end&gt;</p>' || '</body></html>' AS html "
     "FROM documents")
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pre-reduced selective join (operators/blooms.py): orders
+    are filtered in the SCAN stage by the high-balance customers' bloom
+    words (one plan literal) before the real join removes the rare false
+    positives — exact by construction, so the oracle is the plain join."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice")
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000)
+         .select(F.col("c_custkey").alias("custkey"), "c_mktsegment"))
+    j = blooms.bloom_filtered_join(o, c, "custkey")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
 
 
 def q_nfc_text(spark, sf_dir):
@@ -1533,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "interpolate_daily": q_interpolate_daily,
         "nfc_text": q_nfc_text,
+        "bloom_join": q_bloom_join,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1932,6 +1949,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_sql()})"),
         "lm_perplexity": curation.lm_sql(
             "SELECT doc_id, text FROM documents"),
+        "bloom_join": (
+            "SELECT c.c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o.o_totalprice), 4) AS revenue "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_acctbal > 9000 GROUP BY 1"),
         "nfc_text": (
             "SELECT doc_id, nfc_normalize(raw) AS text_nfc, "
             "cast(length(raw) - length(nfc_normalize(raw)) as bigint) "
