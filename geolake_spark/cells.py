@@ -369,6 +369,31 @@ def geohash(lat, lon, precision: int = 7) -> np.ndarray:
     return out
 
 
+def geohash_decode(hashes, precision: int | None = None):
+    """(lat, lon) cell centers from geohash strings (vectorized inverse
+    of :func:`geohash`): chars -> interleaved integer -> de-interleave
+    -> dequantize to the cell midpoint."""
+    hs = np.asarray(hashes)
+    if precision is None:
+        precision = len(str(hs.flat[0]))
+    n, nlon, nlat = geohash_widths(precision)
+    idx = {c: i for i, c in enumerate(GEOHASH32)}
+    v = np.zeros(hs.shape, dtype=np.int64)
+    for c in range(precision):
+        chars = np.array([idx[str(h)[c]] for h in hs.flat],
+                         dtype=np.int64).reshape(hs.shape)
+        v = (v << 5) | chars
+    lonq = np.zeros_like(v)
+    latq = np.zeros_like(v)
+    for j in range(nlon):
+        lonq |= ((v >> (n - 1 - 2 * j)) & 1) << (nlon - 1 - j)
+    for j in range(nlat):
+        latq |= ((v >> (n - 2 - 2 * j)) & 1) << (nlat - 1 - j)
+    lon = (lonq.astype(np.float64) + 0.5) / float(1 << nlon) * 360.0 - 180.0
+    lat = (latq.astype(np.float64) + 0.5) / float(1 << nlat) * 180.0 - 90.0
+    return lat, lon
+
+
 def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7) -> str:
     """DuckDB twin of :func:`geohash` (same float op order, then exact
     integer bit math via ``>>``/``&``/``<<``)."""

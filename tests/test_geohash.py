@@ -43,3 +43,21 @@ def test_geohash_col_is_codegen_only(spark):
     plan = df.select(geo.geohash_col(F.col("lat"), F.col("lon"), 6)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decode_roundtrip_within_cell():
+    rng = np.random.RandomState(21)
+    lat = rng.uniform(-90, 90, 300)
+    lon = rng.uniform(-180, 180, 300)
+    for p, tol_lat, tol_lon in [(5, 0.022, 0.044), (7, 0.0007, 0.0014)]:
+        g = cells.geohash(lat, lon, p)
+        dlat, dlon = cells.geohash_decode(g, p)
+        # decoded center is inside the original cell: re-encoding matches
+        assert list(cells.geohash(dlat, dlon, p)) == list(g)
+        assert np.abs(dlat - lat).max() <= tol_lat
+        assert np.abs(dlon - lon).max() <= tol_lon
+
+
+def test_decode_known_vector():
+    lat, lon = cells.geohash_decode(["u4pruyd"], 7)
+    assert abs(lat[0] - 57.64911) < 0.001 and abs(lon[0] - 10.40744) < 0.001
