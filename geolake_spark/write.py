@@ -51,7 +51,8 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
                    partition_cols: list[str],
                    resume: bool = False,
                    lat_col: str = "lat", lon_col: str = "lon",
-                   repartition: bool = True) -> dict:
+                   repartition: bool = True,
+                   target_file_mb: int | None = None) -> dict:
     """Write df into the table, one snapshot. Returns a summary dict.
 
     The whole write is ONE distributed job (partitionBy write) plus ONE
@@ -61,6 +62,15 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
     ``repartition=False`` preserves the incoming partitioning/ordering —
     layout.zorder_write pre-arranges rows by (partition, z-value) and a
     hash repartition here would scramble that clustering.
+
+    ``target_file_mb`` sizes output files UP FRONT (the small-files
+    problem is cheaper to prevent than to compact away): the plan-stats
+    estimate (metadata-only, plans/estimate.py) picks the shuffle
+    fan-out so each task writes ~one target-sized file per table
+    partition it holds.  Plan stats over-estimate vs parquet encoding
+    (they reflect in-memory row width), so files land under the target
+    — the bound that matters.  Mutually exclusive with
+    ``repartition=False``.
     """
     if not os.path.exists(os.path.join(table.meta_dir, "table-spec.json")):
         table.init(df.schema.json(), partition_cols)
@@ -93,8 +103,21 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
         return {"snapshot_id": table.current_snapshot_id(),
                 "written_partitions": 0, "skipped_partitions": len(skip_keys)}
 
-    laid_out = (work.repartition(*[F.col(c) for c in partition_cols])
-                if repartition else work)
+    if target_file_mb is not None:
+        assert repartition, "target_file_mb needs the repartition path"
+        from geolake_spark.plans.estimate import estimate_df_bytes
+        est = estimate_df_bytes(work)
+        n_files = max(1, min(int(est // (target_file_mb * 1024 * 1024)) + 1,
+                             100_000))
+        # salt beyond the partition key so one table partition can span
+        # several tasks/files instead of one giant file per partition
+        laid_out = work.repartition(
+            n_files, *[F.col(c) for c in partition_cols],
+            F.spark_partition_id())
+    elif repartition:
+        laid_out = work.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        laid_out = work
     (laid_out
      .write.mode("overwrite")
      .partitionBy(*partition_cols)

@@ -83,3 +83,20 @@ def test_expire_snapshots(spark, tmp_path):
     for m in (set(t.snapshot(3)["manifest_list"])
               | set(t.snapshot(4)["manifest_list"])):
         assert os.path.exists(os.path.join(t.meta_dir, m))
+
+
+def test_target_file_mb_splits_large_partitions(spark, tmp_path):
+    import glob, os
+    t = IcebergishTable(str(tmp_path / "t"))
+    # ~3 MB of rows in ONE partition value; 1 MB target -> several files
+    df = (spark.range(0, 300_000)
+          .selectExpr("id", "cast(0 as bigint) as shard",
+                      "0.0 as lat", "0.0 as lon",
+                      "repeat('x', 64) as pad"))
+    info = write_snapshot(df, t, ["shard"], target_file_mb=1)
+    assert info["rows"] == 300_000
+    files = glob.glob(os.path.join(t.data_dir, "shard=0", "*.parquet"))
+    assert len(files) > 1
+    # the target is an upper bound on file size (plan stats overestimate)
+    assert all(os.path.getsize(f) <= 1.5 * 1024 * 1024 for f in files)
+    assert t.read(spark).count() == 300_000
