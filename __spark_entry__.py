@@ -722,6 +722,14 @@ _DOCS_HTML_SQL = (
     "FROM documents")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """RAG/pretraining chunking (operators/curation.chunk_documents):
+    overlapping token windows (width 40, stride 30), one row per chunk,
+    ids traceable to the source doc."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.chunk_documents(d, width=40, stride=30)
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom-pre-reduced selective join (operators/blooms.py): orders
     are filtered in the SCAN stage by the high-balance customers' bloom
@@ -1550,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_daily": q_interpolate_daily,
         "nfc_text": q_nfc_text,
         "bloom_join": q_bloom_join,
+        "chunk_docs": q_chunk_docs,
         "canonical_dedup": q_canonical_dedup,
         "gopher_gates": q_gopher_gates,
         "script_mix": q_script_mix,
@@ -1949,6 +1958,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_sql()})"),
         "lm_perplexity": curation.lm_sql(
             "SELECT doc_id, text FROM documents"),
+        "chunk_docs": curation.chunk_documents_sql(
+            "documents", width=40, stride=30),
         "bloom_join": (
             "SELECT c.c_mktsegment, count(*) AS n_orders, "
             "round(sum(o.o_totalprice), 4) AS revenue "

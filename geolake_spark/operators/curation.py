@@ -644,3 +644,70 @@ SELECT {id_col},
          AS perplexity
 FROM ({docs_sql}), _lm_w
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — the RAG/pretraining windowing step: split each doc
+# into fixed-size token windows with overlap (stride < width), one row
+# per chunk.  All JVM HOFs (tokenize once, slice per window) — the
+# explode is the only row multiplier and it is bounded by
+# ceil(tokens/stride) per doc.  Chunk ids are (doc_id, chunk_idx), so
+# downstream dedup/packing can trace every window to its source.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(df: DataFrame, width: int = 128, stride: int = 96,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``(id, chunk_idx, chunk_text, n_tokens)`` — whitespace-token
+    windows of ``width`` every ``stride`` tokens.  The LAST window keeps
+    its tail (may be shorter); a doc shorter than ``width`` yields one
+    chunk; an empty doc yields none.  ``stride < width`` gives the
+    overlap RAG retrieval wants."""
+    from ..functions import text as _tx
+    assert 1 <= stride <= width
+    toks = _tx.bow_tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - width, 0) / stride)
+    extra = F.greatest(n - F.lit(width), F.lit(0))
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(extra.cast("double") / F.lit(float(stride)))
+        .cast("int"))
+    out = (df.select(F.col(id_col), toks.alias("_toks"),
+                     n_chunks.alias("_nc"))
+           .filter(F.col("_nc") > 0)
+           .select(id_col, "_toks",
+                   F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+                   .alias("chunk_idx")))
+    piece = F.slice(F.col("_toks"),
+                    (F.col("chunk_idx") * stride + 1).cast("int"), width)
+    return out.select(
+        id_col, F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"))
+
+
+def chunk_documents_sql(table: str, width: int = 128, stride: int = 96,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin (same tokenizer, window arithmetic, inclusive-slice
+    semantics)."""
+    from ..functions import text as _tx
+    toks = _tx.bow_tokens_sql(text_col)
+    n = f"len({toks})"
+    n_chunks = (f"(case when {n} = 0 then 0 else "
+                f"1 + cast(ceil(greatest({n} - {width}, 0) / "
+                f"cast({stride} as double)) as int) end)")
+    piece = (f"toks[(chunk_idx * {stride} + 1):"
+             f"(chunk_idx * {stride} + {width})]")
+    return f"""
+WITH _ck_base AS (
+    SELECT {id_col}, {toks} AS toks,
+           unnest(range({n_chunks})) AS chunk_idx
+    FROM {table}
+)
+SELECT {id_col}, cast(chunk_idx as bigint) AS chunk_idx,
+       array_to_string({piece}, ' ') AS chunk_text,
+       cast(len({piece}) as bigint) AS n_tokens
+FROM _ck_base
+"""

@@ -296,3 +296,51 @@ def test_decontaminate_min_overlap_threshold(spark):
     rep = {r.doc_id: r.contaminated for r in
            C.decontaminate_report(docs, bench, n=3, min_overlap=2).collect()}
     assert rep == {1: False, 2: True}    # 1 shared gram vs 2
+
+
+# --- document chunking ---
+
+
+def test_chunk_documents_shapes(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    toks = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [toks, "a b", ""]}))
+    out = C.chunk_documents(df, width=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, width 4 stride 3 -> starts 0,3,6; the last
+    # window reaches the end exactly ((n-width) divisible by stride)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    # overlap: last token of chunk k is first of chunk k+1 (stride=width-1)
+    assert by_doc[2][0].chunk_text == "a b"   # short doc -> one chunk
+    assert 3 not in by_doc                     # empty doc -> no chunks
+
+
+def test_chunk_coverage_no_token_lost(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": [" ".join(f"t{i}" for i in range(57))]}))
+    out = C.chunk_documents(df, width=16, stride=16)  # no overlap
+    toks = [t for r in sorted(out.collect(), key=lambda r: r.chunk_idx)
+            for t in r.chunk_text.split()]
+    assert toks == [f"t{i}" for i in range(57)]
+
+
+def test_chunk_short_tail_kept(spark):
+    import pandas as pd
+    # 11 tokens, width 4 stride 3: starts 0,3,6,9 — last chunk is the
+    # 2-token tail (nothing dropped)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": [" ".join(f"w{i}" for i in range(11))]}))
+    out = sorted(C.chunk_documents(df, width=4, stride=3).collect(),
+                 key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in out] == [4, 4, 4, 2]
+    assert out[-1].chunk_text == "w9 w10"
