@@ -71,6 +71,12 @@ class Workflow:
             return aggregates.average(inputs[0], dim=args["dim"])
         if op in ("to_tiles", "to_regular"):
             return tiles.rollup_tiles(inputs[0], zoom=int(args.get("zoom", 8)))
+        if op == "curate":
+            # the webtext curation pipeline as a first-class DAG node:
+            # args pass through to pipeline.curate_pages (langs,
+            # min_quality, near_threshold, ... — JSON-serializable)
+            from geolake_spark.pipeline import curate_pages
+            return curate_pages(inputs[0], **args)
         if op in self.custom_ops:
             return self.custom_ops[op](*inputs, **args)
         raise GeoQueryError(f"unknown operator {op!r}")

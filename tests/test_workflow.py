@@ -97,3 +97,23 @@ def test_to_tiles_node(spark, synth_paths):
     out = wf.result(spark)
     assert {"tile_z", "tile_x", "tile_y", "page_count"} <= set(out.columns)
     assert out.count() > 0
+
+
+def test_curate_node(spark, synth_paths):
+    """the webtext curation pipeline as a DAG node: subset -> curate,
+    args pass through as JSON."""
+    def load(spark_, d, p):
+        return spark_.read.parquet(synth_paths["pages"])
+    wf = Workflow.from_json([
+        {"id": "src", "op": "subset", "args": {"query": {}}},
+        {"id": "clean", "op": "curate", "use": ["src"],
+         "args": {"id_col": "url", "langs": ["en"],
+                  "min_quality": 0.1, "near_threshold": None}},
+    ], load)
+    out = wf.result(spark)
+    from geolake_spark.operators import dedup
+    n = out.count()
+    dedup.release_caches()
+    assert n > 0
+    assert "quality" in out.columns
+    assert out.filter("lang <> 'en'").count() == 0
