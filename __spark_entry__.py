@@ -26,8 +26,8 @@ from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
 from geolake_spark.operators import (aggregates, ann, blooms, curation, dedup, graph,
-                                     joins, search, sketches, subset, tiles,
-                                     trips)
+                                     joins, links, search, sketches, spatial,
+                                     subset, tiles, trips)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -851,6 +851,106 @@ def q_html_extract(spark, sf_dir):
         F.size(F.split(stripped, r"\s+")).cast("bigint").alias("n_tokens"))
 
 
+def _docs_links(spark, sf_dir):
+    """Deterministic crawl slice (url, html) with hyperlinks — absolute
+    (with tracking params), root-relative, protocol-relative, plus
+    dropped shapes (fragment, javascript:, directory-relative,
+    single-quoted href) — mirrored bit-for-bit by ``_DOCS_LINKS_SQL``."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(F.lit("https://WWW.Site"), (i % 23).cast("string"),
+                   F.lit(".example"), (i % 5).cast("string"),
+                   F.lit(".com:443/p/"), s)
+    tgt = (i * 7 + 1) % 1000
+    a_abs = F.concat(
+        F.lit('<a href="https://site'), (tgt % 23).cast("string"),
+        F.lit(".example"), (tgt % 5).cast("string"),
+        F.lit(".com/p/"), tgt.cast("string"),
+        F.lit('?utm_source=feed&b=2&a=1">story</a>'))
+    a_rel = F.concat(F.lit('<a class="nav" href="/about/'),
+                     (i % 11).cast("string"), F.lit('">about us</a>'))
+    a_proto = F.when(i % 3 == 0, F.concat(
+        F.lit('<a href="//cdn.assets'), (i % 4).cast("string"),
+        F.lit('.net/lib">cdn</a>'))).otherwise(F.lit(""))
+    a_drop = F.concat(
+        F.lit('<a href="#top">top</a><a href="javascript:void(0)">x</a>'),
+        F.when(i % 2 == 0, F.lit('<a href="rel/path.html">rel</a>'))
+        .otherwise(F.lit("")),
+        F.lit("<a href='https://singlequoted.example9.com/'>sq</a>"))
+    html = F.concat(F.lit("<html><body><p>doc "), s, F.lit("</p>\n"),
+                    a_abs, F.lit("\n"), a_rel, a_proto, a_drop,
+                    F.lit("</body></html>"))
+    return d.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+_DOCS_LINKS_SQL = (
+    "SELECT doc_id, "
+    "'https://WWW.Site' || cast(doc_id % 23 as varchar) || '.example' || "
+    "cast(doc_id % 5 as varchar) || '.com:443/p/' || "
+    "cast(doc_id as varchar) AS url, "
+    "'<html><body><p>doc ' || cast(doc_id as varchar) || '</p>' || chr(10) "
+    "|| '<a href=\"https://site' || cast(((doc_id*7+1) % 1000) % 23 as varchar) "
+    "|| '.example' || cast(((doc_id*7+1) % 1000) % 5 as varchar) "
+    "|| '.com/p/' || cast((doc_id*7+1) % 1000 as varchar) "
+    "|| '?utm_source=feed&b=2&a=1\">story</a>' || chr(10) "
+    "|| '<a class=\"nav\" href=\"/about/' || cast(doc_id % 11 as varchar) "
+    "|| '\">about us</a>' "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN '<a href=\"//cdn.assets' || "
+    "cast(doc_id % 4 as varchar) || '.net/lib\">cdn</a>' ELSE '' END) "
+    "|| '<a href=\"#top\">top</a><a href=\"javascript:void(0)\">x</a>' "
+    "|| (CASE WHEN doc_id % 2 = 0 THEN '<a href=\"rel/path.html\">rel</a>' "
+    "ELSE '' END) "
+    "|| '<a href=''https://singlequoted.example9.com/''>sq</a>' "
+    "|| '</body></html>' AS html "
+    "FROM documents")
+
+
+def q_page_links(spark, sf_dir):
+    """Per-link rows from raw HTML (operators/links.page_links):
+    double-quoted hrefs extracted by one codegen regex, resolved against
+    the page URL (absolute / protocol-relative / root-relative;
+    fragments, javascript:/mailto: and directory-relative drop), then
+    canonicalized.  No UDFs anywhere — the 10^12-page extraction path
+    stays in whole-stage codegen."""
+    return links.page_links(_docs_links(spark, sf_dir))
+
+
+def q_link_graph(spark, sf_dir):
+    """Registered-domain link graph (operators/links.link_graph):
+    (src, dst, weight) edges; self-domain navigation drops out, the only
+    shuffle is the partial-agg'd (src, dst) groupBy."""
+    return links.link_graph(_docs_links(spark, sf_dir), grain="domain")
+
+
+def q_link_pagerank(spark, sf_dir):
+    """End-to-end web-graph authority: HTML -> link extraction ->
+    domain edges -> PageRank (deterministic mode), the full crawl-side
+    pipeline in one plan.  The oracle replays extraction AND all 6
+    power iterations bit-identically (sorted folds both sides)."""
+    edges = links.link_graph(_docs_links(spark, sf_dir), grain="domain")
+    out = graph.pagerank(edges.select("src", "dst"), n_iter=6,
+                         deterministic=True)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_spatial_clusters(spark, sf_dir):
+    """Grid-density clustering (operators/spatial.py): events bucket
+    into res-4 cells, cells with >= 2 points are dense, touching dense
+    cells (8-neighborhood, antimeridian wrap) merge via the O(log n)
+    star-contraction CC; label = min cell id.  The oracle replays the
+    same arithmetic neighbors with a RECURSIVE min-label CTE."""
+    return spatial.grid_clusters(_events_geo(spark, sf_dir),
+                                 res=4, min_pts=2)
+
+
+def q_spatial_cluster_stats(spark, sf_dir):
+    """Per-cluster rollup of q_spatial_clusters: (cluster_id, n_cells,
+    n_points) — the 'name the urban blobs' aggregate."""
+    return spatial.cluster_stats(_events_geo(spark, sf_dir),
+                                 res=4, min_pts=2)
+
+
 def q_url_canonical(spark, sf_dir):
     """crawl-URL canonicalization: case, default ports, tracking params,
     param order, trailing slash and fragments collapse to one key
@@ -1551,6 +1651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
+        "spatial_clusters": q_spatial_clusters,
+        "spatial_cluster_stats": q_spatial_cluster_stats,
+        "page_links": q_page_links,
+        "link_graph": q_link_graph,
+        "link_pagerank": q_link_pagerank,
         "dsir_select": q_dsir_select,
         "lm_perplexity": q_lm_perplexity,
         "pagerank": q_pagerank,
@@ -1986,6 +2091,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_chars, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), '\\s+')) end "
             "as bigint) AS tc FROM documents) GROUP BY source"),
+        "spatial_clusters": spatial.grid_clusters_sql(
+            _EVENTS_GEO_SQL, res=4, min_pts=2),
+        "spatial_cluster_stats": spatial.cluster_stats_sql(
+            _EVENTS_GEO_SQL, res=4, min_pts=2),
+        "page_links": links.page_links_sql(_DOCS_LINKS_SQL),
+        "link_graph": links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain"),
+        "link_pagerank": (
+            "SELECT node, round(rank, 9) AS rank FROM ("
+            + graph.pagerank_sql(
+                "SELECT src, dst FROM ("
+                + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")
+                + ")", n_iter=6)
+            + ") t"),
         "pagerank": (
             "SELECT node, round(rank, 9) AS rank FROM ("
             + graph.pagerank_sql(

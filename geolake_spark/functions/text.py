@@ -756,3 +756,88 @@ def make_normalize_udf(form: str = "NFC"):
 
 def nfc_normalize_col(text: Column) -> Column:
     return make_normalize_udf("NFC")(text)
+
+# ---------------------------------------------------------------------------
+# Hyperlink extraction (the web-graph tier)
+# ---------------------------------------------------------------------------
+# A Common-Crawl-style pipeline derives the LINK GRAPH from the raw HTML:
+# hrefs out of every page, resolved against the page URL, canonicalized,
+# and aggregated into (src, dst, weight) edges that feed PageRank /
+# domain-authority scoring (operators/graph.py) and crawl-frontier
+# selection.  Same design rules as html_strip above: the extractor is a
+# chain of JVM regex expressions in the Java/RE2 common subset so the
+# DuckDB oracle runs the IDENTICAL pattern strings.
+#
+# Contract (documented, deliberately conservative):
+#   * hrefs are taken from double-quoted ``href="..."`` attributes of
+#     ``<a>`` tags (the normalized-crawl shape; single-quoted/bare attrs
+#     are a parser-tier concern, like the real HTML5 decode hooks in
+#     functions/media.py);
+#   * resolution keeps absolute http(s) links, protocol-relative
+#     ``//host/...`` (base scheme), and root-relative ``/path`` (base
+#     scheme://host); fragments, javascript:/mailto:/data:/tel: and
+#     directory-relative paths resolve to '' (dropped) — host-level web
+#     graphs (the 100 TB use case) lose nothing, since a directory-
+#     relative link can only point at its own host.
+
+_HREF_RE = r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'
+_HTTP_ABS_RE = r"(?i)^https?://"
+
+
+def extract_hrefs_col(html: Column) -> Column:
+    """array<string> of raw href values from ``<a href="...">`` tags."""
+    return F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+
+
+def extract_hrefs_sql(html_expr: str) -> str:
+    pat = _HREF_RE.replace("'", "''")
+    return f"regexp_extract_all({html_expr}, '{pat}', 1)"
+
+
+def resolve_link_col(href: Column, base_url: Column) -> Column:
+    """Absolute form of ``href`` against ``base_url`` per the contract
+    above ('' when dropped).  Pure codegen — no UDF."""
+    scheme = F.lower(F.regexp_extract(base_url, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(base_url, _URL_AUTH_RE, 1))
+    return (F.when(scheme == "", F.lit(""))
+            .when(href.rlike(_HTTP_ABS_RE), href)
+            .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+            .when(href.startswith("/"),
+                  F.concat(scheme, F.lit("://"), host, href))
+            .otherwise(F.lit("")))
+
+
+def resolve_link_sql(href_expr: str, base_expr: str) -> str:
+    """DuckDB mirror of :func:`resolve_link_col` (identical patterns)."""
+    h, u = href_expr, base_expr
+    scheme = f"lower(regexp_extract({u}, '{_URL_SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({u}, '{_URL_AUTH_RE}', 1))"
+    return (f"(CASE WHEN {scheme} = '' THEN '' "
+            f"WHEN regexp_matches({h}, '{_HTTP_ABS_RE}') THEN {h} "
+            f"WHEN {h} LIKE '//%' THEN {scheme} || ':' || {h} "
+            f"WHEN {h} LIKE '/%' THEN {scheme} || '://' || {host} || {h} "
+            f"ELSE '' END)")
+
+
+def anchor_text_pairs_col(html: Column) -> Column:
+    """array<struct<href,anchor>> — href plus its visible anchor text
+    (inner tags stripped, whitespace collapsed).  Both arrays come from
+    the SAME pattern so they align match-for-match."""
+    pat = _HREF_RE + r"[^>]*>(.*?)</a>"
+    hrefs = F.regexp_extract_all(html, F.lit(pat), F.lit(1))
+    raw = F.regexp_extract_all(html, F.lit(pat), F.lit(2))
+    anchors = F.transform(raw, lambda a: F.trim(F.regexp_replace(
+        F.regexp_replace(a, r"(?is)</?[a-z][^>]*>", " "),
+        _WS_CLASS, " ")))
+    return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+
+
+def anchor_text_pairs_sql(html_expr: str) -> str:
+    pat = (_HREF_RE + r"[^>]*>(.*?)</a>").replace("'", "''")
+    hrefs = f"regexp_extract_all({html_expr}, '{pat}', 1)"
+    raw = f"regexp_extract_all({html_expr}, '{pat}', 2)"
+    anchors = (f"list_transform({raw}, a -> trim(regexp_replace("
+               f"regexp_replace(a, '(?is)</?[a-z][^>]*>', ' ', 'g'), "
+               f"'{_WS_CLASS}', ' ', 'g')))")
+    return (f"list_transform(list_zip({hrefs}, {anchors}), "
+            f"z -> {{'href': z[1], 'anchor': z[2]}})")

@@ -1,0 +1,100 @@
+"""Web link graph — pages (url, html) -> (src, dst, weight) edges.
+
+The web-graph slice of the Common-Crawl-style pipeline: hyperlinks are
+extracted from the raw HTML (functions/text.py regex tier, pure
+codegen), resolved against the page URL, canonicalized
+(url_canonical_col) and aggregated to weighted edges at either URL or
+registered-domain grain.  The edges feed PageRank (operators/graph.py),
+domain-authority gates in the curation pipeline, and crawl-frontier
+scoring.
+
+Scale shape (the 10^12-page story): href extraction and resolution are
+map-side expressions inside whole-stage codegen over the page scan; the
+explode multiplies rows ~50x but never shuffles; the ONLY shuffle is the
+final (src, dst) groupBy, and Spark's partial aggregation collapses
+duplicate edges map-side first — a domain-grain graph of a 10^12-page
+crawl aggregates down to ~10^8 domain pairs.  Hub skew (every page
+links to a handful of mega-domains) is absorbed by the partial agg: the
+hot (src, dst) pair is pre-counted per task before the exchange.
+
+Reference analogue: none — geolake has no text/web operators; this is
+part of the repo's LLM-training-data surface (SURVEY.md LLM table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geolake_spark.functions import text as tx
+
+
+def page_links(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """One row per resolved outlink: ``(url, href, link_url)`` where
+    ``link_url`` is the canonicalized absolute target ('' rows are
+    already dropped).  The un-aggregated tier — inputs to anchor-text
+    and frontier operators that need per-link rows."""
+    href = F.explode(tx.extract_hrefs_col(F.col(html_col))).alias("href")
+    out = pages.select(F.col(url_col).alias("url"), href)
+    link = tx.url_canonical_col(
+        tx.resolve_link_col(F.col("href"), F.col("url")))
+    return (out.withColumn("link_url", link)
+            .filter(F.col("link_url") != ""))
+
+
+def link_graph(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html", grain: str = "domain",
+               external_only: bool = False) -> DataFrame:
+    """Weighted edge list ``(src, dst, weight)``.
+
+    ``grain="domain"`` keys edges by registered domain (the web-graph
+    norm — PageRank over hosts); ``grain="url"`` keeps canonical URLs.
+    Self-edges (src == dst) are always dropped — at domain grain that
+    also removes intra-site navigation, which is what
+    ``external_only`` means there (kept as an explicit flag for the
+    url grain, where it prunes same-domain pairs before the groupBy)."""
+    assert grain in ("domain", "url")
+    links = page_links(pages, url_col, html_col)
+    if grain == "domain":
+        src = tx.registered_domain_col(F.col("url"))
+        dst = tx.registered_domain_col(F.col("link_url"))
+    else:
+        src = tx.url_canonical_col(F.col("url"))
+        dst = F.col("link_url")
+    e = links.select(src.alias("src"), dst.alias("dst"))
+    if external_only and grain == "url":
+        e = e.filter(tx.registered_domain_col(F.col("src"))
+                     != tx.registered_domain_col(F.col("dst")))
+    return (e.filter((F.col("src") != "") & (F.col("dst") != "")
+                     & (F.col("src") != F.col("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def page_links_sql(pages_sql: str, url_expr: str = "url",
+                   html_expr: str = "html") -> str:
+    """DuckDB mirror of :func:`page_links` (lateral unnest of the same
+    extraction regex, same resolve + canonicalize expressions)."""
+    link = tx.url_canonical_sql(tx.resolve_link_sql("u.href", url_expr))
+    return (f"SELECT {url_expr} AS url, u.href AS href, {link} AS link_url "
+            f"FROM ({pages_sql}) p, "
+            f"unnest({tx.extract_hrefs_sql(html_expr)}) AS u(href) "
+            f"WHERE {link} <> ''")
+
+
+def link_graph_sql(pages_sql: str, url_expr: str = "url",
+                   html_expr: str = "html", grain: str = "domain") -> str:
+    """DuckDB mirror of :func:`link_graph`."""
+    assert grain in ("domain", "url")
+    inner = page_links_sql(pages_sql, url_expr, html_expr)
+    if grain == "domain":
+        src = tx.registered_domain_sql("url")
+        dst = tx.registered_domain_sql("link_url")
+    else:
+        src = tx.url_canonical_sql("url")
+        dst = "link_url"
+    return (f"SELECT src, dst, count(*) AS weight FROM ("
+            f"SELECT {src} AS src, {dst} AS dst FROM ({inner})) "
+            f"WHERE src <> '' AND dst <> '' AND src <> dst "
+            f"GROUP BY src, dst")

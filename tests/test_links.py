@@ -1,0 +1,97 @@
+"""Link extraction + link graph (functions/text.py, operators/links.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geolake_spark.functions import text as tx
+from geolake_spark.operators import links
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_hrefs_contract(spark):
+    html = ('<a href="https://a.com/x">one</a>'
+            "<a href='https://sq.com/'>single-quoted ignored</a>"
+            '<A HREF="HTTPS://UP.COM/Y">case-insensitive tag</A>'
+            '<a class="z" href="/rel">attr before href</a>'
+            '<a href="#frag">kept by extractor</a>')
+    df = _pages(spark, [("https://base.com/p", html)])
+    out = df.select(tx.extract_hrefs_col(F.col("html")).alias("h")) \
+        .collect()[0]["h"]
+    assert out == ["https://a.com/x", "HTTPS://UP.COM/Y", "/rel", "#frag"]
+
+
+def test_resolve_link_shapes(spark):
+    base = "https://User:pw@Host.Example.COM:443/dir/page?x=1#f"
+    cases = [
+        ("https://abs.com/p?a=1", "https://abs.com/p?a=1"),
+        ("HTTP://abs.com/", "HTTP://abs.com/"),       # kept verbatim
+        ("//cdn.net/lib.js", "https://cdn.net/lib.js"),
+        # resolution lowercases/strips userinfo but keeps the port —
+        # default-port dropping is canonicalization's job downstream
+        ("/root/path", "https://host.example.com:443/root/path"),
+        ("#top", ""),
+        ("javascript:void(0)", ""),
+        ("mailto:a@b.c", ""),
+        ("rel/path.html", ""),                        # directory-relative
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(h, base) for h, _ in cases],
+                               "href string, base string")
+    got = [r[0] for r in df.select(
+        tx.resolve_link_col(F.col("href"), F.col("base"))).collect()]
+    assert got == [want for _, want in cases]
+    # base without a scheme -> everything drops
+    df2 = spark.createDataFrame([("/x", "not-a-url")],
+                                "href string, base string")
+    assert df2.select(tx.resolve_link_col(
+        F.col("href"), F.col("base"))).collect()[0][0] == ""
+
+
+def test_page_links_and_graph(spark):
+    rows = [
+        ("https://www.a.com/1",
+         '<a href="https://b.com/x?utm_source=s&z=2&a=1">b</a>'
+         '<a href="/local">nav</a><a href="#f">frag</a>'),
+        ("https://sub.a.com/2", '<a href="//b.com/y">b2</a>'),
+        ("https://b.com/3", '<a href="https://www.a.com/1/">a</a>'),
+    ]
+    pl = links.page_links(_pages(spark, rows)).collect()
+    by_url = {}
+    for r in pl:
+        by_url.setdefault(r["url"], []).append(r["link_url"])
+    # canonicalization: tracking param dropped, params sorted
+    assert by_url["https://www.a.com/1"] == [
+        "https://b.com/x?a=1&z=2", "https://www.a.com/local"]
+    assert by_url["https://sub.a.com/2"] == ["https://b.com/y"]
+    # trailing slash collapsed by canonicalization
+    assert by_url["https://b.com/3"] == ["https://www.a.com/1"]
+
+    g = {(r["src"], r["dst"]): r["weight"]
+         for r in links.link_graph(_pages(spark, rows)).collect()}
+    # self-domain nav edge (a.com -> a.com) dropped; subdomain folds in
+    assert g == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+
+
+def test_link_graph_url_grain_external_only(spark):
+    rows = [("https://a.com/1",
+             '<a href="https://a.com/2">in</a><a href="https://b.com/">out</a>')]
+    g = links.link_graph(_pages(spark, rows), grain="url",
+                         external_only=True).collect()
+    assert [(r["src"], r["dst"], r["weight"]) for r in g] == [
+        ("https://a.com/1", "https://b.com/", 1)]  # root path stays '/'
+    g2 = links.link_graph(_pages(spark, rows), grain="url").collect()
+    assert len(g2) == 2  # internal edge kept without the flag
+
+
+def test_anchor_text_pairs(spark):
+    html = ('<a href="https://a.com/">Read <b>more</b>\n here</a>'
+            '<a href="/x">plain</a>')
+    df = _pages(spark, [("https://base.com/", html)])
+    out = df.select(tx.anchor_text_pairs_col(F.col("html"))
+                    .alias("p")).collect()[0]["p"]
+    assert [(r["href"], r["anchor"]) for r in out] == [
+        ("https://a.com/", "Read more here"), ("/x", "plain")]

@@ -1,0 +1,87 @@
+"""Grid-density spatial clustering (operators/spatial.py)."""
+
+from __future__ import annotations
+
+from geolake_spark import cells
+from geolake_spark.operators import spatial
+
+RES = 6  # nx=512, ny=256 -> cell width 0.703 deg lon, height 0.703 deg lat
+
+
+def _pts(spark, coords):
+    return spark.createDataFrame([(float(a), float(b)) for a, b in coords],
+                                 "lat double, lon double")
+
+
+def _clusters(spark, coords, min_pts=1, res=RES):
+    rows = spatial.grid_clusters(_pts(spark, coords), res=res,
+                                 min_pts=min_pts).collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r["cluster_id"], set()).add(r["cell"])
+    return rows, comp
+
+
+def test_two_separated_blobs(spark):
+    blob_a = [(10.1 + 0.7 * i, 20.1 + 0.7 * i) for i in range(3)]  # diagonal chain
+    blob_b = [(-40.0, -120.0)]
+    rows, comp = _clusters(spark, blob_a + blob_b)
+    assert len(comp) == 2
+    sizes = sorted(len(v) for v in comp.values())
+    assert sizes == [1, 3]
+    # labels are the min cell id of each component
+    for cid, cs in comp.items():
+        assert cid == min(cs)
+
+
+def test_min_pts_density_gate(spark):
+    # two points in one cell, one point alone in a far cell
+    coords = [(10.0, 10.0), (10.01, 10.01), (-50.0, 60.0)]
+    rows, comp = _clusters(spark, coords, min_pts=2)
+    assert len(rows) == 1 and rows[0]["n_points"] == 2
+    rows1, _ = _clusters(spark, coords, min_pts=1)
+    assert sum(r["n_points"] for r in rows1) == 3
+
+
+def test_antimeridian_wrap_merges(spark):
+    # same latitude band, straddling lon=180: ix 0 and ix nx-1 must touch
+    coords = [(0.1, 179.9), (0.1, -179.9)]
+    rows, comp = _clusters(spark, coords)
+    assert len(comp) == 1 and len(rows) == 2
+
+
+def test_pole_rows_clamp_without_wrap(spark):
+    # iy=0 cells: neighbors with iy-1 must vanish, not wrap to the south
+    coords = [(89.9, 10.0), (89.9, 10.8), (-89.9, 10.0)]
+    rows, comp = _clusters(spark, coords)
+    assert len(comp) == 2  # north pair merges, south point separate
+
+
+def test_diagonal_touch_is_connected(spark):
+    # two points in diagonally adjacent cells (8-neighborhood)
+    nxw = 360.0 / 512
+    coords = [(0.1, 0.1), (0.1 + nxw, 0.1 + nxw)]
+    rows, comp = _clusters(spark, coords)
+    assert len(comp) == 1
+    cA = cells.grid_cell(coords[0][0], coords[0][1], RES)
+    cB = cells.grid_cell(coords[1][0], coords[1][1], RES)
+    ixa, iya = cells.cell_ixy(cA)
+    ixb, iyb = cells.cell_ixy(cB)
+    assert abs(int(ixa) - int(ixb)) == 1 and abs(int(iya) - int(iyb)) == 1
+
+
+def test_assign_clusters_labels_points(spark):
+    coords = [(10.0, 10.0), (10.01, 10.01), (-50.0, 60.0)]
+    out = spatial.assign_clusters(_pts(spark, coords), res=RES,
+                                  min_pts=2).collect()
+    labels = [r["cluster_id"] for r in out]
+    assert sum(1 for v in labels if v is not None) == 2
+    assert sum(1 for v in labels if v is None) == 1
+
+
+def test_cluster_stats_rollup(spark):
+    coords = [(10.1, 20.1), (10.1, 20.9), (10.2, 20.2), (-40.0, -120.0)]
+    st = {r["cluster_id"]: (r["n_cells"], r["n_points"])
+          for r in spatial.cluster_stats(_pts(spark, coords),
+                                         res=RES).collect()}
+    assert sorted(st.values()) == [(1, 1), (2, 3)]
