@@ -934,6 +934,21 @@ def q_link_pagerank(spark, sf_dir):
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Mergeable histogram quantile sketch (operators/sketches.py): the
+    100 TB percentile path — binning in the scan stage, the shuffle
+    carries <= nbins integer rows per group, quantiles interpolate in
+    the landing bin via a deterministic fold the oracle replays with
+    list_reduce.  Accuracy vs exact percentiles is asserted in
+    tests/test_sketches.py (<= one bin width)."""
+    e = _t(spark, sf_dir, "events")
+    sk = sketches.hist_sketch(e, "value", lo=0.0, hi=500.0, nbins=128,
+                              group_cols=["event_type"])
+    return sketches.hist_quantiles(sk, [0.25, 0.5, 0.9, 0.99],
+                                   lo=0.0, hi=500.0, nbins=128,
+                                   group_cols=["event_type"])
+
+
 def q_spatial_clusters(spark, sf_dir):
     """Grid-density clustering (operators/spatial.py): events bucket
     into res-4 cells, cells with >= 2 points are dense, touching dense
@@ -1651,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
+        "hist_quantiles": q_hist_quantiles,
         "spatial_clusters": q_spatial_clusters,
         "spatial_cluster_stats": q_spatial_cluster_stats,
         "page_links": q_page_links,
@@ -2091,6 +2107,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_chars, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), '\\s+')) end "
             "as bigint) AS tc FROM documents) GROUP BY source"),
+        "hist_quantiles": sketches.hist_quantiles_sql(
+            "events", "value", [0.25, 0.5, 0.9, 0.99],
+            lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
         "spatial_clusters": spatial.grid_clusters_sql(
             _EVENTS_GEO_SQL, res=4, min_pts=2),
         "spatial_cluster_stats": spatial.cluster_stats_sql(

@@ -270,3 +270,121 @@ SELECT e.k AS {out_col}, e.est_count, x.n_exact
 FROM _cms_est e JOIN _cms_exact x USING (k)
 WHERE e.est_count >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+# Exact percentiles (operators/.. corpus_profile) sort/shuffle every
+# VALUE — at 100 TB that is the single most expensive aggregate in a
+# profiling pass.  The fixed-bin histogram sketch reduces a group to at
+# most ``nbins`` (bin, count) integer rows: binning is one codegen
+# expression in the scan stage, the shuffle carries bins (not values),
+# partial aggregation collapses map-side, and sketches from different
+# shards/days/snapshots MERGE by summing counts (the same
+# persist-then-merge contract as the HLL register table above).
+# Quantiles come from the cumulative distribution with linear
+# interpolation inside the landing bin — error is bounded by one bin
+# width, the classic accuracy/size trade (t-digest territory; the
+# fixed-bin variant is chosen because its arithmetic is deterministic
+# integer + fixed-order scalar float, so the DuckDB oracle replays it
+# bit-identically, which an adaptive sketch cannot offer).
+#
+# Contract: values are clamped into [lo, hi] (outliers land in the edge
+# bins — documented, matches how profile ranges are chosen from schema
+# knowledge); quantile q must be in (0, 1].
+
+
+def hist_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
+                nbins: int = 128,
+                group_cols: Sequence[str] = ()) -> DataFrame:
+    """``(*group_cols, bin, cnt)`` — the persistable sketch table."""
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo)))
+                   / F.lit(float(hi) - float(lo)) * nbins), F.lit(0)),
+        F.lit(nbins - 1)).cast("int")
+    return (df.groupBy(*group_cols, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_merge(*sketches: DataFrame,
+               group_cols: Sequence[str] = ()) -> DataFrame:
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "bin")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def hist_quantiles(sketch: DataFrame, qs: Sequence[float],
+                   lo: float, hi: float, nbins: int = 128,
+                   group_cols: Sequence[str] = ()) -> DataFrame:
+    """``(*group_cols, q, value)`` per requested quantile.
+
+    The landing bin is the first (by bin order) whose cumulative count
+    reaches ``q * total``; the value interpolates linearly inside it:
+    ``lo + (bin + (r - cum_before)/cnt) * width``.  Expressed as a
+    cumulative window over the (<= nbins-row-per-group) sketch — integer
+    counts plus one fixed-shape scalar float expression, so the SQL
+    mirror is bit-identical.  ``q`` must be in (0, 1]."""
+    from pyspark.sql import Window
+    width = (float(hi) - float(lo)) / nbins
+    wc = (Window.partitionBy(*[F.col(c) for c in group_cols])
+          .orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(*[F.col(c) for c in group_cols])
+    c = (sketch.withColumn("cum", F.sum("cnt").over(wc))
+         .withColumn("total", F.sum("cnt").over(wt))
+         .withColumn("q", F.explode(
+             F.array(*[F.lit(float(q)) for q in qs]))))
+    r = F.col("q") * F.col("total")
+    prev = F.col("cum") - F.col("cnt")
+    value = (F.lit(float(lo))
+             + (F.col("bin") + (r - prev) / F.col("cnt")) * F.lit(width))
+    return (c.filter((F.col("cum") >= r) & (prev < r))
+            .select(*group_cols, "q", F.round(value, 6).alias("value")))
+
+
+def hist_sketch_sql(table: str, value_expr: str, lo: float, hi: float,
+                    nbins: int = 128,
+                    group_cols: Sequence[str] = ()) -> str:
+    g = "".join(f"{c}, " for c in group_cols)
+    b = (f"cast(least(greatest(floor((cast({value_expr} as double) - {float(lo)!r}) "
+         f"/ {float(hi) - float(lo)!r} * {nbins}), 0), {nbins - 1}) as int)")
+    return (f"SELECT {g}{b} AS bin, count(*) AS cnt "
+            f"FROM {table} GROUP BY {g}bin")
+
+
+def hist_quantiles_sql(table: str, value_expr: str, qs: Sequence[float],
+                       lo: float, hi: float, nbins: int = 128,
+                       group_cols: Sequence[str] = ()) -> str:
+    """DuckDB twin: same binning, same cumulative-window landing-bin
+    pick, same interpolation expression shape.
+
+    (A list_reduce fold was tried first and abandoned: DuckDB 1.0
+    evaluates struct-literal fields SEQUENTIALLY inside the reduce
+    lambda, so later fields read the already-updated accumulator —
+    silent wrong results vs Spark's snapshot semantics.  The window
+    form is portable and is also what the Spark side runs.)"""
+    g = "".join(f"{c}, " for c in group_cols)
+    part = ("PARTITION BY " + ", ".join(group_cols)
+            if group_cols else "")
+    width = (float(hi) - float(lo)) / nbins
+    sketch = hist_sketch_sql(table, value_expr, lo, hi, nbins, group_cols)
+    qvals = ", ".join(f"(cast({float(q)!r} as double))" for q in qs)
+    return f"""
+WITH _hs AS ({sketch}),
+_hc AS (
+  SELECT {g}bin, cnt,
+         sum(cnt) OVER ({part} ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER ({part}) AS total
+  FROM _hs
+),
+_hq AS (SELECT * FROM _hc, (VALUES {qvals}) AS _q(q))
+SELECT {g}q,
+       round({float(lo)!r} + (bin + (q * total - (cum - cnt)) / cnt)
+             * {width!r}, 6) AS value
+FROM _hq
+WHERE cum >= q * total AND (cum - cnt) < q * total"""

@@ -116,3 +116,61 @@ def test_cms_estimate_broadcasts_sketch(spark):
     plan = sketches.cms_estimate(sk, df.select("k").distinct(), "k", 4, 256) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantile_within_one_bin_width(spark):
+    # exponential-ish skew via id*id % 10007 — compare to exact percentile
+    df = spark.range(0, 20_000).selectExpr(
+        "cast((id * id) % 10007 as double) as v")
+    nbins, lo, hi = 200, 0.0, 10007.0
+    width = (hi - lo) / nbins
+    sk = sketches.hist_sketch(df, "v", lo, hi, nbins)
+    got = {r["q"]: r["value"]
+           for r in sketches.hist_quantiles(sk, [0.1, 0.5, 0.9],
+                                            lo, hi, nbins).collect()}
+    exact = df.selectExpr(
+        "percentile(v, array(0.1, 0.5, 0.9)) as p").collect()[0]["p"]
+    for q, e in zip([0.1, 0.5, 0.9], exact):
+        assert abs(got[q] - e) <= width, (q, got[q], e)
+
+
+def test_hist_merge_equals_whole(spark):
+    a = spark.range(0, 5000).selectExpr("cast(id % 997 as double) as v")
+    b = spark.range(5000, 9000).selectExpr("cast(id % 997 as double) as v")
+    whole = sketches.hist_sketch(a.unionByName(b), "v", 0.0, 1000.0, 64)
+    merged = sketches.hist_merge(
+        sketches.hist_sketch(a, "v", 0.0, 1000.0, 64),
+        sketches.hist_sketch(b, "v", 0.0, 1000.0, 64))
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+    # quantiles off the merged sketch == off the whole-data sketch
+    qw = sorted(map(tuple, sketches.hist_quantiles(
+        whole, [0.5], 0.0, 1000.0, 64).collect()))
+    qm = sorted(map(tuple, sketches.hist_quantiles(
+        merged, [0.5], 0.0, 1000.0, 64).collect()))
+    assert qw == qm
+
+
+def test_hist_outliers_clamp_to_edge_bins(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [-100.0, 0.5, 1.5, 999.0]}))
+    sk = {r["bin"]: r["cnt"]
+          for r in sketches.hist_sketch(df, "v", 0.0, 2.0, 4).collect()}
+    # bins are 0.5 wide: -100 clamps to bin 0, 0.5 sits on the 0/1
+    # boundary (bin 1), 1.5 on the 2/3 boundary and 999 clamps — bin 3
+    assert sk == {0: 1, 1: 1, 3: 2}
+
+
+def test_hist_sketch_bounded_and_grouped(spark):
+    df = spark.range(0, 50_000).selectExpr(
+        "cast(id % 3 as string) as g", "cast(id % 313 as double) as v")
+    sk = sketches.hist_sketch(df, "v", 0.0, 320.0, 32, group_cols=["g"])
+    assert sk.count() <= 3 * 32
+    out = sketches.hist_quantiles(sk, [0.25, 1.0], 0.0, 320.0, 32,
+                                  group_cols=["g"]).collect()
+    assert len(out) == 6  # one row per (group, q); q=1.0 lands in a bin
