@@ -934,6 +934,27 @@ def q_link_pagerank(spark, sf_dir):
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+_SD_BOILER = ("subscribe to our newsletter for daily updates special "
+              "offers and breaking news alerts")
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup with span REMOVAL (operators/curation.py
+    remove_duplicate_spans, Lee et al. 2022): every doc_id%3==0 doc
+    carries the same boilerplate footer — its k-token windows are
+    corpus-duplicated, so the footer (and any naturally repeated
+    k-window in the base text) is cut from every document while unique
+    prose survives.  The oracle replays tokenization, md5 window
+    fingerprints, the dup set, and the coverage filter."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit(" " + _SD_BOILER)).otherwise(F.lit("")))
+        .alias("text"))
+    return curation.remove_duplicate_spans(d, k=6)
+
+
 def q_hist_quantiles(spark, sf_dir):
     """Mergeable histogram quantile sketch (operators/sketches.py): the
     100 TB percentile path — binning in the scan stage, the shuffle
@@ -1666,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
+        "substring_dedup": q_substring_dedup,
         "hist_quantiles": q_hist_quantiles,
         "spatial_clusters": q_spatial_clusters,
         "spatial_cluster_stats": q_spatial_cluster_stats,
@@ -2107,6 +2129,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_chars, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), '\\s+')) end "
             "as bigint) AS tc FROM documents) GROUP BY source"),
+        "substring_dedup": curation.remove_duplicate_spans_sql(
+            "SELECT doc_id, text || (CASE WHEN doc_id % 3 = 0 THEN "
+            f"' {_SD_BOILER}' ELSE '' END) AS text FROM documents", k=6),
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),

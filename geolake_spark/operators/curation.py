@@ -711,3 +711,128 @@ SELECT {id_col}, cast(chunk_idx as bigint) AS chunk_idx,
        cast(len({piece}) as bigint) AS n_tokens
 FROM _ck_base
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup — span REMOVAL, not document removal
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better": any k-token span appearing more than once in the corpus is
+# cut from every document; boilerplate/licenses/templated footers
+# vanish while the unique prose stays.)
+# ---------------------------------------------------------------------------
+# Spark shape: per doc, every k-token window becomes (doc_id, pos, fp)
+# with fp = md5 of the token slice (md5 because Spark and DuckDB agree
+# bit-for-bit, so the ORACLE replays the fingerprints; the suffix-array
+# construction of the paper is a single-machine algorithm — the
+# window-fingerprint formulation is the distributed equivalent and
+# finds the identical >= k-token duplicated regions).  One groupBy(fp)
+# finds globally duplicated windows (map-side partial agg first), an
+# id-only join marks the covered positions, and the rebuild is a pure
+# HOF expression: keep token i unless some duplicated window start p
+# covers it (p <= i < p + k).  Token-level reconstruction re-joins with
+# single spaces — the documented contract (same as the tokenizer
+# elsewhere: downstream consumers are token-based).
+#
+# Scale notes: the window explode is ~n_tokens rows/doc but never
+# shuffles wider than (fp) partial-aggregated counts; the dup-position
+# join ships only duplicated fps; skew (one boilerplate line in 10^9
+# docs) lands on distinct (fp, doc) rows, not one reducer row, because
+# the count tier pre-aggregates and the join fans back out map-side.
+
+
+def _span_toks(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+
+
+def span_windows(df: DataFrame, k: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, pos, fp)`` — one row per k-token window (pos 1-based)."""
+    toks = _span_toks(F.col(text_col))
+    cnt = F.size(toks) - F.lit(k - 1)
+    wins = F.when(cnt <= 0, F.array().cast("array<struct<pos:int,fp:string>>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.concat_ws("\x1f", F.slice(toks, i, k)))
+                .alias("fp"))))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(wins).alias("w"))
+            .select("doc_id", F.col("w.pos").alias("pos"),
+                    F.col("w.fp").alias("fp")))
+
+
+def remove_duplicate_spans(df: DataFrame, k: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_count: int = 2) -> DataFrame:
+    """``(doc_id, clean_text, n_tokens, n_removed)`` with every token
+    covered by a corpus-duplicated k-token window removed."""
+    win = span_windows(df, k, text_col, id_col)
+    dup_fp = (win.groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") >= min_count)
+              .select("fp"))
+    dups = (win.join(dup_fp, "fp")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("dups")))
+    toks = _span_toks(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    j = base.join(dups, "doc_id", "left").withColumn(
+        "dups", F.coalesce(F.col("dups"), F.array().cast("array<int>")))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
+        lambda i: (i <= F.size("toks"))
+        & (F.size(F.filter(F.col("dups"),
+                           lambda p: (p <= i) & (i < p + k))) == 0))
+    return (j.withColumn("kept", kept)
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.transform(
+                    F.col("kept"),
+                    lambda i: F.element_at(F.col("toks"), i.cast("int"))))
+                .alias("clean_text"),
+                F.size("toks").cast("bigint").alias("n_tokens"),
+                (F.size("toks") - F.size("kept")).cast("bigint")
+                .alias("n_removed")))
+
+
+def remove_duplicate_spans_sql(docs_sql: str, k: int = 8,
+                               text_expr: str = "text",
+                               id_expr: str = "doc_id",
+                               min_count: int = 2) -> str:
+    """DuckDB twin: identical tokenization, md5 window fingerprints,
+    HAVING-count dup set, and the same coverage filter."""
+    toks = (f"(case when length(trim({text_expr})) = 0 then []::varchar[] "
+            f"else regexp_split_to_array(trim({text_expr}), '\\s+') end)")
+    return f"""
+WITH _sd_toks AS (
+  SELECT {id_expr} AS doc_id, {toks} AS toks FROM ({docs_sql})
+), _sd_win AS (
+  SELECT doc_id, cast(u.i as int) AS pos,
+         md5(array_to_string(toks[u.i:u.i+{k - 1}], chr(31))) AS fp
+  FROM _sd_toks,
+       unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS u(i)
+), _sd_dupfp AS (
+  SELECT fp FROM _sd_win GROUP BY fp HAVING count(*) >= {min_count}
+), _sd_dups AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS dups
+  FROM _sd_win JOIN _sd_dupfp USING (fp) GROUP BY doc_id
+), _sd_join AS (
+  SELECT t.doc_id, t.toks, coalesce(d.dups, []::int[]) AS dups
+  FROM _sd_toks t LEFT JOIN _sd_dups d USING (doc_id)
+), _sd_kept AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+           i -> len(list_filter(dups,
+                    p -> p <= i AND i < p + {k})) = 0) AS kept
+  FROM _sd_join
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, i -> toks[i]), ' '),
+                '') AS clean_text,
+       cast(len(toks) as bigint) AS n_tokens,
+       cast(len(toks) - len(kept) as bigint) AS n_removed
+FROM _sd_kept"""

@@ -344,3 +344,63 @@ def test_chunk_short_tail_kept(spark):
                  key=lambda r: r.chunk_idx)
     assert [r.n_tokens for r in out] == [4, 4, 4, 2]
     assert out[-1].chunk_text == "w9 w10"
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (span removal)
+# ---------------------------------------------------------------------------
+
+
+def _sd(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.remove_duplicate_spans(df, **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_span_removal_cuts_shared_run_keeps_unique(spark):
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 toks
+    rows = [(1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "totally unique words nothing repeats here at all")]
+    out = _sd(spark, rows, k=6)
+    # every token of the shared run is covered by some dup 6-window;
+    # unique prefix/suffix tokens survive
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "one two three four"
+    assert out[1]["n_removed"] == 10 and out[2]["n_removed"] == 10
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+
+
+def test_span_removal_same_doc_repetition_counts(spark):
+    # the 6-gram appears twice WITHIN one doc -> corpus count 2 -> cut
+    gram = "a b c d e f"
+    rows = [(1, f"x {gram} y {gram} z")]
+    out = _sd(spark, rows, k=6)
+    assert out[1]["clean_text"] == "x y z"
+    assert out[1]["n_removed"] == 12
+
+
+def test_span_removal_short_and_empty_docs_untouched(spark):
+    rows = [(1, "only five tokens right here"),
+            (2, ""), (3, "   ")]
+    out = _sd(spark, rows, k=6)
+    assert out[1]["clean_text"] == rows[0][1]
+    assert out[2]["clean_text"] == "" and out[2]["n_tokens"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens"] == 0
+
+
+def test_span_removal_min_count_threshold(spark):
+    shared = "p q r s t u"
+    rows = [(1, f"a {shared}"), (2, f"b {shared}")]
+    # duplicated twice -> survives min_count=3, cut at min_count=2
+    keep = _sd(spark, rows, k=6, min_count=3)
+    assert keep[1]["n_removed"] == 0
+    cut = _sd(spark, rows, k=6, min_count=2)
+    assert cut[1]["clean_text"] == "a" and cut[2]["clean_text"] == "b"
+
+
+def test_span_windows_positions(spark):
+    df = spark.createDataFrame([(1, "w1 w2 w3 w4")],
+                               "doc_id long, text string")
+    win = C.span_windows(df, k=3).collect()
+    assert sorted(r["pos"] for r in win) == [1, 2]
