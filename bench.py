@@ -56,7 +56,7 @@ SOLO_BASELINE = {
     "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.62,
     "dedup_exact": 0.26, "minhash_sigs": 2.19, "dedup_e2e": 7.99,
     "minhash_sigs_uni": 2.76, "ivf_train": 6.6, "ivf_query": 2.44,
-    "para_dedup": 2.94, "pq_adc": 5.52,
+    "para_dedup": 2.94, "pq_adc": 5.52, "link_graph": 4.95,
 }
 PLAUSIBLE_FACTOR = 1.5
 PLAUSIBLE_RETRIES = 2
@@ -406,6 +406,46 @@ def extra_queries(spark) -> tuple[dict, dict]:
     m_para(runs=1)  # warm-up
     timings["para_dedup"] = round(m_para(), 3)
     remeasure["para_dedup"] = m_para
+
+    # link_graph — web-graph extraction end to end over 500k pages:
+    # href regex extraction, resolution, canonicalization (all codegen)
+    # + the (src, dst) edge groupBy.  Pages carry 3 anchors each
+    # (absolute with tracking params / root-relative / protocol-relative
+    # on a third) synthesized as one concat expression — the synthesis
+    # is part of the timed plan, matching how the other text extras
+    # build their corpora.
+    from geolake_spark.operators import links as links_op
+    lid = F.col("doc_id")
+    link_corpus = uni.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), (lid % 9973).cast("string"),
+                 F.lit(".example"), (lid % 7).cast("string"),
+                 F.lit(".com/p/"), lid.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><p>'), F.substring(F.col("text"), 1, 160),
+            F.lit('</p><a href="https://site'),
+            ((lid * 7 + 1) % 9973).cast("string"),
+            F.lit(".example"), ((lid * 7 + 1) % 7).cast("string"),
+            F.lit('.com/x?utm_source=f&b=2&a=1">s</a>'),
+            F.lit('<a href="/about/'), (lid % 11).cast("string"),
+            F.lit('">a</a>'),
+            F.when(lid % 3 == 0, F.concat(
+                F.lit('<a href="//cdn.assets'), (lid % 4).cast("string"),
+                F.lit('.net/lib">c</a>'))).otherwise(F.lit("")),
+            F.lit("</body></html>")).alias("html"))
+
+    def m_links(runs=3):
+        best, n = 1e18, 0
+        for _ in range(runs):
+            t0 = time.time()
+            n = links_op.link_graph(link_corpus, grain="domain").count()
+            best = min(best, time.time() - t0)
+        info["link_graph_edges"] = n
+        return best
+
+    m_links(runs=1)  # warm-up
+    timings["link_graph"] = round(m_links(), 3)
+    remeasure["link_graph"] = m_links
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)

@@ -95,3 +95,30 @@ def test_anchor_text_pairs(spark):
                     .alias("p")).collect()[0]["p"]
     assert [(r["href"], r["anchor"]) for r in out] == [
         ("https://a.com/", "Read more here"), ("/x", "plain")]
+
+
+def test_web_graph_job_resume(spark, tmp_path):
+    """jobs/web_graph.py logic: edges commit per bucket through the
+    snapshot layer; a resumed run skips every committed bucket and the
+    PageRank read-back ranks the same graph either way."""
+    from geolake_spark.catalog import IcebergishTable
+    from geolake_spark.operators import graph
+    from geolake_spark.write import write_snapshot
+    rows = [(f"https://s{i % 5}.com/p{i}",
+             f'<a href="https://s{(i + 1) % 5}.com/x">n</a>'
+             f'<a href="https://hub.com/">h</a>')
+            for i in range(40)]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    edges = links.link_graph(pages, grain="domain").withColumn(
+        "bucket", F.pmod(F.xxhash64("src"), F.lit(4)))
+    t = IcebergishTable(str(tmp_path / "webgraph"))
+    first = write_snapshot(edges, t, ["bucket"], resume=True)
+    again = write_snapshot(edges, t, ["bucket"], resume=True)
+    assert first["written_partitions"] >= 1
+    assert again["written_partitions"] == 0
+    committed = spark.read.parquet(t.data_dir)
+    # 5 site domains each -> next site + hub; weights survive the commit
+    assert committed.count() == 10
+    ranks = graph.pagerank(committed.select("src", "dst"), n_iter=5)
+    top = ranks.orderBy(F.desc("rank")).first()
+    assert top["node"] == "hub.com"  # everyone links to the hub
