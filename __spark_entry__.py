@@ -934,6 +934,34 @@ def q_link_pagerank(spark, sf_dir):
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_polygon_raster(spark, sf_dir):
+    """Vector -> raster rasterization (operators/spatial.py
+    polygon_raster_cells): a polygon TABLE (deterministic triangles
+    around each doc's geocode; odd doc_ids left OPEN to exercise the
+    implicit closing edge) rasterizes to (polygon_id, cell) rows whose
+    centers pass the even-odd ray-cast — bbox, candidate grid, and the
+    crossing test all pure codegen HOFs, no driver collect, no UDF."""
+    d = _docs_geo(spark, sf_dir)
+    lat, lon = F.col("lat"), F.col("lon")
+    p1 = F.array(lon, lat + 0.9)
+    p2 = F.array(lon + 0.7, lat - 0.5)
+    p3 = F.array(lon - 0.8, lat - 0.3)
+    ring = F.when(F.col("doc_id") % 2 == 0, F.array(p1, p2, p3, p1)) \
+        .otherwise(F.array(p1, p2, p3))
+    polys = d.select(F.col("doc_id").alias("polygon_id"),
+                     F.array(ring).alias("rings"))
+    return spatial.polygon_raster_cells(polys, res=6)
+
+
+_POLY_RASTER_SQL_SRC = (
+    "SELECT doc_id AS polygon_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "[[[lon, lat + 0.9], [lon + 0.7, lat - 0.5], [lon - 0.8, lat - 0.3], "
+    "[lon, lat + 0.9]]] ELSE "
+    "[[[lon, lat + 0.9], [lon + 0.7, lat - 0.5], [lon - 0.8, lat - 0.3]]] "
+    f"END AS rings FROM ({_DOCS_GEO_SQL})")
+
+
 _SD_BOILER = ("subscribe to our newsletter for daily updates special "
               "offers and breaking news alerts")
 
@@ -1687,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_anatomy": q_url_anatomy,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
+        "polygon_raster": q_polygon_raster,
         "substring_dedup": q_substring_dedup,
         "hist_quantiles": q_hist_quantiles,
         "spatial_clusters": q_spatial_clusters,
@@ -2129,6 +2158,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_chars, cast(case when length(trim(text)) = 0 "
             "then 0 else len(regexp_split_to_array(trim(text), '\\s+')) end "
             "as bigint) AS tc FROM documents) GROUP BY source"),
+        "polygon_raster": spatial.polygon_raster_cells_sql(
+            _POLY_RASTER_SQL_SRC, res=6),
         "substring_dedup": curation.remove_duplicate_spans_sql(
             "SELECT doc_id, text || (CASE WHEN doc_id % 3 = 0 THEN "
             f"' {_SD_BOILER}' ELSE '' END) AS text FROM documents", k=6),

@@ -163,3 +163,138 @@ def cluster_stats_sql(points_sql: str, res: int, min_pts: int = 1,
     inner = grid_clusters_sql(points_sql, res, min_pts, lat_expr, lon_expr)
     return (f"SELECT cluster_id, count(*) AS n_cells, "
             f"sum(n_points) AS n_points FROM ({inner}) GROUP BY 1")
+
+
+# ---------------------------------------------------------------------------
+# Polygon rasterization — vector -> raster cell cover, fully distributed
+# ---------------------------------------------------------------------------
+# The driver-side cover builder (operators/joins.build_pip_cover) is
+# right for PIP joins, where polygons are the broadcast side.  This is
+# the other direction: a polygon TABLE of any size rasterizes to
+# (polygon_id, cell) rows with no driver collect and no UDF — bbox,
+# edge arrays, candidate-cell generation, and the even-odd ray-cast are
+# all higher-order-function expressions inside whole-stage codegen (the
+# joins.py pattern: an aggregate over the edge array keeps generated
+# code tiny at any vertex count).
+#
+# Containment rule: a cell belongs to the polygon iff its CENTER is
+# inside (even-odd rule over all rings, so holes subtract naturally) —
+# the standard center-sample rasterization.  Contract: rings must not
+# cross the antimeridian (split them first — the PIP cover path shows
+# the shift recipe); open rings are closed implicitly.
+
+
+def _ring_edges(r):
+    """array<array<double>> ring -> array of [x1,y1,x2,y2] edges, with
+    an implicit closing edge when the ring is open."""
+    m = F.size(r)
+    seq = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - 1, F.lit(1))),
+        lambda i: F.array(
+            F.element_at(F.element_at(r, i), 1),
+            F.element_at(F.element_at(r, i), 2),
+            F.element_at(F.element_at(r, (i + 1).cast("int")), 1),
+            F.element_at(F.element_at(r, (i + 1).cast("int")), 2)))
+    first, last = F.element_at(r, 1), F.element_at(r, -1)
+    closing = F.when(
+        (F.element_at(first, 1) != F.element_at(last, 1))
+        | (F.element_at(first, 2) != F.element_at(last, 2)),
+        F.array(F.array(F.element_at(last, 1), F.element_at(last, 2),
+                        F.element_at(first, 1), F.element_at(first, 2)))) \
+        .otherwise(F.array().cast("array<array<double>>"))
+    return F.when(m < 2, F.array().cast("array<array<double>>")) \
+        .otherwise(F.concat(seq, closing))
+
+
+def polygon_raster_cells(polygons: DataFrame, res: int,
+                         id_col: str = "polygon_id",
+                         rings_col: str = "rings") -> DataFrame:
+    """``(polygon_id, cell)`` — every res-cell whose center falls inside
+    the polygon (rings: array<array<array<double>>> of [lon, lat])."""
+    nx, ny = cells.grid_dims(res)
+    rings = F.col(rings_col)
+    pts = F.flatten(rings)
+    xs = F.transform(pts, lambda p: F.element_at(p, 1))
+    ys = F.transform(pts, lambda p: F.element_at(p, 2))
+    w, e = F.array_min(xs), F.array_max(xs)
+    s, n = F.array_min(ys), F.array_max(ys)
+    ix0 = F.least(F.greatest(F.floor((w + 180.0) / 360.0 * nx), F.lit(0)),
+                  F.lit(nx - 1)).cast("bigint")
+    ix1 = F.least(F.greatest(F.floor((e + 180.0) / 360.0 * nx), F.lit(0)),
+                  F.lit(nx - 1)).cast("bigint")
+    iy0 = F.least(F.greatest(F.floor((F.lit(90.0) - n) / 180.0 * ny),
+                             F.lit(0)), F.lit(ny - 1)).cast("bigint")
+    iy1 = F.least(F.greatest(F.floor((F.lit(90.0) - s) / 180.0 * ny),
+                             F.lit(0)), F.lit(ny - 1)).cast("bigint")
+    edges = F.flatten(F.transform(rings, _ring_edges))
+    base = polygons.select(
+        F.col(id_col).alias("polygon_id"), edges.alias("_edges"),
+        F.explode(F.sequence(iy0, iy1)).alias("iy"),
+        ix0.alias("_ix0"), ix1.alias("_ix1"))
+    grid = base.select(
+        "polygon_id", "_edges", "iy",
+        F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))).alias("ix"))
+    lat = F.lit(90.0) - (F.col("iy") + 0.5) * (180.0 / ny)
+    lon = (F.col("ix") + 0.5) * (360.0 / nx) - 180.0
+    x1 = lambda ed: F.element_at(ed, 1)
+    y1 = lambda ed: F.element_at(ed, 2)
+    x2 = lambda ed: F.element_at(ed, 3)
+    y2 = lambda ed: F.element_at(ed, 4)
+    # identical IEEE arithmetic to joins.pip_join / cells.points_in_ring
+    crossing = F.aggregate(
+        F.filter(F.col("_edges"),
+                 lambda ed: (y1(ed) > lat) != (y2(ed) > lat)),
+        F.lit(0),
+        lambda acc, ed: acc + F.when(
+            lon < x1(ed)
+            + ((lat - y1(ed)) * (x2(ed) - x1(ed))) / (y2(ed) - y1(ed)),
+            F.lit(1)).otherwise(F.lit(0)))
+    cell = (F.lit(res * _RES_UNIT).cast("bigint")
+            + F.col("iy") * F.lit(_IY_UNIT).cast("bigint") + F.col("ix"))
+    return (grid.filter((crossing % 2) == 1)
+            .select("polygon_id", cell.alias("cell")))
+
+
+def polygon_raster_cells_sql(polys_sql: str, res: int,
+                             id_expr: str = "polygon_id",
+                             rings_expr: str = "rings") -> str:
+    """DuckDB mirror: same bbox clamps, same implicit ring closing, same
+    even-odd ray-cast (CASE-guarded so the intercept never divides by a
+    zero straddle — matching Spark's filter-then-aggregate shape)."""
+    nx, ny = cells.grid_dims(res)
+    edges = f"""flatten(list_transform({rings_expr}, r ->
+      CASE WHEN len(r) < 2 THEN []::DOUBLE[][]
+      ELSE list_concat(
+        list_transform(range(1, greatest(len(r) - 1, 1) + 1),
+          i -> [r[i][1], r[i][2], r[i+1][1], r[i+1][2]]),
+        CASE WHEN r[1][1] <> r[-1][1] OR r[1][2] <> r[-1][2]
+             THEN [[r[-1][1], r[-1][2], r[1][1], r[1][2]]]
+             ELSE []::DOUBLE[][] END) END))"""
+    return f"""
+WITH _pr_poly AS (
+  SELECT {id_expr} AS polygon_id, {edges} AS edges,
+         list_min(list_transform(flatten({rings_expr}), p -> p[1])) AS w,
+         list_max(list_transform(flatten({rings_expr}), p -> p[1])) AS e,
+         list_min(list_transform(flatten({rings_expr}), p -> p[2])) AS s,
+         list_max(list_transform(flatten({rings_expr}), p -> p[2])) AS n
+  FROM ({polys_sql})
+), _pr_grid AS (
+  SELECT polygon_id, edges, u1.iy AS iy, u2.ix AS ix
+  FROM _pr_poly,
+    unnest(range(least(greatest(cast(floor((90.0 - n) / 180.0 * {ny}) as bigint), 0), {ny - 1}),
+                 least(greatest(cast(floor((90.0 - s) / 180.0 * {ny}) as bigint), 0), {ny - 1}) + 1)) AS u1(iy),
+    unnest(range(least(greatest(cast(floor((w + 180.0) / 360.0 * {nx}) as bigint), 0), {nx - 1}),
+                 least(greatest(cast(floor((e + 180.0) / 360.0 * {nx}) as bigint), 0), {nx - 1}) + 1)) AS u2(ix)
+), _pr_hit AS (
+  SELECT polygon_id, iy, ix,
+         len(list_filter(edges, ed ->
+           (ed[2] > 90.0 - (iy + 0.5) * {180.0 / ny!r}) <> (ed[4] > 90.0 - (iy + 0.5) * {180.0 / ny!r})
+           AND CASE WHEN (ed[2] > 90.0 - (iy + 0.5) * {180.0 / ny!r}) <> (ed[4] > 90.0 - (iy + 0.5) * {180.0 / ny!r})
+               THEN (ix + 0.5) * {360.0 / nx!r} - 180.0 < ed[1]
+                 + (((90.0 - (iy + 0.5) * {180.0 / ny!r}) - ed[2]) * (ed[3] - ed[1])) / (ed[4] - ed[2])
+               ELSE false END)) AS crossings
+  FROM _pr_grid
+)
+SELECT polygon_id,
+       {res} * {_RES_UNIT} + iy * {_IY_UNIT} + ix AS cell
+FROM _pr_hit WHERE crossings % 2 = 1"""

@@ -85,3 +85,62 @@ def test_cluster_stats_rollup(spark):
           for r in spatial.cluster_stats(_pts(spark, coords),
                                          res=RES).collect()}
     assert sorted(st.values()) == [(1, 1), (2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Polygon rasterization
+# ---------------------------------------------------------------------------
+
+
+def _raster(spark, rings, res=6):
+    df = spark.createDataFrame(
+        [(1, rings)],
+        "polygon_id long, rings array<array<array<double>>>")
+    return sorted(r["cell"] for r in
+                  spatial.polygon_raster_cells(df, res=res).collect())
+
+
+def test_raster_matches_bruteforce_centers(spark):
+    import numpy as np
+    ring = [[10.0, 10.0], [15.3, 10.0], [15.3, 14.2], [10.0, 14.2],
+            [10.0, 10.0]]
+    got = _raster(spark, [ring])
+    # brute force: every cell center in a generous bbox window
+    nx, ny = cells.grid_dims(6)
+    expect = []
+    for iy in range(0, ny):
+        lat = 90.0 - (iy + 0.5) * (180.0 / ny)
+        if not (9.0 <= lat <= 15.0):
+            continue
+        for ix in range(0, nx):
+            lon = (ix + 0.5) * (360.0 / nx) - 180.0
+            if not (9.0 <= lon <= 16.0):
+                continue
+            if cells.points_in_polygon(
+                    np.array([lat]), np.array([lon]),
+                    [np.array(ring)])[0]:
+                expect.append((6 << 56) | (iy << 28) | ix)
+    assert got == sorted(expect) and len(got) > 20
+
+
+def test_raster_hole_subtracts(spark):
+    outer = [[0.0, 0.0], [7.0, 0.0], [7.0, 7.0], [0.0, 7.0], [0.0, 0.0]]
+    hole = [[2.0, 2.0], [5.0, 2.0], [5.0, 5.0], [2.0, 5.0], [2.0, 2.0]]
+    solid = _raster(spark, [outer])
+    holed = _raster(spark, [outer, hole])
+    assert len(holed) < len(solid)
+    assert set(holed) < set(solid)
+    # the removed cells are exactly the hole's own raster
+    removed = set(solid) - set(holed)
+    assert removed == set(_raster(spark, [hole]))
+
+
+def test_raster_open_ring_closes_implicitly(spark):
+    closed = [[20.0, 20.0], [26.0, 20.0], [23.0, 25.0], [20.0, 20.0]]
+    open_ = closed[:-1]
+    assert _raster(spark, [closed]) == _raster(spark, [open_])
+
+
+def test_raster_degenerate_rings_empty(spark):
+    assert _raster(spark, [[[5.0, 5.0]]]) == []
+    assert _raster(spark, [[[5.0, 5.0], [6.0, 6.0]]]) == []
