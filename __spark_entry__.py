@@ -983,6 +983,18 @@ def q_substring_dedup(spark, sf_dir):
     return curation.remove_duplicate_spans(d, k=6)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mix (operators/curation.py
+    temperature_mix, alpha=0.5): per-source keep rates from count^0.5
+    shares, applied as the deterministic hash sample — the oracle
+    recomputes counts, the sorted sequential denom fold (sqrt is IEEE
+    exact-rounded in both engines), the rates, and the identical
+    integer-threshold filter."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.temperature_mix(d, "source", target_rows=200) \
+        .select("doc_id", "source")
+
+
 def q_hist_quantiles(spark, sf_dir):
     """Mergeable histogram quantile sketch (operators/sketches.py): the
     100 TB percentile path — binning in the scan stage, the shuffle
@@ -1718,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster": q_polygon_raster,
         "substring_dedup": q_substring_dedup,
         "hist_quantiles": q_hist_quantiles,
+        "temperature_mix": q_temperature_mix,
         "spatial_clusters": q_spatial_clusters,
         "spatial_cluster_stats": q_spatial_cluster_stats,
         "page_links": q_page_links,
@@ -2163,6 +2176,11 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": curation.remove_duplicate_spans_sql(
             "SELECT doc_id, text || (CASE WHEN doc_id % 3 = 0 THEN "
             f"' {_SD_BOILER}' ELSE '' END) AS text FROM documents", k=6),
+        "temperature_mix": (
+            "SELECT doc_id, source FROM ("
+            + curation.temperature_mix_sql(
+                "SELECT doc_id, source FROM documents", "source",
+                target_rows=200) + ")"),
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),

@@ -836,3 +836,70 @@ SELECT doc_id,
        cast(len(toks) as bigint) AS n_tokens,
        cast(len(toks) - len(kept) as bigint) AS n_removed
 FROM _sd_kept"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixing (multilingual/multi-source rebalance)
+# ---------------------------------------------------------------------------
+# The standard pretraining-mix recipe (e.g. multilingual corpora):
+# source s with c_s documents is sampled with probability proportional
+# to c_s^alpha (alpha = 1/T < 1 flattens the head so dominant sources
+# stop drowning the tail).  Materializing ``target_rows`` rows means a
+# per-source keep rate r_s = min(1, target * (c_s^alpha / sum_t c_t^alpha)
+# / c_s), applied through deterministic_sample — so the mix is
+# reproducible, resumable, and cluster-size independent like every other
+# sampling tier here.
+#
+# Scale + oracle shape: the per-source counts are ONE partial-agg'd
+# groupBy (rows = #sources, driver-tiny); rates are computed driver-side
+# with a SEQUENTIAL sum in sorted source order so the DuckDB twin's
+# list_sum(list(... ORDER BY k)) replays the float fold bit-for-bit.
+# The SQL twin exists for alpha = 0.5 (sqrt is IEEE exact-rounded and
+# identical across engines; arbitrary pow is libm-dependent and only
+# pytest-covered).
+
+
+def temperature_mix_rates(df: DataFrame, strata_col: str,
+                          target_rows: int,
+                          alpha: float = 0.5) -> dict[str, float]:
+    """Per-stratum keep rates for the temperature mix (sorted-order
+    sequential float fold — see module note on oracle parity)."""
+    import math
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    denom = 0.0
+    for k in sorted(counts):
+        denom += math.pow(counts[k], alpha)
+    return {k: min(1.0, target_rows * (math.pow(c, alpha) / denom) / c)
+            for k, c in counts.items()}
+
+
+def temperature_mix(df: DataFrame, strata_col: str, target_rows: int,
+                    alpha: float = 0.5,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~``target_rows``-row sample with source shares
+    flattened to ``count^alpha``."""
+    rates = temperature_mix_rates(df, strata_col, target_rows, alpha)
+    return deterministic_sample(df, id_col=id_col,
+                                strata_col=strata_col, rates=rates)
+
+
+def temperature_mix_sql(docs_sql: str, strata_col: str, target_rows: int,
+                        id_expr: str = "doc_id") -> str:
+    """DuckDB twin for alpha = 0.5: recomputes counts, the sorted
+    sequential denom fold, the rates, and the same integer-threshold
+    hash filter."""
+    h = sample_hash_sql(f"d.{id_expr}")
+    return f"""
+WITH _tm_c AS (
+  SELECT {strata_col} AS k, count(*) AS c FROM ({docs_sql}) GROUP BY 1
+), _tm_d AS (
+  SELECT list_sum(list(sqrt(cast(c as double)) ORDER BY k)) AS denom
+  FROM _tm_c
+), _tm_r AS (
+  SELECT k, least(1.0, {target_rows} * (sqrt(cast(c as double)) / denom)
+                       / c) AS rate
+  FROM _tm_c, _tm_d
+)
+SELECT d.* FROM ({docs_sql}) d JOIN _tm_r r ON d.{strata_col} = r.k
+WHERE {h} < cast(floor(r.rate * {SAMPLE_MOD}) as bigint)"""

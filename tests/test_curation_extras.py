@@ -404,3 +404,54 @@ def test_span_windows_positions(spark):
                                "doc_id long, text string")
     win = C.span_windows(df, k=3).collect()
     assert sorted(r["pos"] for r in win) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing
+# ---------------------------------------------------------------------------
+
+
+def _mix_df(spark):
+    # heavily skewed: 3 sources with 6400 / 1600 / 100 docs
+    rows = ([(i, "big") for i in range(6400)]
+            + [(10_000 + i, "mid") for i in range(1600)]
+            + [(20_000 + i, "small") for i in range(100)])
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_rates_flatten_the_head(spark):
+    df = _mix_df(spark)
+    r = C.temperature_mix_rates(df, "source", target_rows=1000, alpha=0.5)
+    # expected shares: sqrt(c)/sum(sqrt) = 80/130, 40/130, 10/130
+    assert abs(r["big"] * 6400 - 1000 * 80 / 130) < 1e-6
+    assert abs(r["small"] * 100 - 1000 * 10 / 130) < 1e-6
+    # flattening: small keeps a ~5x higher fraction than big
+    assert r["small"] / r["big"] > 4
+    # expected total == target
+    assert abs(r["big"] * 6400 + r["mid"] * 1600 + r["small"] * 100
+               - 1000) < 1e-6
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    df = _mix_df(spark)
+    r = C.temperature_mix_rates(df, "source", target_rows=810, alpha=1.0)
+    # alpha=1: every source keeps the same fraction target/total
+    assert abs(r["big"] - 810 / 8100) < 1e-9
+    assert abs(r["small"] - 810 / 8100) < 1e-9
+
+
+def test_temperature_rate_caps_at_one(spark):
+    df = _mix_df(spark)
+    r = C.temperature_mix_rates(df, "source", target_rows=50_000,
+                                alpha=0.5)
+    assert r["small"] == 1.0  # can't upsample a 100-doc source
+
+
+def test_temperature_mix_deterministic_and_near_target(spark):
+    df = _mix_df(spark)
+    a = sorted(r["doc_id"] for r in
+               C.temperature_mix(df, "source", 1000).collect())
+    b = sorted(r["doc_id"] for r in
+               C.temperature_mix(df, "source", 1000).collect())
+    assert a == b
+    assert abs(len(a) - 1000) < 100  # hash sampling noise
