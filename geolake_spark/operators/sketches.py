@@ -308,6 +308,28 @@ def hist_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def hist_sketch_windowed(df: DataFrame, value_col: str, lo: float,
+                         hi: float, nbins: int = 128,
+                         ts_col: str = "ts", window: str = "1 hour",
+                         watermark: str = "1 day") -> DataFrame:
+    """Event-time-windowed sketch ``(window_start, bin, cnt)`` — works on
+    batch AND streaming frames (``count`` is incrementally maintainable;
+    Structured Streaming finalizes a window's bins at the watermark and
+    state stays <= nbins rows per open window).  Finish downstream with
+    :func:`hist_quantiles` over ``group_cols=["window_start"]`` — the
+    streaming latency percentile dashboard in two operators."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo)))
+                   / F.lit(float(hi) - float(lo)) * nbins), F.lit(0)),
+        F.lit(nbins - 1)).cast("int")
+    return (src.groupBy(F.window(ts_col, window).alias("w"),
+                        b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "bin", "cnt"))
+
+
 def hist_merge(*sketches: DataFrame,
                group_cols: Sequence[str] = ()) -> DataFrame:
     out = sketches[0]

@@ -108,3 +108,53 @@ def test_streaming_windowed_hll(spark, events, tmp_path):
         if r.window_start in est}
     for w, n in exact.items():
         assert abs(est[w] - n) / n < 0.19  # 4 sigma at m=512
+
+
+def test_streaming_windowed_hist_quantiles(spark, events, tmp_path):
+    """Histogram bins stream: finalized streaming bin rows == the batch
+    windowed sketch, and window medians off the streamed sketch are
+    within one bin width of the exact per-window median."""
+    from geolake_spark.operators import sketches
+
+    ev = events.withColumn(
+        "value", ((F.col("event_id") * 37) % 500).cast("double"))
+    drop = str(tmp_path / "hist_drop")
+    ev.repartition(3).write.parquet(drop)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 4).parquet(drop))
+    regs = sketches.hist_sketch_windowed(
+        stream, "value", lo=0.0, hi=500.0, nbins=100,
+        ts_col="ts", window="2 days", watermark="1 day")
+    q = (regs.writeStream.format("parquet")
+         .option("path", str(tmp_path / "hist_out"))
+         .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "hist_out"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(days=1)
+    batch = sketches.hist_sketch_windowed(
+        ev, "value", lo=0.0, hi=500.0, nbins=100,
+        ts_col="ts", window="2 days")
+    exp = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 2 DAYS") <= F.lit(wm))
+    cols = ["window_start", "bin", "cnt"]
+    assert got.count() == exp.count() > 0
+    assert got.join(exp, cols, "left_anti").count() == 0
+
+    med = {r.window_start: r.value for r in sketches.hist_quantiles(
+        got, [0.5], lo=0.0, hi=500.0, nbins=100,
+        group_cols=["window_start"]).collect()}
+    exact = {r.window_start: r.m for r in ev.filter(
+        F.col("ts").cast("timestamp") < wm).groupBy(
+        F.window("ts", "2 days").alias("w")).agg(
+        F.expr("percentile(value, 0.5)").alias("m")).select(
+        F.col("w.start").alias("window_start"), "m").collect()
+        if r.window_start in med}
+    assert len(exact) > 0
+    for w, m in exact.items():
+        # two bin widths: exact percentile interpolates between order
+        # stats, the sketch assumes uniform-in-bin — on coarse integer
+        # values the definitional gap can cross one bin boundary
+        assert abs(med[w] - m) <= 10.0
