@@ -1010,6 +1010,16 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_cell_smooth(spark, sf_dir):
+    """Heatmap smoothing (operators/spatial.smooth_cells): the res-5
+    event histogram box-blurred over each cell's 3x3 neighborhood —
+    scatter to arithmetic neighbor ids (wrap/clamp) + one integer-sum
+    groupBy; halo cells appear with their neighbor mass."""
+    e = _events_geo(spark, sf_dir)
+    hist = spatial.dense_cells(e, res=5)
+    return spatial.smooth_cells(hist, res=5)
+
+
 def q_spatial_clusters(spark, sf_dir):
     """Grid-density clustering (operators/spatial.py): events bucket
     into res-4 cells, cells with >= 2 points are dense, touching dense
@@ -1025,6 +1035,25 @@ def q_spatial_cluster_stats(spark, sf_dir):
     n_points) — the 'name the urban blobs' aggregate."""
     return spatial.cluster_stats(_events_geo(spark, sf_dir),
                                  res=4, min_pts=2)
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (functions/text.py anchor_text_pairs_col):
+    what the web calls each destination — (dst domain, anchor, n_links),
+    the classic link-text relevance signal.  href and anchor come from
+    the SAME regex so the arrays align match-for-match; inner tags strip
+    and whitespace collapses before aggregation."""
+    d = _docs_links(spark, sf_dir)
+    pair = F.explode(tx.anchor_text_pairs_col(F.col("html"))).alias("p")
+    rows = d.select("url", pair).select(
+        "url", F.col("p.href").alias("href"),
+        F.col("p.anchor").alias("anchor"))
+    dst = tx.registered_domain_col(tx.url_canonical_col(
+        tx.resolve_link_col(F.col("href"), F.col("url"))))
+    return (rows.withColumn("dst", dst)
+            .filter(F.col("dst") != "")
+            .groupBy("dst", "anchor")
+            .agg(F.count(F.lit(1)).alias("n_links")))
 
 
 def q_url_canonical(spark, sf_dir):
@@ -1733,7 +1762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "spatial_clusters": q_spatial_clusters,
         "spatial_cluster_stats": q_spatial_cluster_stats,
+        "cell_smooth": q_cell_smooth,
         "page_links": q_page_links,
+        "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
         "link_pagerank": q_link_pagerank,
         "dsir_select": q_dsir_select,
@@ -2184,11 +2215,22 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
+        "cell_smooth": spatial.smooth_cells_sql(
+            spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=5), res=5),
         "spatial_clusters": spatial.grid_clusters_sql(
             _EVENTS_GEO_SQL, res=4, min_pts=2),
         "spatial_cluster_stats": spatial.cluster_stats_sql(
             _EVENTS_GEO_SQL, res=4, min_pts=2),
         "page_links": links.page_links_sql(_DOCS_LINKS_SQL),
+        "anchor_texts": (
+            "SELECT dst, anchor, count(*) AS n_links FROM ("
+            "SELECT "
+            + tx.registered_domain_sql(tx.url_canonical_sql(
+                tx.resolve_link_sql("p.href", "url")))
+            + " AS dst, p.anchor AS anchor "
+            f"FROM ({_DOCS_LINKS_SQL}) d, "
+            f"unnest({tx.anchor_text_pairs_sql('html')}) AS u(p)"
+            ") WHERE dst <> '' GROUP BY dst, anchor"),
         "link_graph": links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain"),
         "link_pagerank": (
             "SELECT node, round(rank, 9) AS rank FROM ("

@@ -298,3 +298,60 @@ WITH _pr_poly AS (
 SELECT polygon_id,
        {res} * {_RES_UNIT} + iy * {_IY_UNIT} + ix AS cell
 FROM _pr_hit WHERE crossings % 2 = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Cell-grid smoothing (3x3 box blur) — heatmap/tile rendering prep
+# ---------------------------------------------------------------------------
+# A raw per-cell histogram renders noisy at tile zoom levels; the
+# standard fix is a small convolution over the cell grid.  Distributed
+# shape: each occupied cell SCATTERS its value to the 9 cells of its
+# 3x3 neighborhood (explode of arithmetic neighbor ids — same wrap/
+# clamp rules as the clustering above, pure codegen), then ONE
+# partial-agg'd groupBy(cell) sums contributions.  Output cells include
+# halo cells that had no points but have occupied neighbors (how a blur
+# should behave); values stay INTEGER (uniform kernel), so the DuckDB
+# value oracle is exact with no float-order caveats.
+
+
+def smooth_cells(hist: DataFrame, res: int,
+                 cell_col: str = "cell",
+                 value_col: str = "n_points") -> DataFrame:
+    """``(cell, smooth)`` — 3x3 uniform-kernel sum over an occupied-cell
+    histogram (``smooth`` = sum of the value over the cell itself and
+    its 8 neighbors)."""
+    nx, ny = cells.grid_dims(res)
+    c = F.col(cell_col)
+    ix = c.bitwiseAND(F.lit(_IY_UNIT - 1))
+    iy = F.shiftright(c, 28).bitwiseAND(F.lit(_IY_UNIT - 1))
+    scatter = []
+    for dx, dy in _NEIGHBOR_OFFSETS + [(0, 0)]:
+        nix = (ix + F.lit(dx + nx)) % F.lit(nx)
+        niy = iy + F.lit(dy)
+        tgt = (F.lit(res * _RES_UNIT).cast("bigint")
+               + niy * F.lit(_IY_UNIT).cast("bigint") + nix)
+        scatter.append(F.when((niy >= 0) & (niy < ny), tgt))
+    return (hist.select(F.explode(F.array(*scatter)).alias("cell"),
+                        F.col(value_col).alias("_v"))
+            .filter(F.col("cell").isNotNull())
+            .groupBy("cell")
+            .agg(F.sum("_v").alias("smooth")))
+
+
+def smooth_cells_sql(hist_sql: str, res: int,
+                     cell_expr: str = "cell",
+                     value_expr: str = "n_points") -> str:
+    """DuckDB mirror: same arithmetic scatter targets, same integer sum."""
+    nx, ny = cells.grid_dims(res)
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx, dy in _NEIGHBOR_OFFSETS + [(0, 0)])
+    return f"""
+WITH _sm_h AS ({hist_sql}), _sm_d(dx, dy) AS (VALUES {offs})
+SELECT {res} * {_RES_UNIT}
+       + (({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy) * {_IY_UNIT}
+       + (({cell_expr} % {_IY_UNIT}) + dx + {nx}) % {nx} AS cell,
+       sum({value_expr}) AS smooth
+FROM _sm_h, _sm_d
+WHERE ({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy >= 0
+  AND ({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy < {ny}
+GROUP BY 1"""

@@ -144,3 +144,39 @@ def test_raster_open_ring_closes_implicitly(spark):
 def test_raster_degenerate_rings_empty(spark):
     assert _raster(spark, [[[5.0, 5.0]]]) == []
     assert _raster(spark, [[[5.0, 5.0], [6.0, 6.0]]]) == []
+
+
+# ---------------------------------------------------------------------------
+# Cell smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_smooth_single_cell_spreads_to_nine(spark):
+    hist = spark.createDataFrame(
+        [(int(cells.grid_cell(10.0, 10.0, RES)), 4)],
+        "cell long, n_points long")
+    out = {r["cell"]: r["smooth"]
+           for r in spatial.smooth_cells(hist, res=RES).collect()}
+    assert len(out) == 9 and set(out.values()) == {4}
+    assert int(cells.grid_cell(10.0, 10.0, RES)) in out
+
+
+def test_smooth_sums_overlapping_mass_and_conserves_total(spark):
+    # two horizontally adjacent cells: their 3x3 halos overlap in 6 cells
+    c1 = int(cells.grid_cell(0.1, 0.1, RES))
+    c2 = c1 + 1
+    hist = spark.createDataFrame([(c1, 10), (c2, 1)],
+                                 "cell long, n_points long")
+    out = {r["cell"]: r["smooth"]
+           for r in spatial.smooth_cells(hist, res=RES).collect()}
+    assert out[c1] == 11 and out[c2] == 11
+    assert len(out) == 12  # 3x4 union footprint
+    # a uniform kernel conserves total mass x9 away from the poles
+    assert sum(out.values()) == 9 * 11
+
+
+def test_smooth_pole_row_loses_clamped_mass(spark):
+    top = int(cells.grid_cell(89.99, 0.1, RES))  # iy = 0
+    hist = spark.createDataFrame([(top, 3)], "cell long, n_points long")
+    out = spatial.smooth_cells(hist, res=RES).collect()
+    assert len(out) == 6  # the iy=-1 row vanished, not wrapped
