@@ -1010,6 +1010,21 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_radius_join(spark, sf_dir):
+    """ST_DWithin join (operators/spatial.radius_join): every document
+    within 500 km of each probe — per-probe sound cell cover (haversine-
+    identity longitude bound, antimeridian wrap) as codegen expressions,
+    hash join on the cell id, exact haversine refine.  The oracle is the
+    BRUTE-FORCE cross join: it checks the semantics, so any cover
+    undercoverage would fail the row count, not just the hash."""
+    d = _docs_geo(spark, sf_dir)
+    probes = (d.filter(F.col("doc_id") % 53 == 0)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.col("lat").alias("plat"),
+                      F.col("lon").alias("plon")))
+    return spatial.radius_join(d, probes, radius_km=500.0)
+
+
 def q_cell_smooth(spark, sf_dir):
     """Heatmap smoothing (operators/spatial.smooth_cells): the res-5
     event histogram box-blurred over each cell's 3x3 neighborhood —
@@ -1763,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_clusters": q_spatial_clusters,
         "spatial_cluster_stats": q_spatial_cluster_stats,
         "cell_smooth": q_cell_smooth,
+        "radius_join": q_radius_join,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2215,6 +2231,13 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
+        "radius_join": (
+            f"SELECT p.probe_id, d.doc_id AS id, "
+            f"round({cells.haversine_sql('d.lat', 'd.lon', 'p.plat', 'p.plon')}, 6) AS dist_km "
+            f"FROM ({_DOCS_GEO_SQL}) d, "
+            f"(SELECT doc_id AS probe_id, lat AS plat, lon AS plon "
+            f" FROM ({_DOCS_GEO_SQL}) WHERE doc_id % 53 = 0) p "
+            f"WHERE round({cells.haversine_sql('d.lat', 'd.lon', 'p.plat', 'p.plon')}, 6) <= 500.0"),
         "cell_smooth": spatial.smooth_cells_sql(
             spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=5), res=5),
         "spatial_clusters": spatial.grid_clusters_sql(
