@@ -1010,19 +1010,34 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
-def q_radius_join(spark, sf_dir):
-    """ST_DWithin join (operators/spatial.radius_join): every document
-    within 500 km of each probe — per-probe sound cell cover (haversine-
-    identity longitude bound, antimeridian wrap) as codegen expressions,
-    hash join on the cell id, exact haversine refine.  The oracle is the
-    BRUTE-FORCE cross join: it checks the semantics, so any cover
-    undercoverage would fail the row count, not just the hash."""
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows (operators/trips.od_matrix): each trip's
+    first->last point becomes one (src_cell, dst_cell) flow at res 4 —
+    the commute-matrix staple; integer counts, one window shuffle plus
+    one pair groupBy; arg-min/arg-max struct endpoints replayed by the
+    oracle's struct min/max."""
+    return trips.od_matrix(_events_geo(spark, sf_dir), res=4)
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics via the raster path: triangles rasterize to
+    cells (polygon_raster_cells), the res-6 event histogram joins on the
+    cell id, and each polygon sums the event mass its cells hold — the
+    classic raster<->vector round trip with no per-point PIP re-test."""
     d = _docs_geo(spark, sf_dir)
-    probes = (d.filter(F.col("doc_id") % 53 == 0)
-              .select(F.col("doc_id").alias("probe_id"),
-                      F.col("lat").alias("plat"),
-                      F.col("lon").alias("plon")))
-    return spatial.radius_join(d, probes, radius_km=500.0)
+    lat, lon = F.col("lat"), F.col("lon")
+    p1 = F.array(lon, lat + 0.9)
+    p2 = F.array(lon + 0.7, lat - 0.5)
+    p3 = F.array(lon - 0.8, lat - 0.3)
+    polys = (d.filter(F.col("doc_id") % 7 == 0)
+             .select(F.col("doc_id").alias("polygon_id"),
+                     F.array(F.array(p1, p2, p3, p1)).alias("rings")))
+    raster = spatial.polygon_raster_cells(polys, res=6)
+    hist = spatial.dense_cells(_events_geo(spark, sf_dir), res=6)
+    return (raster.join(hist, "cell")
+            .groupBy("polygon_id")
+            .agg(F.count(F.lit(1)).alias("n_cells_hit"),
+                 F.sum("n_points").alias("n_events")))
 
 
 def q_cell_smooth(spark, sf_dir):
@@ -1778,7 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_clusters": q_spatial_clusters,
         "spatial_cluster_stats": q_spatial_cluster_stats,
         "cell_smooth": q_cell_smooth,
-        "radius_join": q_radius_join,
+        "od_matrix": q_od_matrix,
+        "zonal_stats": q_zonal_stats,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2231,13 +2247,20 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
-        "radius_join": (
-            f"SELECT p.probe_id, d.doc_id AS id, "
-            f"round({cells.haversine_sql('d.lat', 'd.lon', 'p.plat', 'p.plon')}, 6) AS dist_km "
-            f"FROM ({_DOCS_GEO_SQL}) d, "
-            f"(SELECT doc_id AS probe_id, lat AS plat, lon AS plon "
-            f" FROM ({_DOCS_GEO_SQL}) WHERE doc_id % 53 = 0) p "
-            f"WHERE round({cells.haversine_sql('d.lat', 'd.lon', 'p.plat', 'p.plon')}, 6) <= 500.0"),
+        "od_matrix": trips.od_matrix_sql(
+            "events", geo.geocode_lat_sql("event_id"),
+            geo.geocode_lon_sql("event_id"), res=4),
+        "zonal_stats": (
+            "SELECT r.polygon_id, count(*) AS n_cells_hit, "
+            "sum(h.n_points) AS n_events FROM ("
+            + spatial.polygon_raster_cells_sql(
+                "SELECT doc_id AS polygon_id, "
+                "[[[lon, lat + 0.9], [lon + 0.7, lat - 0.5], "
+                "[lon - 0.8, lat - 0.3], [lon, lat + 0.9]]] AS rings "
+                f"FROM ({_DOCS_GEO_SQL}) WHERE doc_id % 7 = 0", res=6)
+            + ") r JOIN ("
+            + spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=6)
+            + ") h ON r.cell = h.cell GROUP BY r.polygon_id"),
         "cell_smooth": spatial.smooth_cells_sql(
             spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=5), res=5),
         "spatial_clusters": spatial.grid_clusters_sql(

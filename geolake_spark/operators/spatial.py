@@ -355,83 +355,3 @@ FROM _sm_h, _sm_d
 WHERE ({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy >= 0
   AND ({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy < {ny}
 GROUP BY 1"""
-
-
-# ---------------------------------------------------------------------------
-# Radius join (ST_DWithin): all points within radius_km of each probe
-# ---------------------------------------------------------------------------
-# kNN answers "the closest k"; this answers "everything within r" — the
-# other canonical spatial join.  Distributed shape for probe TABLES of
-# any size (no driver collect): each probe row computes its own sound
-# cell cover as codegen expressions — the same haversine-identity
-# longitude bound as cells.radius_cover (the naive parallel-arc bound
-# UNDERcovers because geodesics cut poleward; see that docstring) —
-# explodes to the cover cells, hash-joins points on the cell id, and
-# refines with the exact haversine.  Every refine survivor is exact
-# disk membership, and the cover is a superset of the disk, so the join
-# is EXACT (the DuckDB oracle is the brute-force cross join — it checks
-# semantics, not a replay of the cover).
-#
-# Cover size: res defaults to cells.radius_res (cell height ~ radius =>
-# ~9-15 cells per probe away from the poles).  A probe whose latitude
-# band approaches a pole degrades to all-longitudes-in-band (soundness
-# over thrift) — at the default res that is nx cells for rare polar
-# probes; pass a coarser res if a workload lives at the poles.
-
-
-def radius_join(points: DataFrame, probes: DataFrame, radius_km: float,
-                res: int | None = None,
-                lat_col: str = "lat", lon_col: str = "lon",
-                id_col: str = "doc_id",
-                probe_id: str = "probe_id", probe_lat: str = "plat",
-                probe_lon: str = "plon") -> DataFrame:
-    """``(probe_id, id, dist_km)`` for every point within ``radius_km``
-    of each probe (great-circle; boundary inclusive)."""
-    import math
-    if res is None:
-        res = cells.radius_res(radius_km)
-    nx, ny = cells.grid_dims(res)
-    r_e = cells.EARTH_RADIUS_KM
-    dlat = math.degrees(radius_km / r_e)
-    s = math.sin(radius_km / (2.0 * r_e))
-    lat, lon = F.col(probe_lat), F.col(probe_lon)
-    lat_s = F.greatest(lat - dlat, F.lit(-90.0))
-    lat_n = F.least(lat + dlat, F.lit(90.0))
-    iy0 = F.least(F.greatest(F.floor((F.lit(90.0) - lat_n) / 180.0 * ny),
-                             F.lit(0)), F.lit(ny - 1)).cast("bigint")
-    iy1 = F.least(F.greatest(F.floor((F.lit(90.0) - lat_s) / 180.0 * ny),
-                             F.lit(0)), F.lit(ny - 1)).cast("bigint")
-    denom = F.cos(F.radians(lat)) * F.least(F.cos(F.radians(lat_s)),
-                                            F.cos(F.radians(lat_n)))
-    dlam = F.degrees(2.0 * F.asin(
-        F.least(F.lit(1.0), F.lit(s) / F.sqrt(F.greatest(denom,
-                                                         F.lit(1e-300))))))
-    full = (denom <= 0.0) | (F.lit(s * s) >= denom) | (dlam >= 180.0)
-    w = F.pmod(lon - dlam + 180.0, F.lit(360.0)) - 180.0
-    e = F.pmod(lon + dlam + 180.0, F.lit(360.0)) - 180.0
-    ix0 = F.least(F.greatest(F.floor((w + 180.0) / 360.0 * nx), F.lit(0)),
-                  F.lit(nx - 1)).cast("bigint")
-    ix1 = F.least(F.greatest(F.floor((e + 180.0) / 360.0 * nx), F.lit(0)),
-                  F.lit(nx - 1)).cast("bigint")
-    ix_seq = (F.when(full, F.sequence(F.lit(0).cast("bigint"),
-                                      F.lit(nx - 1).cast("bigint")))
-              .when(ix0 <= ix1, F.sequence(ix0, ix1))
-              .otherwise(F.sequence(ix0, ix1 + nx)))  # antimeridian wrap
-    pr = (probes.select(probe_id, probe_lat, probe_lon,
-                        F.explode(F.sequence(iy0, iy1)).alias("_iy"),
-                        ix_seq.alias("_ixs"))
-          .select(probe_id, probe_lat, probe_lon, "_iy",
-                  F.explode(F.col("_ixs")).alias("_ixraw"))
-          .select(probe_id, probe_lat, probe_lon, "_iy",
-                  F.pmod(F.col("_ixraw"), F.lit(nx)).alias("_ix")))
-    cell = (F.lit(res * _RES_UNIT).cast("bigint")
-            + F.col("_iy") * F.lit(_IY_UNIT).cast("bigint") + F.col("_ix"))
-    pr = pr.select(probe_id, probe_lat, probe_lon, cell.alias("_cell"))
-    pts = points.withColumn(
-        "_cell", geo.grid_cell_col(F.col(lat_col), F.col(lon_col), res))
-    j = pts.join(pr, "_cell")
-    dist = geo.haversine_col(F.col(lat_col), F.col(lon_col),
-                             F.col(probe_lat), F.col(probe_lon))
-    return (j.withColumn("dist_km", F.round(dist, 6))
-            .filter(F.col("dist_km") <= radius_km)
-            .select(probe_id, F.col(id_col).alias("id"), "dist_km"))

@@ -139,3 +139,66 @@ SELECT {entity_col}, trip_seq, count(*) AS n_points,
 FROM seq
 GROUP BY {entity_col}, trip_seq
 """
+
+
+def od_matrix(events: DataFrame, res: int, gap_minutes: float = 480.0,
+              entity_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", lat_col: str = "lat",
+              lon_col: str = "lon") -> DataFrame:
+    """Origin-destination flow matrix: ``(src_cell, dst_cell, n_trips)``
+    — each trip contributes one flow from its first point's cell to its
+    last point's cell (grid res ``res``).  The mobility-analytics
+    staple (commute matrices, tile-to-tile demand).
+
+    Plan: segment_trips' one window shuffle, an arg-min/arg-max struct
+    aggregate per trip (reuses the window's hash partitioning — no new
+    exchange), then one partial-agg'd groupBy on the (src, dst) cell
+    pair.  Counts are integers; the cells come from the same grid
+    expression as every rollup — the DuckDB oracle replays it exactly.
+    """
+    from ..functions.geo import grid_cell_col
+    pts = segment_trips(events, gap_minutes, entity_col, ts_col,
+                        id_col, lat_col, lon_col)
+    key = F.struct(F.col(ts_col), F.col(id_col),
+                   F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"))
+    ends = (pts.groupBy(entity_col, "trip_seq")
+            .agg(F.min(key).alias("_o"), F.max(key).alias("_d")))
+    src = grid_cell_col(F.col("_o.lat"), F.col("_o.lon"), res)
+    dst = grid_cell_col(F.col("_d.lat"), F.col("_d.lon"), res)
+    return (ends.select(src.alias("src_cell"), dst.alias("dst_cell"))
+            .groupBy("src_cell", "dst_cell")
+            .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
+def od_matrix_sql(table: str, lat_sql: str, lon_sql: str, res: int,
+                  gap_minutes: float = 480.0,
+                  entity_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`od_matrix` (same window segmentation, same
+    struct arg-min/arg-max, same cell arithmetic)."""
+    from ..cells import grid_cell_sql
+    gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+    return f"""
+WITH _od_pts AS (
+  SELECT {entity_col}, {id_col}, {ts_col}, epoch_us({ts_col}) AS us,
+         {lat_sql} AS lat, {lon_sql} AS lon
+  FROM {table}
+), _od_lag AS (
+  SELECT *, lag(us) OVER w AS pus FROM _od_pts
+  WINDOW w AS (PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col})
+), _od_seq AS (
+  SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > {gap_us}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col}
+                  ROWS UNBOUNDED PRECEDING) AS trip_seq
+  FROM _od_lag
+), _od_ends AS (
+  SELECT {entity_col}, trip_seq,
+         min({{'t': {ts_col}, 'i': {id_col}, 'lat': lat, 'lon': lon}}) AS o,
+         max({{'t': {ts_col}, 'i': {id_col}, 'lat': lat, 'lon': lon}}) AS d
+  FROM _od_seq GROUP BY 1, 2
+)
+SELECT {grid_cell_sql('o.lat', 'o.lon', res)} AS src_cell,
+       {grid_cell_sql('d.lat', 'd.lon', res)} AS dst_cell,
+       count(*) AS n_trips
+FROM _od_ends GROUP BY 1, 2"""

@@ -180,58 +180,3 @@ def test_smooth_pole_row_loses_clamped_mass(spark):
     hist = spark.createDataFrame([(top, 3)], "cell long, n_points long")
     out = spatial.smooth_cells(hist, res=RES).collect()
     assert len(out) == 6  # the iy=-1 row vanished, not wrapped
-
-
-# ---------------------------------------------------------------------------
-# Radius join (ST_DWithin)
-# ---------------------------------------------------------------------------
-
-
-def _brute_radius(spark, pts, probes, r):
-    from pyspark.sql import functions as F
-    from geolake_spark.functions import geo
-    j = pts.crossJoin(probes)
-    d = geo.haversine_col(F.col("lat"), F.col("lon"),
-                          F.col("plat"), F.col("plon"))
-    return (j.withColumn("dist_km", F.round(d, 6))
-            .filter(F.col("dist_km") <= r)
-            .select("probe_id", F.col("doc_id").alias("id"), "dist_km"))
-
-
-def test_radius_join_matches_bruteforce_adversarial(spark):
-    from pyspark.sql import functions as F
-    # clustered + polar + antimeridian points
-    pts = [(i, 40.0 + 0.1 * i, -100.0 + 0.1 * i) for i in range(40)]
-    pts += [(100 + i, 89.0 + 0.02 * i, -170.0 + 8.0 * i) for i in range(30)]
-    pts += [(200 + i, -10.0 + 0.05 * i, 179.5 + 0.03 * i if 179.5 + 0.03 * i
-             < 180 else 179.5 + 0.03 * i - 360.0) for i in range(30)]
-    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
-    probes = spark.createDataFrame(
-        [(1, 41.0, -99.0),        # in the cluster
-         (2, 89.5, 10.0),         # polar: lon bound degrades, stays sound
-         (3, -10.0, 179.95),      # antimeridian wrap
-         (4, -60.0, 60.0)],       # empty neighborhood
-        "probe_id long, plat double, plon double")
-    for r in (120.0, 600.0):
-        got = sorted(map(tuple, spatial.radius_join(
-            df, probes, radius_km=r).collect()))
-        want = sorted(map(tuple, _brute_radius(
-            spark, df, probes, r).collect()))
-        assert got == want and len(got) > 0
-    # the empty probe really is empty at small radius
-    got120 = spatial.radius_join(df, probes, radius_km=120.0) \
-        .filter(F.col("probe_id") == 4).count()
-    assert got120 == 0
-
-
-def test_radius_join_boundary_inclusive(spark):
-    import numpy as np
-    from geolake_spark import cells as C2
-    # construct a point at a known distance, radius == rounded distance
-    df = spark.createDataFrame([(1, 10.0, 20.0)],
-                               "doc_id long, lat double, lon double")
-    probes = spark.createDataFrame([(7, 10.0, 21.0)],
-                                   "probe_id long, plat double, plon double")
-    d = float(np.round(C2.haversine_km(10.0, 20.0, 10.0, 21.0), 6))
-    got = spatial.radius_join(df, probes, radius_km=d).collect()
-    assert len(got) == 1 and got[0]["dist_km"] == d

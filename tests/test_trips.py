@@ -82,3 +82,25 @@ def test_trip_stats_single_shuffle(planted):
     plan = trips.trip_stats(planted)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_od_matrix_flows(spark):
+    import datetime as dt
+    from geolake_spark import cells
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1, trip 1: A -> B (3 points); gap; trip 2: B -> A
+    A, B = (10.0, 20.0), (30.0, 40.0)
+    rows += [(1, 1, t0, *A), (2, 1, t0 + dt.timedelta(minutes=5), 20.0, 30.0),
+             (3, 1, t0 + dt.timedelta(minutes=10), *B)]
+    rows += [(4, 1, t0 + dt.timedelta(days=2), *B),
+             (5, 1, t0 + dt.timedelta(days=2, minutes=9), *A)]
+    # user 2: single-point trip at A (src == dst)
+    rows += [(6, 2, t0, *A)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, lat double, lon double")
+    out = {(r["src_cell"], r["dst_cell"]): r["n_trips"]
+           for r in trips.od_matrix(df, res=4).collect()}
+    cA = int(cells.grid_cell(*A, 4))
+    cB = int(cells.grid_cell(*B, 4))
+    assert out == {(cA, cB): 1, (cB, cA): 1, (cA, cA): 1}
