@@ -1010,6 +1010,17 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_cooccurrence(spark, sf_dir):
+    """Doc-level term co-occurrence (operators/search.py
+    cooccurrence_counts): upper-triangle pairs generated INSIDE one HOF
+    over each doc's sorted/distinct/capped term array (the dedup
+    bucket-pairs trick), one partial-agg'd pair groupBy; all-integer
+    output so the oracle is exact — PMI is the consumer-side log
+    finisher (pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.cooccurrence_counts(d, max_terms=24, min_count=2)
+
+
 def q_od_matrix(spark, sf_dir):
     """Origin-destination flows (operators/trips.od_matrix): each trip's
     first->last point becomes one (src_cell, dst_cell) flow at res 4 —
@@ -1795,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_smooth": q_cell_smooth,
         "od_matrix": q_od_matrix,
         "zonal_stats": q_zonal_stats,
+        "cooccurrence": q_cooccurrence,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2247,6 +2259,9 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
+        "cooccurrence": search.cooccurrence_counts_sql(
+            "SELECT doc_id, text FROM documents",
+            max_terms=24, min_count=2),
         "od_matrix": trips.od_matrix_sql(
             "events", geo.geocode_lat_sql("event_id"),
             geo.geocode_lon_sql("event_id"), res=4),

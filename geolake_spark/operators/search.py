@@ -102,3 +102,103 @@ SELECT {id_col}, round({" + ".join(parts)}, 6) AS score
 FROM _bm_d, _bm_s
 WHERE {any_hit}
 """
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence counts (collocation / PMI inputs)
+# ---------------------------------------------------------------------------
+# The corpus statistic behind collocation mining, PMI features, and
+# word-vector pre-processing: for token pairs (a, b), how many documents
+# contain both.  Output stays INTEGER — (pair_count, count_a, count_b,
+# n_docs) — so the DuckDB oracle is exact; PMI itself is one log
+# expression consumers apply (``pmi_col``), kept out of the oracle
+# because cross-engine libm logs are not bit-contracted.
+#
+# Scale shape: per doc the (sorted, distinct, capped) term array builds
+# its upper-triangle pairs INSIDE one HOF expression — the in-bucket
+# pair-generation trick from the dedup tier — so pair volume is bounded
+# by max_terms^2/2 per doc and never shuffles wider than the
+# partial-agg'd (a, b) groupBy.  Per-token counts reuse the same capped
+# arrays (the contract: counts and pairs describe the same term sets).
+
+
+def cooccurrence_counts(docs: DataFrame, max_terms: int = 32,
+                        min_count: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """``(token_a, token_b, pair_count, count_a, count_b, n_docs)`` for
+    doc-level co-occurrence with ``pair_count >= min_count``; terms are
+    the first ``max_terms`` distinct lowercased tokens in sorted order
+    (deterministic cap)."""
+    terms = F.slice(F.array_sort(F.array_distinct(_toks(F.col(text_col)))),
+                    1, max_terms)
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       terms.alias("_terms"))
+    n = F.size(F.col("_terms"))
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.greatest(n, i + 1)),
+            lambda j: F.struct(
+                F.element_at(F.col("_terms"), i.cast("int")).alias("a"),
+                F.element_at(F.col("_terms"), j.cast("int")).alias("b")))))
+    pair_rows = (base.filter(n >= 2)
+                 .select(F.explode(pairs).alias("p"))
+                 .select(F.col("p.a").alias("token_a"),
+                         F.col("p.b").alias("token_b")))
+    pc = (pair_rows.groupBy("token_a", "token_b")
+          .agg(F.count(F.lit(1)).alias("pair_count"))
+          .filter(F.col("pair_count") >= min_count))
+    tc = (base.select(F.explode(F.col("_terms")).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    n_docs = base.count()  # metadata-sized scalar, rides as a literal
+    return (pc.join(tc.withColumnRenamed("tok", "token_a")
+                    .withColumnRenamed("cnt", "count_a"), "token_a")
+            .join(tc.withColumnRenamed("tok", "token_b")
+                  .withColumnRenamed("cnt", "count_b"), "token_b")
+            .select("token_a", "token_b", "pair_count", "count_a",
+                    "count_b", F.lit(n_docs).cast("bigint").alias("n_docs")))
+
+
+def pmi_col(pair_count: Column, count_a: Column, count_b: Column,
+            n_docs: Column) -> Column:
+    """Pointwise mutual information over doc-level counts:
+    ``log(n_docs * pair_count / (count_a * count_b))`` — the consumer-side
+    finisher (pytest-covered; see the oracle note above)."""
+    return F.log((n_docs.cast("double") * pair_count)
+                 / (count_a.cast("double") * count_b))
+
+
+def cooccurrence_counts_sql(docs_sql: str, max_terms: int = 32,
+                            min_count: int = 2, text_expr: str = "text",
+                            id_expr: str = "doc_id") -> str:
+    """DuckDB twin: same sorted/distinct/capped term arrays, same
+    upper-triangle pair generation, same integer counts."""
+    toks = (f"(case when length(trim(lower({text_expr}))) = 0 "
+            f"then []::varchar[] else "
+            f"regexp_split_to_array(trim(lower({text_expr})), '\\s+') end)")
+    terms = f"list_sort(list_distinct({toks}))[1:{max_terms}]"
+    return f"""
+WITH _co_base AS (
+  SELECT {id_expr} AS doc_id, {terms} AS terms FROM ({docs_sql})
+), _co_pairs AS (
+  SELECT p.a AS token_a, p.b AS token_b
+  FROM _co_base,
+       unnest(flatten(list_transform(
+         range(1, greatest(len(terms) - 1, 1) + 1),
+         i -> list_transform(range(i + 1, greatest(len(terms), i + 1) + 1),
+                             j -> {{'a': terms[i], 'b': terms[j]}})))) AS u(p)
+  WHERE len(terms) >= 2
+), _co_pc AS (
+  SELECT token_a, token_b, count(*) AS pair_count
+  FROM _co_pairs GROUP BY 1, 2 HAVING count(*) >= {min_count}
+), _co_tc AS (
+  SELECT u.tok AS tok, count(*) AS cnt
+  FROM _co_base, unnest(terms) AS u(tok) GROUP BY 1
+), _co_n AS (SELECT count(*) AS n_docs FROM _co_base)
+SELECT p.token_a, p.token_b, p.pair_count,
+       ta.cnt AS count_a, tb.cnt AS count_b,
+       cast(n.n_docs as bigint) AS n_docs
+FROM _co_pc p
+JOIN _co_tc ta ON ta.tok = p.token_a
+JOIN _co_tc tb ON tb.tok = p.token_b
+CROSS JOIN _co_n n"""

@@ -85,3 +85,44 @@ def test_bm25_duckdb_parity_random_corpus(spark):
     assert len(got) == len(want)
     for (gi, gs), (wi, ws) in zip(got, want):
         assert gi == wi and gs == pytest.approx(ws, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence counts + PMI
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_counts_hand_checked(spark):
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame([
+        (1, "red blue"), (2, "blue red red"), (3, "red green"),
+        (4, "blue"), (5, ""),
+    ], "doc_id long, text string")
+    out = {(r.token_a, r.token_b): (r.pair_count, r.count_a, r.count_b,
+                                    r.n_docs)
+           for r in search.cooccurrence_counts(docs, min_count=1).collect()}
+    # doc-level distinct: (blue, red) in docs 1+2; counts: blue 3, red 3,
+    # green 1; n_docs counts every input doc incl. the empty one
+    assert out[("blue", "red")] == (2, 3, 3, 5)
+    assert out[("green", "red")] == (1, 1, 3, 5)
+    assert len(out) == 2
+    # min_count prunes singletons
+    pruned = search.cooccurrence_counts(docs, min_count=2).collect()
+    assert [(r.token_a, r.token_b) for r in pruned] == [("blue", "red")]
+
+
+def test_cooccurrence_cap_and_pmi(spark):
+    import math
+    from pyspark.sql import functions as F
+    # cap: only the first 3 sorted distinct tokens participate
+    docs = spark.createDataFrame([(i, "a b c d e") for i in range(4)],
+                                 "doc_id long, text string")
+    out = search.cooccurrence_counts(docs, max_terms=3, min_count=1)
+    rows = out.collect()
+    toks = {t for r in rows for t in (r.token_a, r.token_b)}
+    assert toks == {"a", "b", "c"} and len(rows) == 3
+    pmi = out.withColumn("pmi", search.pmi_col(
+        F.col("pair_count"), F.col("count_a"), F.col("count_b"),
+        F.col("n_docs"))).collect()
+    # every pair co-occurs in every doc: pmi = log(4*4/(4*4)) = 0
+    assert all(abs(r.pmi) < 1e-12 for r in pmi)
