@@ -1010,6 +1010,21 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_idw_grid(spark, sf_dir):
+    """IDW regridding (operators/spatial.idw_to_grid, deterministic
+    mode): 100 stations (geocoded docs, value = doc_id % 97) scatter to
+    their sound disc covers, the exact center-distance refine fixes
+    membership, and each res-4 cell folds 1/d^2 weighted sums in sorted
+    station order — the oracle uses a different (generous) cover and
+    still hash-matches, proving membership comes from the refine."""
+    d = (_docs_geo(spark, sf_dir)
+         .filter(F.col("doc_id") % 5 == 0)
+         .select(F.col("doc_id").alias("station_id"), "lat", "lon",
+                 (F.col("doc_id") % 97).cast("double").alias("value")))
+    return spatial.idw_to_grid(d, res=4, radius_km=800.0,
+                               deterministic=True)
+
+
 def q_cooccurrence(spark, sf_dir):
     """Doc-level term co-occurrence (operators/search.py
     cooccurrence_counts): upper-triangle pairs generated INSIDE one HOF
@@ -1807,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "zonal_stats": q_zonal_stats,
         "cooccurrence": q_cooccurrence,
+        "idw_grid": q_idw_grid,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2259,6 +2275,10 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
+        "idw_grid": spatial.idw_to_grid_sql(
+            f"SELECT doc_id AS station_id, lat, lon, "
+            f"cast(doc_id % 97 as double) AS value FROM ({_DOCS_GEO_SQL}) "
+            f"WHERE doc_id % 5 = 0", res=4, radius_km=800.0),
         "cooccurrence": search.cooccurrence_counts_sql(
             "SELECT doc_id, text FROM documents",
             max_terms=24, min_count=2),

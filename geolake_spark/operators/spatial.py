@@ -26,6 +26,7 @@ way kNN/PIP do (SURVEY.md §2 J1-J2).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -355,3 +356,100 @@ FROM _sm_h, _sm_d
 WHERE ({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy >= 0
   AND ({cell_expr} // {_IY_UNIT}) % {_IY_UNIT} + dy < {ny}
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation to the grid (station obs -> raster)
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted regridding (classic geostatistics): every
+# grid cell within ``radius_km`` of at least one station gets
+# ``sum(w_i * v_i) / sum(w_i)`` with ``w = 1 / max(d, eps)^2`` over the
+# stations in range.  Distributed shape: each STATION scatters to its
+# sound disc cover (cells.radius_cover — the same Arrow cover the
+# radius join uses), the cell-center distance refines membership
+# exactly, and ONE partial-agg'd groupBy(cell) folds the weighted sums.
+# No join at all — the scatter explode is map-side.
+#
+# Oracle contract: cover shape is irrelevant to the RESULT (any sound
+# superset refines to the same membership, because the center-distance
+# test is the same bit-exact haversine in both engines), so the DuckDB
+# twin uses a simpler generous cover (full longitude ring per station's
+# latitude band).  Weight sums are floats over a variable station set —
+# deterministic mode folds them in sorted station order (the
+# operators/graph.py trick) so the oracle replays them bit-for-bit.
+
+
+def idw_to_grid(stations: DataFrame, res: int, radius_km: float,
+                id_col: str = "station_id", lat_col: str = "lat",
+                lon_col: str = "lon", val_col: str = "value",
+                eps_km: float = 1e-3,
+                deterministic: bool = False) -> DataFrame:
+    """``(cell, n_stations, idw_value)`` at grid ``res``."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+    nx, ny = cells.grid_dims(res)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cover_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series([
+            cells.radius_cover(float(la), float(lo), radius_km, res,
+                               max_cover=65536)
+            for la, lo in zip(lat.to_numpy(), lon.to_numpy())])
+
+    st = (stations.select(F.col(id_col).alias("_sid"),
+                          F.col(lat_col).alias("_slat"),
+                          F.col(lon_col).alias("_slon"),
+                          F.col(val_col).alias("_sval"))
+          .withColumn("cell", F.explode(
+              cover_udf(F.col("_slat"), F.col("_slon")))))
+    ix = F.col("cell").bitwiseAND(F.lit(_IY_UNIT - 1))
+    iy = F.shiftright(F.col("cell"), 28).bitwiseAND(F.lit(_IY_UNIT - 1))
+    clat = F.lit(90.0) - (iy + 0.5) * (180.0 / ny)
+    clon = (ix + 0.5) * (360.0 / nx) - 180.0
+    d = geo.haversine_col(clat, clon, F.col("_slat"), F.col("_slon"))
+    w = F.lit(1.0) / (F.greatest(d, F.lit(eps_km))
+                      * F.greatest(d, F.lit(eps_km)))
+    hit = (st.withColumn("_d", d).filter(F.col("_d") <= radius_km)
+           .withColumn("_w", w).withColumn("_wv", w * F.col("_sval")))
+    if deterministic:
+        from geolake_spark.operators.graph import _sorted_fold
+        sw = _sorted_fold(F.struct(F.col("_sid"), F.col("_w").alias("v")))
+        swv = _sorted_fold(F.struct(F.col("_sid"), F.col("_wv").alias("v")))
+    else:
+        sw, swv = F.sum("_w"), F.sum("_wv")
+    return (hit.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_stations"),
+                 F.round(swv / sw, 6).alias("idw_value")))
+
+
+def idw_to_grid_sql(stations_sql: str, res: int, radius_km: float,
+                    id_expr: str = "station_id", lat_expr: str = "lat",
+                    lon_expr: str = "lon", val_expr: str = "value",
+                    eps_km: float = 1e-3) -> str:
+    """DuckDB twin of ``idw_to_grid(deterministic=True)`` — generous
+    full-ring cover per station latitude band, identical refine and
+    sorted weighted folds."""
+    nx, ny = cells.grid_dims(res)
+    import math
+    dlat = math.degrees(radius_km / cells.EARTH_RADIUS_KM)
+    hav = cells.haversine_sql(
+        f"(90.0 - (u1.iy + 0.5) * {180.0 / ny!r})",
+        f"((u2.ix + 0.5) * {360.0 / nx!r} - 180.0)", "s.slat", "s.slon")
+    return f"""
+WITH _iw_s AS (
+  SELECT {id_expr} AS sid, {lat_expr} AS slat, {lon_expr} AS slon,
+         {val_expr} AS sval
+  FROM ({stations_sql})
+), _iw_hit AS (
+  SELECT {res} * {_RES_UNIT} + u1.iy * {_IY_UNIT} + u2.ix AS cell,
+         s.sid, s.sval, {hav} AS d
+  FROM _iw_s s,
+    unnest(range(least(greatest(cast(floor((90.0 - (s.slat + {dlat!r})) / 180.0 * {ny}) as bigint), 0), {ny - 1}),
+                 least(greatest(cast(floor((90.0 - (s.slat - {dlat!r})) / 180.0 * {ny}) as bigint), 0), {ny - 1}) + 1)) AS u1(iy),
+    unnest(range(0, {nx})) AS u2(ix)
+  WHERE {hav} <= {radius_km!r}
+)
+SELECT cell, count(*) AS n_stations,
+       round(list_sum(list((1.0 / (greatest(d, {eps_km!r}) * greatest(d, {eps_km!r}))) * sval ORDER BY sid))
+             / list_sum(list(1.0 / (greatest(d, {eps_km!r}) * greatest(d, {eps_km!r})) ORDER BY sid)), 6) AS idw_value
+FROM _iw_hit GROUP BY cell"""

@@ -180,3 +180,38 @@ def test_smooth_pole_row_loses_clamped_mass(spark):
     hist = spark.createDataFrame([(top, 3)], "cell long, n_points long")
     out = spatial.smooth_cells(hist, res=RES).collect()
     assert len(out) == 6  # the iy=-1 row vanished, not wrapped
+
+
+# ---------------------------------------------------------------------------
+# IDW regridding
+# ---------------------------------------------------------------------------
+
+
+def test_idw_single_station_takes_its_value(spark):
+    st = spark.createDataFrame([(1, 10.0, 20.0, 42.0)],
+                               "station_id long, lat double, lon double, value double")
+    out = spatial.idw_to_grid(st, res=4, radius_km=300.0).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_stations"] == 1 and r["idw_value"] == 42.0
+
+
+def test_idw_weights_pull_toward_closer_station(spark):
+    # two stations on one parallel; cells nearer A skew toward A's value
+    st = spark.createDataFrame(
+        [(1, 0.0, 10.0, 0.0), (2, 0.0, 16.0, 100.0)],
+        "station_id long, lat double, lon double, value double")
+    out = {r["cell"]: r for r in
+           spatial.idw_to_grid(st, res=4, radius_km=900.0,
+                               deterministic=True).collect()}
+    both = {c: r for c, r in out.items() if r["n_stations"] == 2}
+    assert both, "radius must overlap somewhere between the stations"
+    ca = int(cells.grid_cell(0.0, 11.0, 4))
+    cb = int(cells.grid_cell(0.0, 15.0, 4))
+    assert ca in both and cb in both
+    assert both[ca]["idw_value"] < 50.0 < both[cb]["idw_value"]
+    # deterministic fold == plain sum (within float-reorder noise)
+    plain = {r["cell"]: r["idw_value"] for r in
+             spatial.idw_to_grid(st, res=4, radius_km=900.0).collect()}
+    for c, r in out.items():
+        assert abs(plain[c] - r["idw_value"]) < 1e-6
