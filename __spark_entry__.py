@@ -1010,6 +1010,16 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (operators/trips.funnel_counts):
+    users whose event sequence contains view -> click -> purchase as a
+    subsequence, one row of integer stage counts; one groupBy(user)
+    shuffle, the subsequence match is a codegen array_position/slice
+    chain the oracle replays with list_position."""
+    return trips.funnel_counts(_t(spark, sf_dir, "events"),
+                               ["view", "click", "purchase"])
+
+
 def q_idw_grid(spark, sf_dir):
     """IDW regridding (operators/spatial.idw_to_grid, deterministic
     mode): 100 stations (geocoded docs, value = doc_id % 97) scatter to
@@ -1823,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "cooccurrence": q_cooccurrence,
         "idw_grid": q_idw_grid,
+        "funnel": q_funnel,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2275,6 +2286,8 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
+        "funnel": trips.funnel_counts_sql(
+            "events", ["view", "click", "purchase"]),
         "idw_grid": spatial.idw_to_grid_sql(
             f"SELECT doc_id AS station_id, lat, lon, "
             f"cast(doc_id % 97 as double) AS value FROM ({_DOCS_GEO_SQL}) "

@@ -202,3 +202,78 @@ SELECT {grid_cell_sql('o.lat', 'o.lon', res)} AS src_cell,
        {grid_cell_sql('d.lat', 'd.lon', res)} AS dst_cell,
        count(*) AS n_trips
 FROM _od_ends GROUP BY 1, 2"""
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  entity_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion: ONE row ``(n_entities, step1_users,
+    step2_users, ...)`` where ``stepK_users`` counts entities whose
+    event-type sequence (ordered by ``(ts, id)``) contains
+    ``steps[0..k-1]`` as a subsequence — the product-analytics staple
+    (view -> click -> purchase).
+
+    Plan: one groupBy(entity) collecting the sorted type array (the
+    only shuffle), then the subsequence match is a chain of
+    array_position/slice expressions (first occurrence of step k AFTER
+    step k-1's position) — pure codegen, integer output, replayed
+    exactly by the DuckDB twin."""
+    assert len(steps) >= 1
+    key = F.struct(F.col(ts_col), F.col(id_col),
+                   F.col(type_col).alias("typ"))
+    per = (events.groupBy(entity_col)
+           .agg(F.transform(F.array_sort(F.collect_list(key)),
+                            lambda s: s["typ"]).alias("_types")))
+    types = F.col("_types")
+    pos = F.array_position(types, steps[0])
+    positions = [pos]
+    for s in steps[1:]:
+        prev = positions[-1]
+        rel = F.array_position(
+            F.slice(types, (prev + 1).cast("int"),
+                    F.greatest(F.size(types) - prev.cast("int"),
+                               F.lit(0)).cast("int")), s)
+        positions.append(
+            F.when((prev > 0) & (rel > 0), prev + rel).otherwise(F.lit(0)))
+    marked = per.select(
+        *[p.alias(f"_p{i}") for i, p in enumerate(positions)])
+    aggs = [F.count(F.lit(1)).alias("n_entities")]
+    for i, s in enumerate(steps):
+        aggs.append(F.sum((F.col(f"_p{i}") > 0).cast("bigint"))
+                    .alias(f"step{i + 1}_users"))
+    return marked.groupBy().agg(*aggs)
+
+
+def funnel_counts_sql(table: str, steps: list[str],
+                      entity_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type") -> str:
+    """DuckDB twin of :func:`funnel_counts` (list_position + slicing;
+    NULL-absent positions coalesce to 0 to match Spark's contract)."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+    pos_exprs = [f"coalesce(list_position(types, '{esc(steps[0])}'), 0)"]
+    for i, s in enumerate(steps[1:], start=1):
+        prev = f"p{i - 1}"
+        pos_exprs.append(
+            f"(CASE WHEN {prev} > 0 AND coalesce(list_position("
+            f"types[{prev} + 1:len(types)], '{esc(s)}'), 0) > 0 "
+            f"THEN {prev} + list_position(types[{prev} + 1:len(types)], "
+            f"'{esc(s)}') ELSE 0 END)")
+    # build p0..pk through chained CTE projections (each depends on prev)
+    chain = f"SELECT types, {pos_exprs[0]} AS p0 FROM _fn_types"
+    for i in range(1, len(steps)):
+        chain = (f"SELECT types, "
+                 + ", ".join(f"p{j}" for j in range(i))
+                 + f", {pos_exprs[i]} AS p{i} FROM ({chain})")
+    sums = ", ".join(
+        f"sum(CASE WHEN p{i} > 0 THEN 1 ELSE 0 END) AS step{i + 1}_users"
+        for i in range(len(steps)))
+    return f"""
+WITH _fn_types AS (
+  SELECT {entity_col},
+         list({type_col} ORDER BY {ts_col}, {id_col}) AS types
+  FROM {table} GROUP BY {entity_col}
+)
+SELECT count(*) AS n_entities, {sums} FROM ({chain})"""

@@ -104,3 +104,32 @@ def test_od_matrix_flows(spark):
     cA = int(cells.grid_cell(*A, 4))
     cB = int(cells.grid_cell(*B, 4))
     assert out == {(cA, cB): 1, (cB, cA): 1, (cA, cA): 1}
+
+
+def test_funnel_counts_hand_checked(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minute, typ):
+        return (eid, uid, t0 + dt.timedelta(minutes=minute), typ)
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        # user 2: purchase BEFORE click -> only reaches step 2
+        ev(4, 2, 0, "view"), ev(5, 2, 1, "purchase"), ev(6, 2, 2, "click"),
+        # user 3: view only
+        ev(7, 3, 0, "view"),
+        # user 4: never views (click+purchase don't count without step 1)
+        ev(8, 4, 0, "click"), ev(9, 4, 1, "purchase"),
+        # user 5: noise between steps still converts
+        ev(10, 5, 0, "view"), ev(11, 5, 1, "error"), ev(12, 5, 2, "click"),
+        ev(13, 5, 3, "error"), ev(14, 5, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = trips.funnel_counts(df, ["view", "click", "purchase"]).collect()[0]
+    assert out["n_entities"] == 5
+    assert out["step1_users"] == 4   # users 1, 2, 3, 5
+    assert out["step2_users"] == 3   # users 1, 2, 5
+    assert out["step3_users"] == 2   # users 1, 5
