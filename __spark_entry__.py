@@ -1010,6 +1010,20 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_sq_topk(spark, sf_dir):
+    """int8 scalar quantization (operators/ann.py sq_*): per-dim
+    min/max training is ONE order-free aggregate scan — so the oracle
+    replays TRAINING, encoding, and the integer-fold quantized top-k
+    end to end (no demo codebooks needed).  The scan side is a 4x-
+    compressed int array; distances are exact integers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = ann.sq_train(emb, dim=64)
+    enc = ann.sq_encode(emb, mins, maxs)
+    probes = (emb.filter(F.col("vec_id") % 61 == 0)
+              .selectExpr("vec_id as probe_id", "embedding as probe_vec"))
+    return ann.sq_topk_table(enc, probes, k=10, mins=mins, maxs=maxs)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-funnel conversion (operators/trips.funnel_counts):
     users whose event sequence contains view -> click -> purchase as a
@@ -1834,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "idw_grid": q_idw_grid,
         "funnel": q_funnel,
+        "sq_topk": q_sq_topk,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2286,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": sketches.hist_quantiles_sql(
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
+        "sq_topk": ann.sq_sql("vec_id % 61 = 0", dim=64, k=10),
         "funnel": trips.funnel_counts_sql(
             "events", ["view", "click", "purchase"]),
         "idw_grid": spatial.idw_to_grid_sql(

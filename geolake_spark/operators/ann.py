@@ -611,3 +611,122 @@ def ivfpq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(probe_id, id_col, "adc_dist", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 SQ) — the simplest vector-compression tier
+# ---------------------------------------------------------------------------
+# Between raw floats and PQ sits SQ: per-dimension min/max ranges map
+# each component to an 8-bit level (FAISS IndexScalarQuantizer shape).
+# 4x smaller scans than float32 with near-exact recall at modest dims.
+# Everything here is JVM codegen — no UDF anywhere: training is ONE
+# aggregate scan (per-dim min/max are order-free, so the DuckDB oracle
+# REPLAYS TRAINING TOO — no demo-formula fallback needed), encoding is
+# a HOF over the double-cast vector, and the asymmetric distance is an
+# INTEGER zip_with fold: sum((qa - qb)^2) — exact, no float-order
+# caveats in the whole pipeline.
+
+
+def sq_train(vectors: DataFrame, dim: int,
+             vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (mins, maxs) over the full table — one partial-agg
+    scan, exact and deterministic."""
+    v = F.col(vec_col).cast("array<double>")
+    row = vectors.select(
+        *[F.min(F.element_at(v, i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at(v, i + 1)).alias(f"mx{i}") for i in range(dim)]
+    ).collect()[0]
+    return ([row[f"mn{i}"] for i in range(dim)],
+            [row[f"mx{i}"] for i in range(dim)])
+
+
+def _sq_code(v: "F.Column", mins_lit, spans_lit):
+    """255-level quantizer: floor((x - mn) / span * 255) clamped to
+    [0, 255]; zero spans quantize to 0 (span literals pre-guarded)."""
+    return F.zip_with(
+        v, F.arrays_zip(mins_lit.alias("mn"), spans_lit.alias("sp")),
+        lambda x, m: F.least(
+            F.greatest(F.floor((x - m["mn"]) / m["sp"] * 255.0), F.lit(0)),
+            F.lit(255)).cast("int"))
+
+
+def sq_encode(vectors: DataFrame, mins: list, maxs: list,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """``(id, codes array<int>)`` — the 4x-compressed persisted table."""
+    spans = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
+    mins_lit = F.array(*[F.lit(float(m)) for m in mins])
+    spans_lit = F.array(*[F.lit(float(s)) for s in spans])
+    v = F.col(vec_col).cast("array<double>")
+    return vectors.select(F.col(id_col),
+                          _sq_code(v, mins_lit, spans_lit).alias("codes"))
+
+
+def sq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
+                  mins: list, maxs: list, id_col: str = "vec_id",
+                  probe_id: str = "probe_id",
+                  probe_vec: str = "probe_vec") -> DataFrame:
+    """Symmetric quantized top-k: probes quantize with the SAME ranges
+    and score against the code table with an integer fold —
+    ``(probe_id, vec_id, sq_dist, rank)`` by quantized squared L2 (asc,
+    then vec_id).  The scan side never touches floats."""
+    spans = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
+    mins_lit = F.array(*[F.lit(float(m)) for m in mins])
+    spans_lit = F.array(*[F.lit(float(s)) for s in spans])
+    pv = F.col(probe_vec).cast("array<double>")
+    pr = probes.select(probe_id,
+                       _sq_code(pv, mins_lit, spans_lit).alias("_pcodes"))
+    j = encoded.crossJoin(F.broadcast(pr))
+    dist = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_pcodes"),
+                   lambda a, b: (a - b).cast("bigint")
+                   * (a - b).cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    w = Window.partitionBy(probe_id).orderBy(F.col("sq_dist").asc(),
+                                             F.col(id_col).asc())
+    return (j.withColumn("sq_dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, id_col, "sq_dist", "rank"))
+
+
+def sq_sql(probes_pred: str, dim: int, k: int,
+           table: str = "embeddings", vec_col: str = "embedding",
+           id_col: str = "vec_id") -> str:
+    """DuckDB replay of train + encode + top-k (``probes_pred`` selects
+    the probe rows out of the same table)."""
+    mins = ", ".join(f"min({vec_col}[{i + 1}]::DOUBLE)"
+                     for i in range(dim))
+    maxs = ", ".join(f"max({vec_col}[{i + 1}]::DOUBLE)"
+                     for i in range(dim))
+    code = (f"list_transform(range(1, {dim} + 1), i -> "
+            f"cast(least(greatest(floor((v.emb[i]::DOUBLE - r.mins[i]) / "
+            f"r.spans[i] * 255.0), 0), 255) as int))")
+    return f"""
+WITH _sq_rng AS (
+  SELECT [{mins}] AS mins, [{maxs}] AS maxs FROM {table}
+), _sq_sp AS (
+  SELECT mins,
+         list_transform(range(1, {dim} + 1),
+           i -> CASE WHEN maxs[i] > mins[i] THEN maxs[i] - mins[i]
+                     ELSE 1.0 END) AS spans
+  FROM _sq_rng
+), _sq_enc AS (
+  SELECT v.{id_col} AS vid, {code} AS codes
+  FROM (SELECT {id_col}, {vec_col} AS emb FROM {table}) v, _sq_sp r
+), _sq_pr AS (
+  SELECT v.{id_col} AS pid, {code} AS pcodes
+  FROM (SELECT {id_col}, {vec_col} AS emb FROM {table}
+        WHERE {probes_pred}) v, _sq_sp r
+), _sq_d AS (
+  SELECT p.pid, e.vid,
+         list_sum(list_transform(range(1, {dim} + 1),
+           i -> cast(e.codes[i] - p.pcodes[i] as bigint)
+                * cast(e.codes[i] - p.pcodes[i] as bigint))) AS sq_dist
+  FROM _sq_enc e, _sq_pr p
+)
+SELECT pid AS probe_id, vid AS {id_col},
+       cast(sq_dist as bigint) AS sq_dist,
+       cast(row_number() OVER (PARTITION BY pid
+            ORDER BY sq_dist ASC, vid ASC) as int) AS rank
+FROM _sq_d QUALIFY rank <= {k}"""

@@ -327,3 +327,51 @@ def test_ivfpq_probe_side_broadcast(vectors, probes):
     plan = ann.ivfpq_topk_table(enc, probes, 5, 2, cc, cb) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 SQ)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_recall_vs_exact_l2(spark, vectors):
+    from pyspark.sql import Window
+    mins, maxs = ann.sq_train(vectors, dim=32)
+    enc = ann.sq_encode(vectors, mins, maxs)
+    probes = (vectors.filter(F.col("vec_id") % 59 == 0)
+              .selectExpr("vec_id as probe_id", "embedding as probe_vec"))
+    got = ann.sq_topk_table(enc, probes, k=10, mins=mins, maxs=maxs)
+    # exact squared-L2 top-10 (double math)
+    j = vectors.crossJoin(F.broadcast(probes))
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.col("probe_vec").cast("array<double>"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("probe_id").orderBy(F.col("_d").asc(),
+                                               F.col("vec_id").asc())
+    exact = (j.withColumn("_d", d2)
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= 10).select("probe_id", "vec_id"))
+    g = {(r.probe_id, r.vec_id) for r in got.collect()}
+    e = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    n_probes = probes.count()
+    assert n_probes > 0
+    recall = len(g & e) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_sq_codes_in_range_and_zero_span(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.0]), (2, [10.0, 5.0, -3.0]), (3, [4.0, 5.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    mins, maxs = ann.sq_train(df, dim=3)
+    assert mins == [0.0, 5.0, -3.0] and maxs == [10.0, 5.0, 7.0]
+    enc = {r.vec_id: r.codes for r in
+           ann.sq_encode(df, mins, maxs).collect()}
+    for codes in enc.values():
+        assert all(0 <= c <= 255 for c in codes)
+    # constant dimension (zero span) quantizes to 0 everywhere
+    assert all(enc[i][1] == 0 for i in (1, 2, 3))
+    # extremes hit the rails
+    assert enc[1][0] == 0 and enc[2][0] == 255
