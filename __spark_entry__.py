@@ -1010,6 +1010,15 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+def q_retention(spark, sf_dir):
+    """Cohort retention (operators/trips.retention_matrix): users
+    bucketed by first-event week, counted per later active week —
+    all-integer bucket arithmetic, one activity groupBy + a window min
+    reusing its partitioning."""
+    return trips.retention_matrix(_t(spark, sf_dir, "events"),
+                                  bucket_days=7)
+
+
 def q_sq_topk(spark, sf_dir):
     """int8 scalar quantization (operators/ann.py sq_*): per-dim
     min/max training is ONE order-free aggregate scan — so the oracle
@@ -1849,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_grid": q_idw_grid,
         "funnel": q_funnel,
         "sq_topk": q_sq_topk,
+        "retention": q_retention,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2302,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", [0.25, 0.5, 0.9, 0.99],
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
         "sq_topk": ann.sq_sql("vec_id % 61 = 0", dim=64, k=10),
+        "retention": trips.retention_matrix_sql("events", bucket_days=7),
         "funnel": trips.funnel_counts_sql(
             "events", ["view", "click", "purchase"]),
         "idw_grid": spatial.idw_to_grid_sql(

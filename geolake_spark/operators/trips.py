@@ -277,3 +277,49 @@ WITH _fn_types AS (
   FROM {table} GROUP BY {entity_col}
 )
 SELECT count(*) AS n_entities, {sums} FROM ({chain})"""
+
+
+def retention_matrix(events: DataFrame, bucket_days: int = 7,
+                     entity_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention: ``(cohort_bucket, bucket_offset, n_active)`` —
+    entities grouped by the time bucket of their FIRST event (cohort),
+    counted in every later bucket they were active in (offset 0 = the
+    cohort bucket itself).  Buckets are ``bucket_days``-wide integer
+    epoch-day divisions — all-integer arithmetic, exact oracle.
+
+    Plan: one groupBy(entity, bucket) distinct-activity tier (partial-
+    agg'd), a window min for the cohort (reuses the entity hash
+    partitioning), then the (cohort, offset) count — no distinct-count
+    shuffle of raw events."""
+    us = _micros(ts_col)
+    bucket = F.floor(us / F.lit(86_400_000_000 * bucket_days)) \
+        .cast("bigint")
+    active = (events.select(F.col(entity_col).alias("_e"),
+                            bucket.alias("_b"))
+              .groupBy("_e", "_b").agg(F.count(F.lit(1)).alias("_n")))
+    w = Window.partitionBy("_e")
+    withc = active.withColumn("_cohort", F.min("_b").over(w))
+    return (withc.select(F.col("_cohort").alias("cohort_bucket"),
+                         (F.col("_b") - F.col("_cohort"))
+                         .alias("bucket_offset"))
+            .groupBy("cohort_bucket", "bucket_offset")
+            .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+def retention_matrix_sql(table: str, bucket_days: int = 7,
+                         entity_col: str = "user_id",
+                         ts_col: str = "ts") -> str:
+    """DuckDB twin (same integer bucket arithmetic)."""
+    div = 86_400_000_000 * bucket_days
+    return f"""
+WITH _rt_a AS (
+  SELECT {entity_col} AS e,
+         cast(floor(epoch_us({ts_col}) / {div}) as bigint) AS b
+  FROM {table} GROUP BY 1, 2
+), _rt_c AS (
+  SELECT e, b, min(b) OVER (PARTITION BY e) AS cohort FROM _rt_a
+)
+SELECT cohort AS cohort_bucket, b - cohort AS bucket_offset,
+       count(*) AS n_active
+FROM _rt_c GROUP BY 1, 2"""

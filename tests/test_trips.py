@@ -133,3 +133,28 @@ def test_funnel_counts_hand_checked(spark):
     assert out["step1_users"] == 4   # users 1, 2, 3, 5
     assert out["step2_users"] == 3   # users 1, 2, 5
     assert out["step3_users"] == 2   # users 1, 5
+
+
+def test_retention_matrix_hand_checked(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)  # epoch-day 19723 -> bucket 2817 (7d)
+    rows = [
+        # user 1: active in weeks 0, 1, 3 (relative to own first event)
+        (1, t0), (1, t0 + dt.timedelta(days=8)),
+        (1, t0 + dt.timedelta(days=22)),
+        # user 2: first event two weeks later, active that week only
+        (2, t0 + dt.timedelta(days=14)),
+        (2, t0 + dt.timedelta(days=15)),
+        # user 3: same cohort as user 1, active weeks 0 and 1
+        (3, t0 + dt.timedelta(days=1)), (3, t0 + dt.timedelta(days=9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_bucket, r.bucket_offset): r.n_active
+           for r in trips.retention_matrix(df, bucket_days=7,
+                                           ts_col="ts").collect()}
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == 2          # users 1 and 3 in week 0
+    assert out[(c0, 1)] == 2          # both return in week 1
+    assert out[(c0, 3)] == 1          # only user 1 in week 3
+    assert out[(c0 + 2, 0)] == 1      # user 2's own cohort
+    assert sum(v for k, v in out.items()) == 6  # user-week activity rows
