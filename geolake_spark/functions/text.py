@@ -780,7 +780,9 @@ def nfc_normalize_col(text: Column) -> Column:
 #     graphs (the 100 TB use case) lose nothing, since a directory-
 #     relative link can only point at its own host.
 
-_HREF_RE = r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'
+# \s before href: without it, data-href="..."/xlink:href would match
+# on the substring and emit phantom links
+_HREF_RE = r'(?is)<a\b[^>]*?\shref\s*=\s*"([^"]*)"'
 _HTTP_ABS_RE = r"(?i)^https?://"
 
 

@@ -122,3 +122,12 @@ def test_web_graph_job_resume(spark, tmp_path):
     ranks = graph.pagerank(committed.select("src", "dst"), n_iter=5)
     top = ranks.orderBy(F.desc("rank")).first()
     assert top["node"] == "hub.com"  # everyone links to the hub
+
+
+def test_extract_hrefs_ignores_data_href(spark):
+    html = ('<a data-href="https://phantom.com/">no real href</a>'
+            '<a data-href="https://x.com/" href="https://real.com/">r</a>')
+    df = _pages(spark, [("https://base.com/", html)])
+    out = df.select(tx.extract_hrefs_col(F.col("html")).alias("h")) \
+        .collect()[0]["h"]
+    assert out == ["https://real.com/"]
