@@ -113,6 +113,10 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
     pairs never even reach the distinct's shuffle (the delta-ingest path,
     see :func:`minhash_lsh_pairs_incremental`)."""
     if cap is not None:
+        # the banded tier feeds BOTH the count pre-filter and the pair
+        # aggregation — without materialization the band explode (and
+        # everything upstream of it) runs twice
+        banded = _persist_tier(banded)
         counts = banded.groupBy(*keys).agg(F.count("*").alias("_bk_n"))
         if stats is not None:
             counts = _persist_tier(counts)
@@ -123,9 +127,16 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
             stats["bucket_cap"] = cap
             stats["dropped_buckets"] = int(row["b"])
             stats["dropped_rows"] = int(row["r"])
-        ok = (counts.filter((F.col("_bk_n") > 1) & (F.col("_bk_n") <= cap))
-              .select(*keys))
-        banded = banded.join(ok, keys, "left_semi")
+        # ANTI-join against the OVERSIZED keys, not semi-join against the
+        # survivors: survivors ~= all buckets, so the semi-join reshuffled
+        # the whole banded tier a second time (measured +3 s on the 520k
+        # bench corpus, ~35% of the pipeline); the oversized set is tiny
+        # by construction (<= banded_rows / cap keys — each one needs
+        # > cap rows), so AQE turns this into a runtime broadcast and the
+        # banded rows reach the collect_list groupBy with ONE shuffle,
+        # same as the capless path.
+        bad = counts.filter(F.col("_bk_n") > cap).select(*keys)
+        banded = banded.join(bad, keys, "left_anti")
     if new_col is not None:
         buckets = (banded.groupBy(*keys)
                    .agg(F.collect_list(

@@ -326,7 +326,9 @@ def test_dedup_release_caches(spark):
     sh = dedup.simhash_pairs(df)
     sh.count()
     released = dedup.release_caches()
-    assert released == 2
+    # 4 tiers: each pair generator persists its signature tier AND (cap
+    # active by default) its banded tier
+    assert released == 4
     assert dedup._TIERS == []
     # idempotent
     assert dedup.release_caches() == 0
@@ -410,7 +412,7 @@ def test_release_caches_is_thread_local(spark):
     t = threading.Thread(target=worker)
     t.start(); t.join()
     assert other["released"] == 0           # other thread sees nothing
-    assert dedup.release_caches() == 1      # ours still here, released now
+    assert dedup.release_caches() == 2      # ours (sigs + banded) released now
 
 
 def test_release_caches_sweeps_dead_thread_tiers(spark):
@@ -430,7 +432,7 @@ def test_release_caches_sweeps_dead_thread_tiers(spark):
         # dies WITHOUT releasing
     t = threading.Thread(target=worker)
     t.start(); t.join()
-    assert dedup.release_caches() == 1  # dead thread's tier swept
+    assert dedup.release_caches() == 2  # dead thread's tiers swept
 
 
 def test_minhash_bucket_cap_drops_template_cluster(spark):
