@@ -52,11 +52,11 @@ SCALE_PASSES = 4              # passes per action -> 1.02B page rows
 # "suspect": true + the offending queries, instead of silently looking
 # like a regression.  UPDATE these when a faster solo artifact lands.
 SOLO_BASELINE = {
-    "pip_tiles": 3.66, "cell_hist": 1.51, "knn": 2.47,
-    "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.62,
-    "dedup_exact": 0.26, "minhash_sigs": 2.19, "dedup_e2e": 7.99,
-    "minhash_sigs_uni": 2.76, "ivf_train": 6.6, "ivf_query": 2.44,
-    "para_dedup": 2.94, "pq_adc": 5.52, "link_graph": 4.95,
+    "pip_tiles": 3.66, "cell_hist": 1.44, "knn": 2.43,
+    "text_pipeline": 2.46, "tpch_q1": 0.23, "top_revenue": 0.60,
+    "dedup_exact": 0.25, "minhash_sigs": 2.11, "dedup_e2e": 7.99,
+    "minhash_sigs_uni": 2.76, "ivf_train": 6.6, "ivf_query": 2.12,
+    "para_dedup": 2.49, "pq_adc": 5.49, "link_graph": 4.41,
 }
 PLAUSIBLE_FACTOR = 1.5
 PLAUSIBLE_RETRIES = 2
