@@ -1010,6 +1010,38 @@ def q_hist_quantiles(spark, sf_dir):
                                    group_cols=["event_type"])
 
 
+_LANGMIX_SQL_SRC = (
+    "SELECT doc_id, substr(text, 1, 80) || chr(10) || chr(10) || "
+    "(CASE doc_id % 4 "
+    "WHEN 0 THEN 'der hund und die katze ist nicht hier' "
+    "WHEN 1 THEN 'le chat et le chien est dans les arbres' "
+    "WHEN 2 THEN 'el perro que ladra de noche los asusta' "
+    "ELSE 'il cane che corre di notte per la casa' END) "
+    "|| chr(10) || chr(10) || substr(text, 81, 40) AS text "
+    "FROM documents")
+
+
+def q_language_mixture(spark, sf_dir):
+    """Mixed-language page profiling (operators/curation.py
+    language_mixture): paragraph-grained lang-id rolled up to dominant
+    language + share + language count per doc — whole-doc lang-id
+    mislabels exactly these pages.  Corpus plants one foreign paragraph
+    per doc (de/fr/es/it by doc_id%4) inside english text."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    foreign = (F.when(i % 4 == 0,
+                      F.lit("der hund und die katze ist nicht hier"))
+               .when(i % 4 == 1,
+                     F.lit("le chat et le chien est dans les arbres"))
+               .when(i % 4 == 2,
+                     F.lit("el perro que ladra de noche los asusta"))
+               .otherwise(F.lit("il cane che corre di notte per la casa")))
+    mixed = d.select("doc_id", F.concat_ws(
+        "\n\n", F.substring(F.col("text"), 1, 80), foreign,
+        F.substring(F.col("text"), 81, 40)).alias("text"))
+    return curation.language_mixture(mixed)
+
+
 def q_retention(spark, sf_dir):
     """Cohort retention (operators/trips.retention_matrix): users
     bucketed by first-event week, counted per later active week —
@@ -1859,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "sq_topk": q_sq_topk,
         "retention": q_retention,
+        "language_mixture": q_language_mixture,
         "page_links": q_page_links,
         "anchor_texts": q_anchor_texts,
         "link_graph": q_link_graph,
@@ -2313,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
             lo=0.0, hi=500.0, nbins=128, group_cols=["event_type"]),
         "sq_topk": ann.sq_sql("vec_id % 61 = 0", dim=64, k=10),
         "retention": trips.retention_matrix_sql("events", bucket_days=7),
+        "language_mixture": curation.language_mixture_sql(_LANGMIX_SQL_SRC),
         "funnel": trips.funnel_counts_sql(
             "events", ["view", "click", "purchase"]),
         "idw_grid": spatial.idw_to_grid_sql(

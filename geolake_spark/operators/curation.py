@@ -903,3 +903,60 @@ WITH _tm_c AS (
 )
 SELECT d.* FROM ({docs_sql}) d JOIN _tm_r r ON d.{strata_col} = r.k
 WHERE {h} < cast(floor(r.rate * {SAMPLE_MOD}) as bigint)"""
+
+
+# ---------------------------------------------------------------------------
+# Language mixture — per-document paragraph-level language profile
+# ---------------------------------------------------------------------------
+# Whole-doc language ID mislabels the web's many MIXED pages (boiler-
+# plate in one language, content in another; forum quotes; parallel
+# text).  The standard curation signal is paragraph-grained: identify
+# each paragraph, then profile the document — dominant language, its
+# share, and how many languages appear.  Pure composition of existing
+# codegen pieces (split + lang_id_col + two partial-agg'd groupBys);
+# integer counts + one rounded ratio, replayed exactly by the twin.
+
+
+def language_mixture(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n\n") -> DataFrame:
+    """``(doc_id, n_paras, n_langs, main_lang, main_frac)`` — dominant
+    paragraph language per doc (ties break to the lexicographically
+    LAST language via the struct max — deterministic)."""
+    from geolake_spark.functions import text as tx
+    paras = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.col(text_col), re.escape(sep)))
+                       .alias("_para"))
+             .filter(F.col("_para") != ""))
+    per_lang = (paras.withColumn("_lang", tx.lang_id_col(F.col("_para")))
+                .groupBy("doc_id", "_lang")
+                .agg(F.count(F.lit(1)).alias("_n")))
+    return (per_lang.groupBy("doc_id")
+            .agg(F.sum("_n").alias("n_paras"),
+                 F.count(F.lit(1)).alias("n_langs"),
+                 F.max(F.struct(F.col("_n"), F.col("_lang"))).alias("_m"))
+            .select("doc_id", "n_paras", "n_langs",
+                    F.col("_m._lang").alias("main_lang"),
+                    F.round(F.col("_m._n") / F.col("n_paras"), 6)
+                    .alias("main_frac")))
+
+
+def language_mixture_sql(docs_sql: str, text_expr: str = "text",
+                         id_expr: str = "doc_id",
+                         sep: str = "\n\n") -> str:
+    from geolake_spark.functions import text as tx
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+WITH _lm_p AS (
+  SELECT {id_expr} AS doc_id, u.para AS para
+  FROM ({docs_sql}), unnest(string_split({text_expr}, {sep_sql})) AS u(para)
+  WHERE u.para <> ''
+), _lm_l AS (
+  SELECT doc_id, {tx.lang_id_sql('para')} AS lang, count(*) AS n
+  FROM _lm_p GROUP BY 1, 2
+)
+SELECT doc_id, sum(n) AS n_paras, count(*) AS n_langs,
+       max(struct_pack(n := n, lang := lang)).lang AS main_lang,
+       round(max(struct_pack(n := n, lang := lang)).n
+             / cast(sum(n) as double), 6) AS main_frac
+FROM _lm_l GROUP BY doc_id"""

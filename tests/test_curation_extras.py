@@ -455,3 +455,26 @@ def test_temperature_mix_deterministic_and_near_target(spark):
                C.temperature_mix(df, "source", 1000).collect())
     assert a == b
     assert abs(len(a) - 1000) < 100  # hash sampling noise
+
+
+# ---------------------------------------------------------------------------
+# Language mixture
+# ---------------------------------------------------------------------------
+
+
+def test_language_mixture_profiles_mixed_docs(spark):
+    en = "the cat and the dog is one of the best"
+    de = "der hund und die katze ist nicht hier"
+    rows = [
+        (1, f"{en}\n\n{en}\n\n{de}"),        # 2/3 english
+        (2, f"{de}\n\n{de}"),                # pure german
+        (3, "zzz qqq xxx"),                  # no stopword evidence -> und
+        (4, f"{en}\n\n\n\n{en}"),            # empty paragraph dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.language_mixture(df).collect()}
+    assert (out[1].main_lang, out[1].n_paras, out[1].n_langs,
+            out[1].main_frac) == ("en", 3, 2, 0.666667)
+    assert out[2].main_lang == "de" and out[2].main_frac == 1.0
+    assert out[3].main_lang == "und" and out[3].n_langs == 1
+    assert out[4].n_paras == 2 and out[4].main_lang == "en"
