@@ -94,3 +94,36 @@ def start_session_stream(spark: SparkSession, drop_dir: str, out_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def term_counts_windowed(docs: DataFrame, text_col: str = "text",
+                         ts_col: str = "ts", window: str = "1 hour",
+                         watermark: str = "1 day",
+                         min_len: int = 4) -> DataFrame:
+    """Event-time-windowed term counts ``(window_start, token, cnt)`` —
+    the trending-terms feed.  Works on batch AND streaming frames
+    (count finalizes at the watermark; state per open window is bounded
+    by the distinct-token count).  Tokens are lowercased whitespace
+    splits of length >= ``min_len`` (drops stopword-sized noise).
+    Finish downstream with a per-window rank to get top-k trending."""
+    src = docs.withWatermark(ts_col, watermark) if docs.isStreaming \
+        else docs
+    tok = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) \
+        .alias("token")
+    toks = (src.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(ts_col), tok)
+            .filter(F.length("token") >= min_len))
+    return (toks.groupBy(F.window(ts_col, window).alias("w"), "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    "token", "cnt"))
+
+
+def trending_topk(term_counts: DataFrame, k: int = 10) -> DataFrame:
+    """Per-window top-k over a (window_start, token, cnt) table —
+    deterministic (cnt desc, token asc)."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy("window_start").orderBy(F.col("cnt").desc(),
+                                              F.col("token").asc())
+    return (term_counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

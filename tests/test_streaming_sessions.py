@@ -158,3 +158,74 @@ def test_streaming_windowed_hist_quantiles(spark, events, tmp_path):
         # stats, the sketch assumes uniform-in-bin — on coarse integer
         # values the definitional gap can cross one bin boundary
         assert abs(med[w] - m) <= 10.0
+
+
+def test_streaming_trending_terms(spark, events, tmp_path):
+    """Windowed term counts stream: finalized streaming rows == the
+    batch windowed counts, and the per-window top-k finisher ranks the
+    streamed table deterministically."""
+    from geolake_spark.streaming import ingest
+
+    docs = events.withColumn(
+        "text", F.concat(F.lit("alpha beta "),
+                         F.when(F.col("event_id") % 3 == 0,
+                                F.lit("gamma gamma trending"))
+                         .otherwise(F.lit("delta plain"))))
+    drop = str(tmp_path / "tt_drop")
+    docs.repartition(3).write.parquet(drop)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 4).parquet(drop))
+    regs = ingest.term_counts_windowed(stream, window="2 days",
+                                       watermark="1 day")
+    q = (regs.writeStream.format("parquet")
+         .option("path", str(tmp_path / "tt_out"))
+         .option("checkpointLocation", str(tmp_path / "tt_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "tt_out"))
+    max_ts = events.agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(days=1)
+    batch = ingest.term_counts_windowed(docs, window="2 days")
+    exp = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 2 DAYS") <= F.lit(wm))
+    cols = ["window_start", "token", "cnt"]
+    assert got.count() == exp.count() > 0
+    assert got.join(exp, cols, "left_anti").count() == 0
+
+    top = ingest.trending_topk(got, k=2).collect()
+    by_w = {}
+    for r in top:
+        by_w.setdefault(r.window_start, []).append((r.rank, r.token))
+    for w, ranked in by_w.items():
+        ranked.sort()
+        # 'alpha'/'beta' appear every event; 'gamma' appears 2x on 1/3
+        # of events -> count ties alpha/beta; token asc breaks the tie
+        assert ranked[0][1] == "alpha" and ranked[1][1] == "beta"
+
+
+def test_streaming_page_links_stateless(spark, tmp_path):
+    """Link extraction is a stateless streaming transformation: the
+    per-link rows stream through append mode with no watermark and
+    match the batch extraction row-for-row."""
+    from geolake_spark.operators import links
+
+    rows = [(f"https://s{i % 5}.com/p{i}",
+             f'<a href="https://hub.com/{i % 7}">h</a><a href="/nav">n</a>')
+            for i in range(60)]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    drop = str(tmp_path / "pl_drop")
+    pages.repartition(3).write.parquet(drop)
+    stream = (spark.readStream.schema(pages.schema)
+              .option("maxFilesPerTrigger", 2).parquet(drop))
+    out = links.page_links(stream)
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "pl_out"))
+         .option("checkpointLocation", str(tmp_path / "pl_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "pl_out"))
+    exp = links.page_links(pages)
+    cols = ["url", "href", "link_url"]
+    assert got.count() == exp.count() == 120
+    assert got.join(exp, cols, "left_anti").count() == 0
