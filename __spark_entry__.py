@@ -1042,6 +1042,132 @@ def q_language_mixture(spark, sf_dir):
     return curation.language_mixture(mixed)
 
 
+def _docs_pages(spark, sf_dir):
+    """Deterministic multi-line PAGE corpus for the C4 line-filter oracle
+    (the raw documents are single-line word salad): five lines per doc
+    built from word slices — a clean keeper, a too-short line, a line
+    whose terminal punctuation cycles by doc_id%3 ("!", "?", none), a
+    javascript boilerplate line, and a 5-word line that only terminates
+    properly for doc_id%4==0 — plus page-level poison appended for some
+    ids (lorem-ipsum for %17==0, a curly-brace code line for %13==1).
+    Mirrored bit-for-bit by :func:`_docs_pages_sql`."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    w = F.split(F.trim(F.col("text")), " ")
+    nl = F.lit("\n")
+    l1 = F.concat(F.concat_ws(" ", F.slice(w, 1, 6)), F.lit("."))
+    l2 = F.concat_ws(" ", F.slice(w, 7, 2))
+    l3 = F.concat(F.concat_ws(" ", F.slice(w, 3, 7)),
+                  F.when(i % 3 == 0, F.lit("!"))
+                  .when(i % 3 == 1, F.lit("?")).otherwise(F.lit("")))
+    l4 = F.lit("Please enable JavaScript to view the comments powered by widgets.")
+    l5 = F.concat(F.concat_ws(" ", F.slice(w, 5, 5)),
+                  F.when(i % 4 == 0, F.lit('"')).otherwise(F.lit(";")))
+    tail = F.concat(
+        F.when(i % 17 == 0,
+               F.lit("\nLorem ipsum dolor sit amet consectetur adipiscing.")
+               ).otherwise(F.lit("")),
+        F.when(i % 13 == 1,
+               F.lit("\nwindow.dataLayer = { push: true };")
+               ).otherwise(F.lit("")))
+    text = F.concat(l1, nl, l2, nl, l3, nl, l4, nl, l5, tail)
+    return d.select("doc_id", text.alias("text"))
+
+
+def _docs_pages_sql() -> str:
+    """DuckDB mirror of :func:`_docs_pages` (doc_id, text)."""
+    return (
+        "SELECT doc_id, "
+        "array_to_string(w[1:6], ' ') || '.' || chr(10) || "
+        "array_to_string(w[7:8], ' ') || chr(10) || "
+        "array_to_string(w[3:9], ' ') || "
+        "(CASE doc_id % 3 WHEN 0 THEN '!' WHEN 1 THEN '?' ELSE '' END) "
+        "|| chr(10) || "
+        "'Please enable JavaScript to view the comments powered by widgets.'"
+        " || chr(10) || "
+        "array_to_string(w[5:9], ' ') || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '\"' ELSE ';' END) || "
+        "(CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+        "'Lorem ipsum dolor sit amet consectetur adipiscing.' ELSE '' END) || "
+        "(CASE WHEN doc_id % 13 = 1 THEN chr(10) || "
+        "'window.dataLayer = { push: true };' ELSE '' END) AS text "
+        "FROM (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents)")
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning (operators/curation.c4_line_filter; Raffel
+    et al. 2020 heuristics): keep >=5-word lines ending in terminal
+    punctuation without "javascript"; drop pages with <3 kept lines, or
+    containing lorem-ipsum / a curly brace.  One codegen map stage —
+    zero shuffle, zero Python; at 100 TB it rides the scan partitioning."""
+    return curation.c4_line_filter(_docs_pages(spark, sf_dir))
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (operators/dedup.containment_pairs;
+    Broder 1997): C(A->B) = |S(A)∩S(B)|/|S(A)| — catches a doc embedded
+    in a larger doc, which symmetric Jaccard dilutes away.  Shares the
+    single-shuffle exact intersection core with ngram_jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.3)
+
+
+def q_postings(spark, sf_dir):
+    """Inverted-index build (operators/search.build_postings): one
+    tokenize scan, one (term, doc) agg shuffle, then document frequency
+    as a window over the already-aggregated index rows — the exchange
+    moves index entries, not tokens.  Positions are 0-based token
+    offsets (phrase/proximity payload), comma-joined ascending."""
+    d = _t(spark, sf_dir, "documents")
+    return search.build_postings(d, min_df=2)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/ann.semdedup_keep; Abbas et al. 2023):
+    cluster embeddings (formula centers, subspace-sequential L2 so the
+    oracle replays membership bit-identically), then within each cluster
+    drop any vector with a lower-id neighbor at cosine >= tau.  The
+    quadratic pair cost is bounded per cluster; the self-join shuffles
+    on list_id only."""
+    e = _t(spark, sf_dir, "embeddings")
+    cc = ann.demo_ivf_centers(dim=64, nlist=16)
+    return ann.semdedup_keep(e, cc, tau=0.35)
+
+
+def _semdedup_sql(dim: int = 64, nlist: int = 16, dsub: int = 4,
+                  tau: float = 0.35) -> str:
+    """DuckDB replay of semdedup_keep: formula-center assignment via the
+    subspace-sequential nested-fold L2 (the _ivfpq_sql parity contract),
+    then within-cluster pairs at round(cosine, 6) >= tau decide drops."""
+    m = dim // dsub
+
+    def d2c(v: str, l: str) -> str:
+        t = (f"(({v}[s*{dsub}+d+1] - cc[({l})*{dim} + s*{dsub} + d + 1]) * "
+             f"({v}[s*{dsub}+d+1] - cc[({l})*{dim} + s*{dsub} + d + 1]))")
+        inner = (f"list_reduce(list_transform(range({dsub}), d -> {t}), "
+                 f"(a, b) -> a + b)")
+        return (f"list_reduce(list_transform(range({m}), s -> {inner}), "
+                f"(a, b) -> a + b)")
+
+    dl = f"list_transform(range({nlist}), l -> {d2c('embedding', 'l')})"
+    return f"""
+WITH _sd_cc AS (
+    SELECT {ann.demo_ivf_centers_sql(dim, nlist)} AS cc
+), _sd_enc AS (
+    SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+           cast(list_position({dl}, list_min({dl})) - 1 AS INTEGER)
+             AS list_id
+    FROM embeddings, _sd_cc
+), _sd_drop AS (
+    SELECT DISTINCT b.vec_id
+    FROM _sd_enc a JOIN _sd_enc b USING (list_id)
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= {tau}
+)
+SELECT e.vec_id, e.list_id
+FROM _sd_enc e ANTI JOIN _sd_drop d ON e.vec_id = d.vec_id"""
+
+
 def q_retention(spark, sf_dir):
     """Cohort retention (operators/trips.retention_matrix): users
     bucketed by first-event week, counted per later active week —
@@ -1937,6 +2063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ivf_topk": q_ivf_topk,
         "ivf_table": q_ivf_table,
+        "c4_filter": q_c4_filter,
+        "containment": q_containment,
+        "postings": q_postings,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2640,4 +2770,27 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             "cast(octet_length(encode(text)) % 640 + 1 as bigint) AS width, "
             "cast((octet_length(encode(text)) // 640) % 480 + 1 as bigint) AS height "
             "FROM documents"),
+        "c4_filter": curation.c4_line_filter_sql(_docs_pages_sql()),
+        "containment": (
+            "WITH words AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), "
+            "shingled AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            "  range(1, greatest(len(w) - 2, 0) + 1), "
+            "  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM words), "
+            "filtered AS (SELECT doc_id, sh FROM shingled "
+            "  QUALIFY count(*) OVER (PARTITION BY sh) <= 1000), "
+            "sizes AS (SELECT doc_id, count(*) AS set_size FROM filtered GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  count(*) AS inter_size FROM filtered a JOIN filtered b USING (sh) "
+            "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "  round(cast(inter_size as double) / sa.set_size, 6) AS cont_a, "
+            "  round(cast(inter_size as double) / sb.set_size, 6) AS cont_b "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE greatest(round(cast(inter_size as double) / sa.set_size, 6), "
+            "  round(cast(inter_size as double) / sb.set_size, 6)) >= 0.3"),
+        "postings": search.build_postings_sql(
+            "SELECT * FROM documents", min_df=2),
+        "semdedup": _semdedup_sql(),
     }

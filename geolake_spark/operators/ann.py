@@ -730,3 +730,69 @@ SELECT pid AS probe_id, vid AS {id_col},
        cast(row_number() OVER (PARTITION BY pid
             ORDER BY sq_dist ASC, vid ASC) as int) AS rank
 FROM _sq_d QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then deduplicate ONLY within clusters, so
+# the quadratic pair cost is bounded per cluster instead of corpus-wide.
+# At 100 TB: assignment is one Arrow scan; the within-cluster self-join
+# shuffles on list_id only; k is chosen ~sqrt(N) in production so expected
+# cluster size is N/k — a degenerate hot cluster is the same skew class as
+# an LSH mega-bucket (cap or re-cluster; stated, not silently truncated).
+# Assignment uses the subspace-sequential L2 contract (_subspace_l2), so a
+# SQL oracle can replay cluster membership bit-identically.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_assign(vectors: DataFrame, centers: np.ndarray,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    dsub: int = 4) -> DataFrame:
+    """``(id, v array<double>, list_id)`` — nearest-center assignment under
+    the subspace-sequential squared-L2 parity contract (first minimum wins,
+    same tie-break as ``np.argmin`` and SQL ``list_position(l, list_min)``)."""
+    cc = centers.astype(np.float64)
+    dim = cc.shape[1]
+    assert dim % dsub == 0
+    m = dim // dsub
+
+    @pandas_udf("int")
+    def assign_udf(vec: pd.Series) -> pd.Series:
+        x = sim.stack_vectors(vec, dtype=np.float64)
+        return pd.Series(
+            _subspace_l2(x, cc, m, dsub).argmin(axis=1).astype(np.int32))
+
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        assign_udf(F.col(vec_col)).alias("list_id"))
+
+
+def semdedup_keep(vectors: DataFrame, centers: np.ndarray, tau: float,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  dsub: int = 4) -> DataFrame:
+    """Keep a vector iff NO lower-id vector in its cluster has cosine >=
+    ``tau`` with it — the deterministic variant of SemDeDup's
+    keep-one-per-duplicate-group rule (lowest id is the canonical keeper;
+    greedy-by-id equals the paper's random-keeper semantics up to which
+    representative survives).  Returns ``(vec_id, list_id)`` of keepers.
+
+    Cosines are rounded to 6 dp BEFORE the threshold compare (the
+    embedding_neardup contract) so the oracle's replay decides membership
+    on the identical double."""
+    from geolake_spark.operators.dedup import _persist_tier
+    # persisted: feeds both self-join sides and the anti-join base
+    enc = _persist_tier(semdedup_assign(vectors, centers,
+                                        vec_col, id_col, dsub))
+    a = enc.select(F.col("list_id"), F.col("id").alias("id_a"),
+                   F.col("v").alias("v_a"))
+    b = enc.select(F.col("list_id"), F.col("id").alias("id_b"),
+                   F.col("v").alias("v_b"))
+    dropped = (a.join(b, "list_id")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .withColumn("cosine", F.round(
+                   sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
+               .filter(F.col("cosine") >= tau)
+               .select(F.col("id_b").alias("id")).distinct())
+    return (enc.join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col), "list_id"))

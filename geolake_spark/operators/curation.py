@@ -960,3 +960,81 @@ SELECT doc_id, sum(n) AS n_paras, count(*) AS n_langs,
        round(max(struct_pack(n := n, lang := lang)).n
              / cast(sum(n) as double), 6) AS main_frac
 FROM _lm_l GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", Appendix — the C4 heuristics).  Reference repo has no
+# text ops (geolake is geospatial); this is the LLM-pipeline surface the
+# engine adds on top.  All predicates are single codegen expressions over a
+# split-on-newline array — zero shuffle, zero Python: at 100 TB this is a
+# map-only stage that rides whatever partitioning the scan produced.
+# ---------------------------------------------------------------------------
+
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def _c4_line_pred(ln, min_words: int):
+    """Keep a line iff (C4 rules): >= min_words space-separated words, ends
+    in a terminal punctuation mark, and does not mention javascript."""
+    t = F.trim(ln)
+    wc = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+    last = F.substring(t, -1, 1)
+    return ((wc >= min_words)
+            & last.isin(*C4_TERMINALS)
+            & ~F.contains(F.lower(t), F.lit("javascript")))
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 5,
+                   min_lines: int = 3) -> DataFrame:
+    """C4-style page cleaning: keep lines with >= ``min_words`` words that
+    end in a terminal punctuation mark (``. ! ? "``) and do not contain the
+    word "javascript" (case-insensitive); then drop whole pages that retain
+    fewer than ``min_lines`` lines, contain "lorem ipsum" (placeholder
+    text), or contain a curly brace (leaked code/CSS).
+
+    Returns (id_col, text rebuilt from kept lines joined by newline,
+    n_lines = kept-line count).  Contract notes: a "word" is a run of
+    non-space characters after trim (split on a single ASCII space — the
+    same word contract as the shingle/token oracles); the javascript /
+    lorem-ipsum matches are ASCII lowercase (locale-safe).
+    """
+    text = F.col(text_col)
+    kept = F.filter(F.split(text, "\n"),
+                    lambda ln: _c4_line_pred(ln, min_words))
+    out = df.select(F.col(id_col), kept.alias("_kept"), text.alias("_t"))
+    return (out
+            .filter((F.size("_kept") >= min_lines)
+                    & ~F.contains(F.lower(F.col("_t")), F.lit("lorem ipsum"))
+                    & ~F.contains(F.col("_t"), F.lit("{")))
+            .select(F.col(id_col),
+                    F.coalesce(F.array_join("_kept", "\n"), F.lit(""))
+                    .alias(text_col),
+                    F.size("_kept").alias("n_lines")))
+
+
+def c4_line_filter_sql(docs_sql: str, text_expr: str = "text",
+                       id_expr: str = "doc_id", min_words: int = 5,
+                       min_lines: int = 3) -> str:
+    """DuckDB mirror of :func:`c4_line_filter`.  PITFALL (established):
+    DuckDB ``array_to_string([])`` is NULL where Spark ``array_join`` is
+    '' — coalesce.  DuckDB ``right(t, 1)`` == Spark ``substring(t, -1, 1)``
+    (both return '' on empty input, so the IN-list check is safe)."""
+    terminals = ", ".join(f"'{t}'" if t != '"' else "'\"'"
+                          for t in C4_TERMINALS)
+    pred = (f"len(list_filter(str_split(trim(ln), ' '), w -> w <> ''))"
+            f" >= {min_words} AND right(trim(ln), 1) IN ({terminals})"
+            f" AND NOT contains(lower(trim(ln)), 'javascript')")
+    return f"""
+WITH _c4 AS (
+  SELECT {id_expr} AS doc_id, {text_expr} AS _t,
+         list_filter(str_split({text_expr}, chr(10)), ln -> {pred}) AS _kept
+  FROM ({docs_sql})
+)
+SELECT doc_id, coalesce(array_to_string(_kept, chr(10)), '') AS text,
+       len(_kept) AS n_lines
+FROM _c4
+WHERE len(_kept) >= {min_lines}
+  AND NOT contains(lower(_t), 'lorem ipsum')
+  AND NOT contains(_t, '{{')"""

@@ -414,13 +414,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard over word n-gram sets: distinct-shingle equi-join counts
-    |A∩B|, set sizes via a pre-agg, |A∪B| = |A|+|B|-|A∩B|.  The join key is
-    the shingle itself — common shingles are the skew risk, so extremely
-    frequent shingles (df > 1000) are dropped (stop-shingles), stated."""
+def _shingle_inter(df: DataFrame, text_col: str, id_col: str, n: int,
+                   max_df: int = 1000):
+    """Shared core of the exact set-overlap operators: distinct word
+    n-gram sets per doc, per-doc set sizes, and exact pairwise
+    intersection counts.  The join key is the shingle itself — common
+    shingles are the skew risk, so extremely frequent shingles
+    (df > ``max_df``) are dropped (stop-shingles), stated.
+
+    Returns ``(inter, sizes)`` where inter = (id_a, id_b, inter_size)
+    over the STOP-FILTERED sets and sizes = (id, set_size) likewise."""
     # persisted: the distinct shingle table feeds the frequency agg, the
     # size agg and both join branches — four consumers that would each
     # re-scan and re-shingle the corpus otherwise; released via
@@ -430,22 +433,62 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   F.explode(sim.shingles_col(F.col(text_col), n)).alias("sh"))
         .distinct())
     freq = shingled.groupBy("sh").agg(F.count("*").alias("df_count"))
-    shingled = (shingled.join(freq, "sh").filter(F.col("df_count") <= 1000)
+    shingled = (shingled.join(freq, "sh").filter(F.col("df_count") <= max_df)
                 .select("id", "sh"))
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
     # one co-occurrence row per (pair, shingle) -> count = |A ∩ B|
     inter = (_bucket_pairs(shingled, ["sh"], dedupe=False)
              .groupBy("id_a", "id_b").agg(F.count("*").alias("inter_size")))
+    return inter, sizes
+
+
+def _attach_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     return (inter
             .join(sizes.select(F.col("id").alias("id_a"),
                                F.col("set_size").alias("size_a")), "id_a")
             .join(sizes.select(F.col("id").alias("id_b"),
-                               F.col("set_size").alias("size_b")), "id_b")
+                               F.col("set_size").alias("size_b")), "id_b"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over word n-gram sets: distinct-shingle equi-join counts
+    |A∩B|, set sizes via a pre-agg, |A∪B| = |A|+|B|-|A∩B| (stop-shingle
+    df cap inside :func:`_shingle_inter`, stated)."""
+    inter, sizes = _shingle_inter(df, text_col, id_col, n)
+    return (_attach_sizes(inter, sizes)
             .withColumn("jaccard", F.round(
                 F.col("inter_size")
                 / (F.col("size_a") + F.col("size_b") - F.col("inter_size")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Asymmetric set containment (Broder 1997's second resemblance
+    measure): C(A→B) = |S(A)∩S(B)| / |S(A)| over distinct word n-gram
+    sets.  Near-1 containment with low Jaccard is the
+    quote/aggregator/boilerplate-wrapper signature — doc A's content
+    embedded inside a larger doc B — which symmetric Jaccard dedup
+    misses by construction (|B| in the union denominator dilutes it).
+
+    Emits one row per unordered candidate pair with BOTH directions
+    (cont_a = how much of A is inside B, cont_b = vice versa), filtered
+    to max(cont_a, cont_b) >= ``threshold``.  Exact counting shares
+    :func:`_shingle_inter` with :func:`ngram_jaccard_pairs` — same
+    single-shuffle shape, same stop-shingle skew guard; ratios are
+    bigint/bigint (exact below 2^53 in Spark and DuckDB alike)."""
+    inter, sizes = _shingle_inter(df, text_col, id_col, n)
+    return (_attach_sizes(inter, sizes)
+            .withColumn("cont_a",
+                        F.round(F.col("inter_size") / F.col("size_a"), 6))
+            .withColumn("cont_b",
+                        F.round(F.col("inter_size") / F.col("size_b"), 6))
+            .filter(F.greatest("cont_a", "cont_b") >= threshold)
+            .select("id_a", "id_b", "cont_a", "cont_b"))
 
 
 DEFAULT_LSH_SEED = 7

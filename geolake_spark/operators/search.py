@@ -202,3 +202,67 @@ FROM _co_pc p
 JOIN _co_tc ta ON ta.tok = p.token_a
 JOIN _co_tc tb ON tb.tok = p.token_b
 CROSS JOIN _co_n n"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index construction — the classic search-engine build job
+# (term -> postings).  At 100 TB the shape is: one tokenize+posexplode
+# scan (pure JVM, no Python), one (term, doc) aggregation shuffle, then a
+# window over the ALREADY-AGGREGATED rows for document frequency — the
+# window's exchange moves index entries, not tokens.  Hot terms ("the")
+# produce large-but-bounded posting rows, not large agg buffers: tf is a
+# count and positions are per-(term,doc), so no single aggregation key
+# exceeds one document's token count.
+# ---------------------------------------------------------------------------
+
+
+def build_postings(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Flat inverted-index rows: one row per (term, doc) with
+    ``(term, df_count, doc_id, tf, positions)`` where positions is the
+    comma-joined ascending list of 0-based token offsets (the phrase-query
+    / proximity-scoring payload).  Terms with document frequency below
+    ``min_df`` are dropped.  Tokens are ``_toks`` (trim+lower+split \\s+),
+    the same contract as :func:`bm25_scores`."""
+    from pyspark.sql import Window
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_toks(F.col(text_col))).alias("pos", "term"))
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("pos")),
+                        lambda x: x.cast("string")), ",").alias("positions"))
+    out = per_doc.withColumn(
+        "df_count", F.count("*").over(Window.partitionBy("term")))
+    if min_df > 1:
+        out = out.filter(F.col("df_count") >= min_df)
+    return out.select("term", "df_count", "doc_id", "tf", "positions")
+
+
+def build_postings_sql(docs_sql: str, text_expr: str = "text",
+                       id_expr: str = "doc_id", min_df: int = 1) -> str:
+    """DuckDB mirror of :func:`build_postings` (value-hash oracle)."""
+    return f"""
+WITH _pw AS (
+  SELECT {id_expr} AS doc_id,
+         CASE WHEN trim(lower({text_expr})) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower({text_expr})), '\\s+')
+         END AS tk
+  FROM ({docs_sql})
+), _pt AS (
+  SELECT doc_id, u.term AS term, u.pos AS pos
+  FROM _pw, LATERAL (SELECT unnest(list_transform(range(1, len(tk) + 1),
+         i -> {{'pos': i - 1, 'term': tk[i]}}),
+         recursive := true)) u
+), _pd AS (
+  SELECT term, doc_id, count(*) AS tf,
+         array_to_string(list_transform(list_sort(list(pos)),
+                                        x -> cast(x AS VARCHAR)), ',')
+           AS positions
+  FROM _pt GROUP BY 1, 2
+)
+SELECT term, count(*) OVER (PARTITION BY term) AS df_count,
+       doc_id, tf, positions
+FROM _pd
+QUALIFY df_count >= {min_df}"""
