@@ -934,6 +934,86 @@ def q_link_pagerank(spark, sf_dir):
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _docs_crawl(spark, sf_dir):
+    """Deterministic crawl-policy corpus: pages with <meta name="robots">
+    in both attribute orders (plus uppercase and 'none'-shorthand
+    variants and a viewport decoy) and <link rel="canonical"> in both
+    orders (absolute-messy and root-relative hrefs, behind a stylesheet
+    decoy).  Mirrored bit-for-bit by ``_DOCS_CRAWL_SQL``."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (i % 5).cast("string"),
+                   F.lit(".example.com/p/"), i.cast("string"))
+    m = i % 8
+    robots = (F.when(m == 0, F.lit(
+        '<META NAME="robots" CONTENT="NOINDEX, FOLLOW">'))
+        .when(m == 4, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when((m == 1) | (m == 5),
+              F.lit('<meta content="INDEX, NoFollow" name="robots">'))
+        .when((m == 2) | (m == 6),
+              F.lit('<meta name="viewport" content="width=device-width">'))
+        .when(m == 7, F.lit('<meta name="robots" content=" none ">'))
+        .otherwise(F.lit("")))
+    grp = (i - i % 6).cast("string")
+    canon = (F.when(i % 3 == 0, F.concat(
+        F.lit('<link rel="canonical" href="HTTPS://Site'),
+        (i % 5).cast("string"), F.lit(".Example.COM:443/p/"), grp,
+        F.lit('?utm_source=feed">')))
+        .when(i % 3 == 1, F.concat(
+            F.lit('<link href="/p/'), grp, F.lit('" rel="canonical">')))
+        .otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<html><head>"), robots,
+        F.lit('<link rel="stylesheet" href="/css/m.css">'), canon,
+        F.lit("</head><body><p>"), F.substring(F.col("text"), 1, 40),
+        F.lit("</p></body></html>"))
+    return d.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+_DOCS_CRAWL_SQL = (
+    "SELECT doc_id, "
+    "'https://site' || cast(doc_id % 5 as varchar) || '.example.com/p/' || "
+    "cast(doc_id as varchar) AS url, "
+    "'<html><head>' || "
+    "(CASE doc_id % 8 "
+    "WHEN 0 THEN '<META NAME=\"robots\" CONTENT=\"NOINDEX, FOLLOW\">' "
+    "WHEN 4 THEN '<meta name=\"robots\" content=\"noindex, follow\">' "
+    "WHEN 1 THEN '<meta content=\"INDEX, NoFollow\" name=\"robots\">' "
+    "WHEN 5 THEN '<meta content=\"INDEX, NoFollow\" name=\"robots\">' "
+    "WHEN 2 THEN '<meta name=\"viewport\" content=\"width=device-width\">' "
+    "WHEN 6 THEN '<meta name=\"viewport\" content=\"width=device-width\">' "
+    "WHEN 7 THEN '<meta name=\"robots\" content=\" none \">' "
+    "ELSE '' END) || "
+    "'<link rel=\"stylesheet\" href=\"/css/m.css\">' || "
+    "(CASE doc_id % 3 "
+    "WHEN 0 THEN '<link rel=\"canonical\" href=\"HTTPS://Site' || "
+    "cast(doc_id % 5 as varchar) || '.Example.COM:443/p/' || "
+    "cast(doc_id - doc_id % 6 as varchar) || '?utm_source=feed\">' "
+    "WHEN 1 THEN '<link href=\"/p/' || "
+    "cast(doc_id - doc_id % 6 as varchar) || '\" rel=\"canonical\">' "
+    "ELSE '' END) || "
+    "'</head><body><p>' || substr(text, 1, 40) || '</p></body></html>'"
+    " AS html "
+    "FROM documents")
+
+
+def q_crawl_policies(spark, sf_dir):
+    """Per-page crawl policy (operators/links.crawl_policies): robots
+    directives (both attribute orders, 'none' shorthand) + canonical
+    target resolved and canonicalized — a pure map stage, zero shuffle,
+    zero Python; at 100 TB it rides the page-scan partitioning."""
+    return links.crawl_policies(_docs_crawl(spark, sf_dir))
+
+
+def q_canonical_collapse(spark, sf_dir):
+    """Canonical-declared duplicate collapse (operators/links.
+    canonical_collapse): indexable pages grouped on the effective
+    canonical target — ONE shuffle with constant per-key agg state, so
+    a site-wide canonical hot key is a partial-agg'd counter, not a
+    memory risk."""
+    return links.canonical_collapse(_docs_crawl(spark, sf_dir))
+
+
 def q_polygon_raster(spark, sf_dir):
     """Vector -> raster rasterization (operators/spatial.py
     polygon_raster_cells): a polygon TABLE (deterministic triangles
@@ -2067,6 +2147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "postings": q_postings,
         "semdedup": q_semdedup,
+        "crawl_policies": q_crawl_policies,
+        "canonical_collapse": q_canonical_collapse,
     }
 
 
@@ -2793,4 +2875,6 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "postings": search.build_postings_sql(
             "SELECT * FROM documents", min_df=2),
         "semdedup": _semdedup_sql(),
+        "crawl_policies": links.crawl_policies_sql(_DOCS_CRAWL_SQL),
+        "canonical_collapse": links.canonical_collapse_sql(_DOCS_CRAWL_SQL),
     }

@@ -843,3 +843,74 @@ def anchor_text_pairs_sql(html_expr: str) -> str:
                f"'{_WS_CLASS}', ' ', 'g')))")
     return (f"list_transform(list_zip({hrefs}, {anchors}), "
             f"z -> {{'href': z[1], 'anchor': z[2]}})")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-policy extraction: <meta name="robots"> directives and
+# <link rel="canonical"> targets — the two in-page signals every crawl
+# pipeline must honor before a page enters the corpus (noindex pages are
+# excluded from indexes/corpora; canonical links collapse URL-level
+# duplicates the canonicalizer alone can't see, e.g. print views and
+# pagination variants declaring one canonical target).  Same design
+# rules as the href extractor above: double-quoted attributes, patterns
+# in the Java-regex/RE2 common subset so DuckDB runs the IDENTICAL
+# strings, [^>]*? spans that cannot cross a tag boundary (so one tag's
+# content= can never pair with another tag's name=).  Both attribute
+# orders are matched (name-first and content-first / rel-first and
+# href-first) — real crawls contain both.
+# ---------------------------------------------------------------------------
+
+_META_ROBOTS_NAME_FIRST = (r'(?is)<meta\b[^>]*?\sname\s*=\s*"robots"'
+                           r'[^>]*?\scontent\s*=\s*"([^"]*)"')
+_META_ROBOTS_CONTENT_FIRST = (r'(?is)<meta\b[^>]*?\scontent\s*=\s*"([^"]*)"'
+                              r'[^>]*?\sname\s*=\s*"robots"')
+_LINK_CANON_REL_FIRST = (r'(?is)<link\b[^>]*?\srel\s*=\s*"canonical"'
+                         r'[^>]*?\shref\s*=\s*"([^"]*)"')
+_LINK_CANON_HREF_FIRST = (r'(?is)<link\b[^>]*?\shref\s*=\s*"([^"]*)"'
+                          r'[^>]*?\srel\s*=\s*"canonical"')
+
+
+def _first_nonempty(a: Column, b: Column) -> Column:
+    return F.when(a != "", a).otherwise(b)
+
+
+def robots_directives_col(html: Column) -> Column:
+    """array<string> of normalized robots directives (lowercased,
+    trimmed, empties dropped) from the page's ``<meta name="robots">``
+    tag; ``[]`` when the tag is absent.  An all-whitespace content
+    attribute also yields ``[]`` (no directives)."""
+    raw = _first_nonempty(
+        F.regexp_extract(html, _META_ROBOTS_NAME_FIRST, 1),
+        F.regexp_extract(html, _META_ROBOTS_CONTENT_FIRST, 1))
+    return F.filter(
+        F.transform(F.split(F.lower(raw), ","), lambda t: F.trim(t)),
+        lambda t: t != "")
+
+
+def robots_directives_sql(html_expr: str) -> str:
+    """DuckDB mirror of :func:`robots_directives_col` (identical
+    patterns; DuckDB regexp_extract needs a NULL-on-no-match coalesce)."""
+    p1 = _META_ROBOTS_NAME_FIRST.replace("'", "''")
+    p2 = _META_ROBOTS_CONTENT_FIRST.replace("'", "''")
+    e1 = f"coalesce(regexp_extract({html_expr}, '{p1}', 1), '')"
+    e2 = f"coalesce(regexp_extract({html_expr}, '{p2}', 1), '')"
+    raw = f"(CASE WHEN {e1} <> '' THEN {e1} ELSE {e2} END)"
+    return (f"list_filter(list_transform(string_split(lower({raw}), ','), "
+            f"t -> trim(t)), t -> t <> '')")
+
+
+def canonical_href_col(html: Column) -> Column:
+    """Raw href of the page's ``<link rel="canonical">`` tag ('' when
+    absent); resolve with :func:`resolve_link_col` against the page URL
+    and canonicalize with :func:`url_canonical_col` downstream."""
+    return _first_nonempty(
+        F.regexp_extract(html, _LINK_CANON_REL_FIRST, 1),
+        F.regexp_extract(html, _LINK_CANON_HREF_FIRST, 1))
+
+
+def canonical_href_sql(html_expr: str) -> str:
+    p1 = _LINK_CANON_REL_FIRST.replace("'", "''")
+    p2 = _LINK_CANON_HREF_FIRST.replace("'", "''")
+    e1 = f"coalesce(regexp_extract({html_expr}, '{p1}', 1), '')"
+    e2 = f"coalesce(regexp_extract({html_expr}, '{p2}', 1), '')"
+    return f"(CASE WHEN {e1} <> '' THEN {e1} ELSE {e2} END)"

@@ -98,3 +98,87 @@ def link_graph_sql(pages_sql: str, url_expr: str = "url",
             f"SELECT {src} AS src, {dst} AS dst FROM ({inner})) "
             f"WHERE src <> '' AND dst <> '' AND src <> dst "
             f"GROUP BY src, dst")
+
+
+# ---------------------------------------------------------------------------
+# Crawl policies: per-page robots directives + canonical target, and the
+# canonical-collapse dedup they drive.  Scale shape: crawl_policies is a
+# pure map stage (regex extraction + URL algebra in whole-stage codegen,
+# zero shuffle, zero Python) over the page scan; canonical_collapse adds
+# exactly ONE shuffle — the groupBy on the effective canonical target —
+# and its aggregation state is constant per key (count + min), so a
+# site-wide canonical pointing 10^7 pages at one homepage is a hot key
+# with a partial-agg-absorbed counter, not a memory risk.
+# ---------------------------------------------------------------------------
+
+
+def crawl_policies(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Per-page crawl policy row: ``(url, robots, noindex, nofollow,
+    canonical_url)``.
+
+    ``robots`` is the normalized (lowercased, trimmed, comma-joined)
+    directive list from ``<meta name="robots">`` ('' when absent);
+    ``noindex`` / ``nofollow`` honor the ``none`` shorthand (== both);
+    ``canonical_url`` is the ``<link rel="canonical">`` target resolved
+    against the page URL and canonicalized ('' when the tag is absent
+    or its href is unresolvable, e.g. directory-relative)."""
+    d = tx.robots_directives_col(F.col(html_col))
+    canon = tx.url_canonical_col(tx.resolve_link_col(
+        tx.canonical_href_col(F.col(html_col)), F.col(url_col)))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.array_join(d, ",").alias("robots"),
+        (F.array_contains(d, "noindex")
+         | F.array_contains(d, "none")).alias("noindex"),
+        (F.array_contains(d, "nofollow")
+         | F.array_contains(d, "none")).alias("nofollow"),
+        canon.alias("canonical_url"))
+
+
+def canonical_collapse(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Duplicate-cluster collapse by declared canonical: indexable pages
+    (noindex excluded) grouped by their EFFECTIVE canonical target — the
+    declared canonical_url when present, else the page's own
+    canonicalized URL.  Emits ``(canonical_url, n_pages, keeper_url)``
+    with the lexicographically smallest member URL as the deterministic
+    keeper."""
+    pol = crawl_policies(pages, url_col, html_col)
+    eff = (F.when(F.col("canonical_url") != "", F.col("canonical_url"))
+           .otherwise(tx.url_canonical_col(F.col("url"))))
+    return (pol.filter(~F.col("noindex"))
+            .select(eff.alias("canonical_url"), "url")
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.min("url").alias("keeper_url")))
+
+
+def crawl_policies_sql(pages_sql: str, url_expr: str = "url",
+                       html_expr: str = "html") -> str:
+    """DuckDB mirror of :func:`crawl_policies`."""
+    d = tx.robots_directives_sql(html_expr)
+    canon = tx.url_canonical_sql(tx.resolve_link_sql(
+        tx.canonical_href_sql(html_expr), url_expr))
+    # PITFALL (established): DuckDB array_to_string([]) is NULL where
+    # Spark array_join is '' — coalesce
+    return (f"SELECT {url_expr} AS url, "
+            f"coalesce(array_to_string({d}, ','), '') AS robots, "
+            f"(list_contains({d}, 'noindex') OR list_contains({d}, 'none'))"
+            f" AS noindex, "
+            f"(list_contains({d}, 'nofollow') OR list_contains({d}, 'none'))"
+            f" AS nofollow, "
+            f"{canon} AS canonical_url "
+            f"FROM ({pages_sql})")
+
+
+def canonical_collapse_sql(pages_sql: str, url_expr: str = "url",
+                           html_expr: str = "html") -> str:
+    """DuckDB mirror of :func:`canonical_collapse`."""
+    inner = crawl_policies_sql(pages_sql, url_expr, html_expr)
+    own = tx.url_canonical_sql("url")
+    return (f"SELECT (CASE WHEN canonical_url <> '' THEN canonical_url "
+            f"ELSE {own} END) AS canonical_url, "
+            f"count(*) AS n_pages, min(url) AS keeper_url "
+            f"FROM ({inner}) WHERE NOT noindex "
+            f"GROUP BY 1")

@@ -131,3 +131,81 @@ def test_extract_hrefs_ignores_data_href(spark):
     out = df.select(tx.extract_hrefs_col(F.col("html")).alias("h")) \
         .collect()[0]["h"]
     assert out == ["https://real.com/"]
+
+
+# ---------------------------------------------------------------------------
+# crawl policies (meta robots + rel=canonical)
+# ---------------------------------------------------------------------------
+
+
+def _policies(spark, rows):
+    out = links.crawl_policies(_pages(spark, rows))
+    return {r.url: (r.robots, r.noindex, r.nofollow, r.canonical_url)
+            for r in out.collect()}
+
+
+def test_robots_both_orders_and_variants(spark):
+    got = _policies(spark, [
+        ("https://a.com/1",
+         '<head><meta name="robots" content="noindex, follow"></head>'),
+        ("https://a.com/2",
+         '<head><meta content="INDEX, NoFollow" name="robots"></head>'),
+        ("https://a.com/3",
+         '<head><META NAME="robots" CONTENT="NOINDEX"></head>'),
+        ("https://a.com/4",
+         '<head><meta name="robots" content=" none "></head>'),
+        ("https://a.com/5",
+         '<head><meta name="viewport" content="width=device-width"></head>'),
+        ("https://a.com/6", "<head></head>"),
+    ])
+    assert got["https://a.com/1"] == ("noindex,follow", True, False, "")
+    assert got["https://a.com/2"] == ("index,nofollow", False, True, "")
+    assert got["https://a.com/3"] == ("noindex", True, False, "")
+    assert got["https://a.com/4"] == ("none", True, True, "")   # shorthand
+    assert got["https://a.com/5"] == ("", False, False, "")     # decoy
+    assert got["https://a.com/6"] == ("", False, False, "")
+
+
+def test_robots_tag_isolation(spark):
+    # one tag's content= must never pair with another tag's name=
+    html = ('<meta content="leak" name="viewport">'
+            '<meta name="robots" content="noindex">')
+    got = _policies(spark, [("https://a.com/x", html)])
+    assert got["https://a.com/x"][0] == "noindex"
+
+
+def test_canonical_both_orders_resolution_and_decoy(spark):
+    got = _policies(spark, [
+        # rel-first, messy absolute -> canonicalized
+        ("https://b.com/p/1",
+         '<link rel="stylesheet" href="/css/m.css">'
+         '<link rel="canonical" href="HTTPS://B.COM:443/p/0?utm_source=f">'),
+        # href-first, root-relative -> resolved against the page URL
+        ("https://b.com/p/2", '<link href="/p/0" rel="canonical">'),
+        # directory-relative canonical is unresolvable -> ''
+        ("https://b.com/p/3", '<link rel="canonical" href="other.html">'),
+        ("https://b.com/p/4", '<link rel="stylesheet" href="/css/m.css">'),
+    ])
+    assert got["https://b.com/p/1"][3] == "https://b.com/p/0"
+    assert got["https://b.com/p/2"][3] == "https://b.com/p/0"
+    assert got["https://b.com/p/3"][3] == ""
+    assert got["https://b.com/p/4"][3] == ""
+
+
+def test_canonical_collapse_groups_and_noindex(spark):
+    rows = [
+        ("https://c.com/p/1", '<link rel="canonical" href="/canon">'),
+        ("https://c.com/p/2", '<link href="/canon" rel="canonical">'),
+        # noindex page declaring the same canonical: excluded
+        ("https://c.com/p/3",
+         '<meta name="robots" content="noindex">'
+         '<link rel="canonical" href="/canon">'),
+        # no canonical -> own canonicalized URL is the group key
+        ("https://c.com/p/4/", ""),
+    ]
+    out = {r.canonical_url: (r.n_pages, r.keeper_url)
+           for r in links.canonical_collapse(_pages(spark, rows)).collect()}
+    assert out == {
+        "https://c.com/canon": (2, "https://c.com/p/1"),
+        "https://c.com/p/4": (1, "https://c.com/p/4/"),
+    }
