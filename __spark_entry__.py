@@ -1248,6 +1248,16 @@ SELECT e.vec_id, e.list_id
 FROM _sd_enc e ANTI JOIN _sd_drop d ON e.vec_id = d.vec_id"""
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query (operators/search.phrase_hits): positional
+    postings built only for the phrase's terms (isin prunes in the
+    tokenize scan), k-1 broadcast-able doc_id joins intersect start
+    positions via codegen HOFs.  The oracle recomputes hits by a direct
+    windowed scan of the token array — different algorithm, same answer."""
+    d = _t(spark, sf_dir, "documents")
+    return search.phrase_hits(d, ["slow", "hash", "batch"])
+
+
 def q_retention(spark, sf_dir):
     """Cohort retention (operators/trips.retention_matrix): users
     bucketed by first-event week, counted per later active week —
@@ -2149,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "crawl_policies": q_crawl_policies,
         "canonical_collapse": q_canonical_collapse,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -2877,4 +2888,6 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "semdedup": _semdedup_sql(),
         "crawl_policies": links.crawl_policies_sql(_DOCS_CRAWL_SQL),
         "canonical_collapse": links.canonical_collapse_sql(_DOCS_CRAWL_SQL),
+        "phrase_search": search.phrase_hits_sql(
+            "SELECT * FROM documents", ["slow", "hash", "batch"]),
     }

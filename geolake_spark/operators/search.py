@@ -266,3 +266,73 @@ SELECT term, count(*) OVER (PARTITION BY term) AS df_count,
        doc_id, tf, positions
 FROM _pd
 QUALIFY df_count >= {min_df}"""
+
+
+# ---------------------------------------------------------------------------
+# Phrase query — the positional-postings consumer.  Index-shaped plan:
+# position postings are built ONLY for the phrase's terms (the isin
+# filter prunes inside the tokenize scan, so at 100 TB the exchange
+# carries a few postings rows per matching doc, never the token
+# stream), then k-1 equi-joins on doc_id intersect start positions via
+# codegen HOFs.  Each per-term posting set is tiny after the term
+# filter — AQE broadcasts the join sides.  The SQL oracle deliberately
+# uses a DIFFERENT algorithm (direct windowed scan of the token array)
+# so the two engines agree on the answer, not on the plan.
+# ---------------------------------------------------------------------------
+
+
+def phrase_hits(docs: DataFrame, phrase: list[str],
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs containing the exact consecutive token sequence ``phrase``
+    (tokens per the ``_toks`` contract: trim+lower+split \\s+).
+    Returns ``(doc_id, n_hits, first_pos)`` — occurrence count and the
+    0-based token offset of the first occurrence.  Repeated terms in
+    the phrase are fine (each join round re-filters the same posting
+    row)."""
+    terms = [t.strip().lower() for t in phrase]
+    assert terms and all(terms), "phrase terms must be non-empty"
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(_toks(F.col(text_col)))
+                        .alias("pos", "term"))
+            .filter(F.col("term").isin(terms)))
+    per = toks.groupBy("term", "doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("positions"))
+    cur = (per.filter(F.col("term") == terms[0])
+           .select("doc_id", F.col("positions").alias("starts")))
+    for j, t in enumerate(terms[1:], start=1):
+        pj = (per.filter(F.col("term") == t)
+              .select("doc_id", F.col("positions").alias("_pj")))
+        cur = (cur.join(pj, "doc_id")
+               .select("doc_id",
+                       F.filter("starts", lambda s: F.array_contains(
+                           F.col("_pj"), s + j)).alias("starts"))
+               .filter(F.size("starts") > 0))
+    return cur.select("doc_id",
+                      F.size("starts").alias("n_hits"),
+                      F.array_min("starts").alias("first_pos"))
+
+
+def phrase_hits_sql(docs_sql: str, phrase: list[str],
+                    text_expr: str = "text",
+                    id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`phrase_hits` via a direct scan: starts =
+    1-based token indexes i where tk[i+j] == term_j for all j (emitted
+    0-based)."""
+    terms = [t.strip().lower() for t in phrase]
+    cond = " AND ".join(f"tk[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH _ph_t AS (
+  SELECT {id_expr} AS doc_id,
+         CASE WHEN trim(lower({text_expr})) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower({text_expr})), '\\s+')
+         END AS tk
+  FROM ({docs_sql})
+), _ph_s AS (
+  SELECT doc_id,
+         list_filter(range(1, len(tk) - {len(terms)} + 2),
+                     i -> {cond}) AS starts
+  FROM _ph_t WHERE len(tk) >= {len(terms)}
+)
+SELECT doc_id, len(starts) AS n_hits,
+       cast(list_min(starts) - 1 AS INTEGER) AS first_pos
+FROM _ph_s WHERE len(starts) > 0"""

@@ -126,3 +126,44 @@ def test_cooccurrence_cap_and_pmi(spark):
         F.col("n_docs"))).collect()
     # every pair co-occurs in every doc: pmi = log(4*4/(4*4)) = 0
     assert all(abs(r.pmi) < 1e-12 for r in pmi)
+
+
+def _phrase_ref(corpus, phrase):
+    out = {}
+    k = len(phrase)
+    for i, t in corpus.items():
+        tk = t.strip().lower().split()
+        starts = [p for p in range(len(tk) - k + 1)
+                  if tk[p:p + k] == phrase]
+        if starts:
+            out[i] = (len(starts), starts[0])
+    return out
+
+
+def test_phrase_hits_reference_and_counts(spark):
+    corpus = {
+        1: "the quick brown fox and the quick brown dog",
+        2: "quick brown quick brown quick brown",
+        3: "brown quick nothing here",
+        4: "the QUICK   Brown fox",       # case + multi-space tokenizer
+        5: "",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in search.phrase_hits(df, ["quick", "brown"]).collect()}
+    assert got == _phrase_ref(corpus, ["quick", "brown"])
+    assert got[2] == (3, 0) and got[1] == (2, 1)
+
+
+def test_phrase_hits_repeated_term_and_single(spark):
+    corpus = {1: "a b a b a", 2: "b a b", 3: "c c c"}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in search.phrase_hits(df, ["a", "b", "a"]).collect()}
+    assert got == _phrase_ref(corpus, ["a", "b", "a"]) == {1: (2, 0)}
+    single = {r.doc_id: r.n_hits
+              for r in search.phrase_hits(df, ["b"]).collect()}
+    assert single == {1: 2, 2: 2}
+    assert search.phrase_hits(df, ["z", "q"]).count() == 0
