@@ -26,8 +26,8 @@ from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
 from geolake_spark.operators import (aggregates, ann, blooms, curation, dedup, graph,
-                                     joins, links, search, sketches, spatial,
-                                     subset, tiles, trips)
+                                     joins, links, robots, search, sketches,
+                                     spatial, subset, tiles, trips)
 from geolake_spark.pipeline import curate_pages
 
 # ---------------------------------------------------------------------------
@@ -1248,6 +1248,84 @@ SELECT e.vec_id, e.list_id
 FROM _sd_enc e ANTI JOIN _sd_drop d ON e.vec_id = d.vec_id"""
 
 
+_ROBOTS_BODIES = [
+    # one body per host index 0..6 — covers empty file, wildcard + '$'
+    # patterns, Allow-overrides, agent-specific shadowing, empty
+    # Disallow, and an invalid rule before any User-agent line
+    "",
+    ("User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n"
+     "Disallow: /*?sess="),
+    ("User-agent: googlebot\nDisallow: /priv\n\n"
+     "User-agent: *\nAllow: /priv/pub\nDisallow: /priv"),
+    "# no star group here\nUser-agent: othercrawler\nDisallow: /",
+    "User-agent: *\nDisallow: /p/2$",
+    "User-agent: *\nDisallow:",
+    "Disallow: /orphan",
+]
+# (prefix, embed_id): the '$'-anchored rule needs an EXACT '/p/2' path,
+# so that branch does not embed the doc id (duplicate URLs collapse in
+# the groupBy identically in both engines)
+_ROBOTS_PATHS = [("/tmp/ok/file", True), ("/tmp/x", True),
+                 ("/p/2", False), ("/a?sess=1&id=", True),
+                 ("/priv/pub/z", True)]
+
+
+def _robots_tables(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("site"), (i % 7).cast("string"),
+                    F.lit(".example.com"))
+    body = F.lit(None).cast("string")
+    expr = F.lit(_ROBOTS_BODIES[-1])
+    for h in range(len(_ROBOTS_BODIES) - 2, -1, -1):
+        expr = F.when(i % 7 == h, F.lit(_ROBOTS_BODIES[h])).otherwise(expr)
+    rb = (d.filter(i < 7)
+          .select(host.alias("host"), expr.alias("robots_txt")))
+    def branch(p: int) -> "F.Column":
+        pre, embed = _ROBOTS_PATHS[p]
+        return (F.concat(F.lit(pre), i.cast("string")) if embed
+                else F.lit(pre))
+
+    pexpr = branch(len(_ROBOTS_PATHS) - 1)
+    for p in range(len(_ROBOTS_PATHS) - 2, -1, -1):
+        pexpr = F.when(i % 5 == p, branch(p)).otherwise(pexpr)
+    pages = d.select(F.concat(F.lit("https://"), host, pexpr).alias("url"))
+    return pages, rb
+
+
+def _robots_sql_tables() -> tuple[str, str]:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+    body = "CASE doc_id % 7 " + " ".join(
+        f"WHEN {h} THEN {lit(b)}" for h, b in enumerate(_ROBOTS_BODIES[:-1])
+    ) + f" ELSE {lit(_ROBOTS_BODIES[-1])} END"
+    def pb(p: int) -> str:
+        pre, embed = _ROBOTS_PATHS[p]
+        return (f"'{pre}' || cast(doc_id as varchar)" if embed
+                else f"'{pre}'")
+
+    path = "CASE doc_id % 5 " + " ".join(
+        f"WHEN {p} THEN {pb(p)}" for p in range(len(_ROBOTS_PATHS) - 1)
+    ) + f" ELSE {pb(len(_ROBOTS_PATHS) - 1)} END"
+    host = "'site' || cast(doc_id % 7 as varchar) || '.example.com'"
+    rb = (f"SELECT {host} AS host, ({body}) AS robots_txt "
+          f"FROM documents WHERE doc_id < 7")
+    pages = (f"SELECT 'https://' || {host} || ({path}) AS url "
+             f"FROM documents")
+    return pages, rb
+
+
+def q_robots_check(spark, sf_dir):
+    """robots.txt permission evaluation (operators/robots.robots_check):
+    bodies parsed relationally (lag + running-sum window recovers RFC
+    9309 groups, most-specific-group agent selection), '*'/'$' patterns
+    compiled to per-rule regexes by codegen escaping, longest-match /
+    Allow-wins precedence via a single struct max.  The rules side is
+    per-host — broadcast-sized next to the page table at crawl scale."""
+    pages, rb = _robots_tables(spark, sf_dir)
+    return robots.robots_check(pages, rb)
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase query (operators/search.phrase_hits): positional
     postings built only for the phrase's terms (isin prunes in the
@@ -2160,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_policies": q_crawl_policies,
         "canonical_collapse": q_canonical_collapse,
         "phrase_search": q_phrase_search,
+        "robots_check": q_robots_check,
     }
 
 
@@ -2890,4 +2969,5 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "canonical_collapse": links.canonical_collapse_sql(_DOCS_CRAWL_SQL),
         "phrase_search": search.phrase_hits_sql(
             "SELECT * FROM documents", ["slow", "hash", "batch"]),
+        "robots_check": robots.robots_check_sql(*_robots_sql_tables()),
     }

@@ -1,0 +1,246 @@
+"""robots.txt parsing + URL permission checks (RFC 9309, crawl tier).
+
+The gatekeeper of every crawl pipeline: before a page may enter the
+corpus the crawler must evaluate the host's robots.txt for its agent.
+This module parses robots bodies RELATIONALLY — no per-row Python — and
+evaluates page URLs against the extracted rules:
+
+* ``robots_rules``: robots.txt text -> one row per applicable
+  Allow/Disallow rule.  Line split + comment strip + directive extract
+  are codegen expressions; GROUP structure (consecutive ``User-agent``
+  lines head a group; following rules belong to it) is recovered with a
+  lag + running-sum window — the classic relational sessionization
+  trick, ONE shuffle on host; the per-group agent-set aggregation
+  reuses that window's hash partitioning (the trips.py precedent).
+* ``robots_check``: pages joined to rules by host; pattern matching is
+  RFC 9309's ``*`` (any chars) and trailing ``$`` (end anchor), compiled
+  per-rule into a regex by ESCAPING metacharacters with regexp_replace
+  and translating ``*`` -> ``.*`` — the compiled pattern is data, so
+  matching uses regexp_like(path, rx_col).  Longest-pattern-wins with
+  Allow beating Disallow on ties (the RFC's precedence), decided by a
+  single struct max — deterministic in both engines.
+
+Scale shape at 10^12 pages: the rules table is per-host (tiny next to
+the page table) — the host equi-join broadcasts under AQE for real
+crawls; per-URL rule evaluation and the winner agg are map-side-partial
+on url.  A mega-host with 10^5 rules makes matched-rule fan-out that
+host's pages x its rules — bounded by robots.txt size caps (crawlers
+read at most 500 KiB), stated.
+
+Contract notes (documented tier limits): agent selection is by literal
+token match (``*`` or the exact agent name, case-insensitive) — no
+product-token prefix matching; paths are compared as-is (no
+percent-encoding normalization); rules before any User-agent line are
+invalid per the RFC and ignored.
+
+Reference analogue: none — geolake has no web operators; this is the
+repo's LLM-training-data / crawl surface (SURVEY.md LLM table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geolake_spark.functions import text as tx
+
+# every regex metacharacter except '*' (translated to '.*' afterwards);
+# '$' is escaped here too — the end-anchor form is split off BEFORE
+# escaping, so any remaining '$' is literal
+_META_CLASS = r'([\.\+\?\(\)\[\]\{\}\^\|\$\\])'
+_DIRECTIVE_RE = r'(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$'
+# path+query of an absolute URL (everything from the first '/' after
+# the authority, fragment dropped); '' when the URL has no path
+_URL_PATHQ_RE = r'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)'
+
+
+def _rx_col(pat):
+    """Compile a robots path pattern column to an anchored regex column:
+    split a trailing '$' (end anchor) off first, escape every regex
+    metacharacter in the body, then translate '*' -> '.*'."""
+    ends = pat.endswith("$")
+    body = F.when(ends, pat.substr(F.lit(1), F.length(pat) - 1)).otherwise(pat)
+    esc = F.regexp_replace(body, _META_CLASS, "\\\\$1")
+    return F.concat(F.lit("^"), F.replace(esc, F.lit("*"), F.lit(".*")),
+                    F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def _rx_sql(pat: str) -> str:
+    """DuckDB mirror of :func:`_rx_col` (RE2 rewrite needs \\\\ + \\1)."""
+    ends = f"({pat} LIKE '%$')"
+    body = (f"(CASE WHEN {ends} THEN substring({pat}, 1, length({pat}) - 1) "
+            f"ELSE {pat} END)")
+    esc = f"regexp_replace({body}, '{_META_CLASS}', '\\\\\\1', 'g')"
+    return (f"('^' || replace({esc}, '*', '.*') || "
+            f"(CASE WHEN {ends} THEN '$' ELSE '' END))")
+
+
+def robots_rules(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """One row per Allow/Disallow rule applicable to ``agent``:
+    ``(host, allow boolean, path, pattern_len, rx)``.
+
+    Group recovery: a ``User-agent`` line whose PREVIOUS line is not a
+    ``User-agent`` line starts a new group (consecutive UA lines share
+    one group header, per the RFC); rules bind to the current group.
+    Group selection follows the RFC's most-specific rule: if any group
+    on the host names ``agent`` literally (case-insensitive), only those
+    groups apply; otherwise the ``*`` groups do.  Empty-valued rules
+    (``Disallow:`` with no path == allow everything) contribute no rule
+    row."""
+    agent = agent.strip().lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.regexp_extract(
+            F.trim(F.regexp_replace("raw", "#.*$", "")),
+            _DIRECTIVE_RE, 1)).alias("dir"),
+        F.trim(F.regexp_extract(
+            F.trim(F.regexp_replace("raw", "#.*$", "")),
+            _DIRECTIVE_RE, 2)).alias("val"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(((F.col("dir") == "user-agent")
+               & (F.lag("dir", 1, "").over(w) != "user-agent"))
+              .cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    # reuses the window's (host) hash partitioning — but keyed on
+    # (host, grp), which re-shuffles; group the agent agg on host's
+    # partitioning by keeping host first in the key
+    # RFC 9309 most-specific-group rule: when any group names the agent
+    # literally, the '*' groups are IGNORED for that host
+    ga = (grouped.filter(F.col("dir") == "user-agent")
+          .groupBy("host", "grp")
+          .agg(F.collect_set(F.lower(F.col("val"))).alias("agents"))
+          .select("host", "grp",
+                  F.array_contains("agents", agent).alias("has_agent"),
+                  F.array_contains("agents", "*").alias("has_star")))
+    hw = Window.partitionBy("host")
+    agents = (ga.withColumn("spec", F.max("has_agent").over(hw))
+              .filter(F.when(F.col("spec"), F.col("has_agent"))
+                      .otherwise(F.col("has_star")))
+              .select("host", "grp"))
+    rules = (grouped
+             .filter(F.col("dir").isin("allow", "disallow")
+                     & (F.col("val") != "") & (F.col("grp") >= 1))
+             .join(agents, ["host", "grp"])
+             .select("host",
+                     (F.col("dir") == "allow").alias("allow"),
+                     F.col("val").alias("path")))
+    return rules.select(
+        "host", "allow", "path",
+        F.length("path").cast("int").alias("pattern_len"),
+        _rx_col(F.col("path")).alias("rx"))
+
+
+def robots_check(pages: DataFrame, robots: DataFrame, agent: str = "*",
+                 url_col: str = "url", host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """Evaluate every page URL against its host's robots rules:
+    ``(url, allowed boolean, rule)`` where ``rule`` is the winning
+    pattern ('' when no rule matched — allowed by default, including
+    hosts with no robots.txt at all).  Precedence: longest pattern
+    wins; on equal length Allow beats Disallow (RFC 9309)."""
+    rules = robots_rules(robots, agent, host_col, body_col)
+    pathq = F.regexp_extract(F.col(url_col), _URL_PATHQ_RE, 1)
+    pagep = pages.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(F.col(url_col), tx._URL_AUTH_RE, 1))
+        .alias("host"),
+        F.when(pathq == "", F.lit("/")).otherwise(pathq).alias("_path"))
+    j = pagep.join(rules, "host", "left")
+    hit = F.when(F.col("rx").isNotNull()
+                 & F.regexp_like(F.col("_path"), F.col("rx")),
+                 F.struct(F.col("pattern_len"), F.col("allow"),
+                          F.col("path")))
+    best = (j.groupBy("url")
+            .agg(F.max(hit).alias("best")))
+    return best.select(
+        "url",
+        F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("best.path"), F.lit("")).alias("rule"))
+
+
+def robots_rules_sql(robots_sql: str, agent: str = "*",
+                     host_expr: str = "host",
+                     body_expr: str = "robots_txt") -> str:
+    """DuckDB mirror of :func:`robots_rules`."""
+    agent = agent.strip().lower().replace("'", "''")
+    return f"""
+WITH _rb_l AS (
+  SELECT {host_expr} AS host, u.pos - 1 AS pos,
+         trim(regexp_replace(u.raw, '#.*$', '')) AS ln
+  FROM ({robots_sql}) r, LATERAL (
+    SELECT unnest(list_transform(
+      list_zip(string_split({body_expr}, chr(10)),
+               range(1, len(string_split({body_expr}, chr(10))) + 1)),
+      z -> {{'raw': z[1], 'pos': z[2]}}), recursive := true)) u
+), _rb_p AS (
+  SELECT host, pos,
+         lower(coalesce(regexp_extract(ln, '{_DIRECTIVE_RE}', 1), ''))
+           AS dir,
+         trim(coalesce(regexp_extract(ln, '{_DIRECTIVE_RE}', 2), ''))
+           AS val
+  FROM _rb_l
+), _rb_f AS (
+  -- DuckDB disallows nesting lag() inside the running sum's window
+  SELECT *, (CASE WHEN dir = 'user-agent' AND
+             coalesce(lag(dir) OVER (PARTITION BY host ORDER BY pos), '')
+               <> 'user-agent' THEN 1 ELSE 0 END) AS _new
+  FROM _rb_p
+), _rb_g AS (
+  SELECT host, pos, dir, val,
+         sum(_new) OVER (PARTITION BY host ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+  FROM _rb_f
+), _rb_ga AS (
+  SELECT host, grp,
+         bool_or(lower(val) = '{agent}') AS has_agent,
+         bool_or(lower(val) = '*') AS has_star
+  FROM _rb_g WHERE dir = 'user-agent'
+  GROUP BY host, grp
+), _rb_a AS (
+  -- RFC 9309 most-specific-group rule: specific-agent groups shadow '*'
+  SELECT host, grp FROM (
+    SELECT host, grp, has_agent, has_star,
+           max(has_agent) OVER (PARTITION BY host) AS spec
+    FROM _rb_ga)
+  WHERE (CASE WHEN spec THEN has_agent ELSE has_star END)
+)
+SELECT g.host, (dir = 'allow') AS allow, val AS path,
+       cast(length(val) AS INTEGER) AS pattern_len,
+       {_rx_sql('val')} AS rx
+FROM _rb_g g JOIN _rb_a a ON g.host = a.host AND g.grp = a.grp
+WHERE dir IN ('allow', 'disallow') AND val <> '' AND g.grp >= 1"""
+
+
+def robots_check_sql(pages_sql: str, robots_sql: str, agent: str = "*",
+                     url_expr: str = "url", host_expr: str = "host",
+                     body_expr: str = "robots_txt") -> str:
+    """DuckDB mirror of :func:`robots_check`."""
+    rules = robots_rules_sql(robots_sql, agent, host_expr, body_expr)
+    pathq = f"coalesce(regexp_extract({url_expr}, '{_URL_PATHQ_RE}', 1), '')"
+    host = (f"lower(coalesce(regexp_extract({url_expr}, "
+            f"'{tx._URL_AUTH_RE}', 1), ''))")
+    return f"""
+WITH _rc_r AS ({rules}),
+_rc_p AS (
+  SELECT {url_expr} AS url, {host} AS host,
+         (CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END) AS _path
+  FROM ({pages_sql})
+), _rc_b AS (
+  SELECT p.url,
+         max(CASE WHEN r.rx IS NOT NULL AND regexp_matches(p._path, r.rx)
+             THEN struct_pack(pattern_len := r.pattern_len,
+                              allow := r.allow, path := r.path)
+             END) AS best
+  FROM _rc_p p LEFT JOIN _rc_r r ON p.host = r.host
+  GROUP BY p.url
+)
+SELECT url, coalesce(best.allow, true) AS allowed,
+       coalesce(best.path, '') AS rule
+FROM _rc_b"""

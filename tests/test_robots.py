@@ -1,0 +1,107 @@
+"""robots.txt parsing + URL permission checks (operators/robots.py) —
+RFC 9309 semantics: group recovery, most-specific agent group, longest
+match with Allow winning ties, '*'/'$' patterns."""
+
+from __future__ import annotations
+
+from geolake_spark.operators import robots
+
+ROBOTS = [
+    ("a.com",
+     "# global rules\n"
+     "User-agent: googlebot\n"
+     "User-agent: bingbot\n"
+     "Disallow: /private\n"
+     "\n"
+     "User-agent: *\n"
+     "Disallow: /tmp/\n"
+     "Allow: /tmp/public\n"
+     "Disallow: /*?session=\n"
+     "Disallow: /exact$\n"
+     "Allow:\n"),
+    ("b.com",
+     "User-agent: MyBot\n"
+     "Disallow: /\n"
+     "User-agent: *\n"
+     "Allow: /\n"),
+    ("c.com", "Disallow: /orphan\n"),          # rule before any UA: invalid
+    ("tie.com",
+     "User-agent: *\n"
+     "Disallow: /dir/\n"
+     "Allow: /dir2\n"),                        # equal length 5: Allow wins
+]
+
+
+def _check(spark, urls, agent="*"):
+    rdf = spark.createDataFrame(ROBOTS, "host string, robots_txt string")
+    pdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r.url: (r.allowed, r.rule)
+            for r in robots.robots_check(pdf, rdf, agent=agent).collect()}
+
+
+def test_star_group_rules(spark):
+    got = _check(spark, [
+        "https://a.com/tmp/secret", "https://a.com/tmp/public/x",
+        "https://a.com/private", "https://a.com/page?session=9",
+        "https://a.com/exact", "https://a.com/exactly", "https://a.com",
+    ])
+    assert got["https://a.com/tmp/secret"] == (False, "/tmp/")
+    # longer Allow overrides the /tmp/ Disallow
+    assert got["https://a.com/tmp/public/x"] == (True, "/tmp/public")
+    # /private belongs to the googlebot/bingbot group only
+    assert got["https://a.com/private"] == (True, "")
+    assert got["https://a.com/page?session=9"] == (False, "/*?session=")
+    assert got["https://a.com/exact"] == (False, "/exact$")
+    assert got["https://a.com/exactly"] == (True, "")   # $ anchors
+    assert got["https://a.com"] == (True, "")           # no path -> '/'
+
+
+def test_most_specific_group_shadows_star(spark):
+    g = _check(spark, ["https://a.com/private", "https://a.com/tmp/secret",
+                       "https://b.com/x"], agent="GoogleBot")
+    # googlebot group applies; the '*' group is IGNORED on a.com
+    assert g["https://a.com/private"] == (False, "/private")
+    assert g["https://a.com/tmp/secret"] == (True, "")
+    # no googlebot group on b.com -> falls back to '*'
+    assert g["https://b.com/x"] == (True, "/")
+    m = _check(spark, ["https://b.com/x"], agent="mybot")
+    assert m["https://b.com/x"] == (False, "/")
+
+
+def test_invalid_missing_and_tie(spark):
+    got = _check(spark, ["https://c.com/orphan", "https://nobots.net/x",
+                         "https://tie.com/dir2", "https://tie.com/dir/a"])
+    assert got["https://c.com/orphan"] == (True, "")    # orphan rule invalid
+    assert got["https://nobots.net/x"] == (True, "")    # no robots.txt
+    assert got["https://tie.com/dir/a"] == (False, "/dir/")
+    # '/dir2' (Allow) and '/dir/' (Disallow) are both length 5 and both
+    # match '/dir2' only via the Allow -> allowed; make a true tie:
+    # '/dir/' vs a 5-char Allow on the same path is not constructible
+    # here, so assert the Allow match directly
+    assert got["https://tie.com/dir2"] == (True, "/dir2")
+
+
+def test_allow_wins_equal_length_tie(spark):
+    rows = [("t.com", "User-agent: *\nDisallow: /abc\nAllow: /ab*\n")]
+    rdf = spark.createDataFrame(rows, "host string, robots_txt string")
+    pdf = spark.createDataFrame([("https://t.com/abc",)], "url string")
+    got = {r.url: (r.allowed, r.rule)
+           for r in robots.robots_check(pdf, rdf).collect()}
+    # both patterns are 4 chars and both match '/abc' -> Allow wins
+    assert got["https://t.com/abc"] == (True, "/ab*")
+
+
+def test_rules_table_shape(spark):
+    rdf = spark.createDataFrame(ROBOTS, "host string, robots_txt string")
+    rules = {(r.host, r.allow, r.path): (r.pattern_len, r.rx)
+             for r in robots.robots_rules(rdf).collect()}
+    assert ("a.com", False, "/tmp/") in rules
+    assert ("a.com", True, "/tmp/public") in rules
+    # googlebot-only rule absent for '*'; orphan c.com rule absent
+    assert all(h != "c.com" for h, _a, _p in rules)
+    assert ("a.com", False, "/private") not in rules
+    # wildcard compiled: '?' escaped, '*' -> '.*', '$' anchored
+    plen, rx = rules[("a.com", False, "/*?session=")]
+    assert plen == 11 and rx == "^/.*\\?session="
+    _plen, rx2 = rules[("a.com", False, "/exact$")]
+    assert rx2 == "^/exact$"
