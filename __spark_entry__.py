@@ -997,6 +997,59 @@ _DOCS_CRAWL_SQL = (
     "FROM documents")
 
 
+def _docs_main(spark, sf_dir):
+    """Deterministic block-structured page corpus for the main-content
+    oracle: link-dominated nav + footer, a real paragraph, a too-short
+    paragraph, a content div with one inline link, and (even ids) a
+    script whose body hides a fake '</div>'.  Mirrored bit-for-bit by
+    ``_DOCS_MAIN_SQL``."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    w = F.split(F.trim(F.col("text")), " ")
+    script = F.when(i % 2 == 0, F.lit(
+        "<script>var nav = '</div>'; track();</script>")).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Page</title>"), script,
+        F.lit('</head><body><div class="nav"><a href="/">Home</a> '
+              '<a href="/arch">Archive</a> <a href="/about">About</a></div>'),
+        F.lit("<p>"), F.concat_ws(" ", F.slice(w, 1, 15)), F.lit(".</p>"),
+        F.lit("<p>"), F.concat_ws(" ", F.slice(w, 16, 2)), F.lit("</p>"),
+        F.lit("<div>"), F.concat_ws(" ", F.slice(w, 5, 12)),
+        F.lit(' <a href="/rel">related story</a> '),
+        F.concat_ws(" ", F.slice(w, 3, 4)), F.lit("</div>"),
+        F.lit('<div class="footer"><a href="/p">Privacy</a> &amp; '
+              '<a href="/t">Terms</a></div></body></html>'))
+    return d.select("doc_id", html.alias("html"))
+
+
+_DOCS_MAIN_SQL = (
+    "SELECT doc_id, "
+    "'<html><head><title>Page</title>' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "'<script>var nav = ''</div>''; track();</script>' ELSE '' END) || "
+    "'</head><body><div class=\"nav\"><a href=\"/\">Home</a> "
+    "<a href=\"/arch\">Archive</a> <a href=\"/about\">About</a></div>' || "
+    "'<p>' || coalesce(array_to_string(w[1:15], ' '), '') || '.</p>' || "
+    "'<p>' || coalesce(array_to_string(w[16:17], ' '), '') || '</p>' || "
+    "'<div>' || coalesce(array_to_string(w[5:16], ' '), '') || "
+    "' <a href=\"/rel\">related story</a> ' || "
+    "coalesce(array_to_string(w[3:6], ' '), '') || '</div>' || "
+    "'<div class=\"footer\"><a href=\"/p\">Privacy</a> &amp; "
+    "<a href=\"/t\">Terms</a></div></body></html>' AS html "
+    "FROM (SELECT doc_id, str_split(trim(text), ' ') AS w FROM documents)")
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal (functions/text.main_content_col): Arc90 /
+    jusText block heuristic — script/style/comment spans dropped
+    document-wide, blocks kept iff >= 25 visible chars AND integer link
+    density 3*anchor_chars <= text_chars.  Pure codegen HOFs, zero
+    shuffle, zero Python — a map-only stage on the page scan."""
+    h = _docs_main(spark, sf_dir)
+    return h.select("doc_id",
+                    tx.main_content_col(F.col("html")).alias("text"))
+
+
 def q_crawl_policies(spark, sf_dir):
     """Per-page crawl policy (operators/links.crawl_policies): robots
     directives (both attribute orders, 'none' shorthand) + canonical
@@ -1158,14 +1211,14 @@ def _docs_pages_sql() -> str:
     """DuckDB mirror of :func:`_docs_pages` (doc_id, text)."""
     return (
         "SELECT doc_id, "
-        "array_to_string(w[1:6], ' ') || '.' || chr(10) || "
-        "array_to_string(w[7:8], ' ') || chr(10) || "
-        "array_to_string(w[3:9], ' ') || "
+        "coalesce(array_to_string(w[1:6], ' '), '') || '.' || chr(10) || "
+        "coalesce(array_to_string(w[7:8], ' '), '') || chr(10) || "
+        "coalesce(array_to_string(w[3:9], ' '), '') || "
         "(CASE doc_id % 3 WHEN 0 THEN '!' WHEN 1 THEN '?' ELSE '' END) "
         "|| chr(10) || "
         "'Please enable JavaScript to view the comments powered by widgets.'"
         " || chr(10) || "
-        "array_to_string(w[5:9], ' ') || "
+        "coalesce(array_to_string(w[5:9], ' '), '') || "
         "(CASE WHEN doc_id % 4 = 0 THEN '\"' ELSE ';' END) || "
         "(CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
         "'Lorem ipsum dolor sit amet consectetur adipiscing.' ELSE '' END) || "
@@ -2239,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": q_canonical_collapse,
         "phrase_search": q_phrase_search,
         "robots_check": q_robots_check,
+        "main_content": q_main_content,
     }
 
 
@@ -2970,4 +3024,6 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "phrase_search": search.phrase_hits_sql(
             "SELECT * FROM documents", ["slow", "hash", "batch"]),
         "robots_check": robots.robots_check_sql(*_robots_sql_tables()),
+        "main_content": (f"SELECT doc_id, {tx.main_content_sql('html')} "
+                         f"AS text FROM ({_DOCS_MAIN_SQL})"),
     }

@@ -914,3 +914,90 @@ def canonical_href_sql(html_expr: str) -> str:
     e1 = f"coalesce(regexp_extract({html_expr}, '{p1}', 1), '')"
     e2 = f"coalesce(regexp_extract({html_expr}, '{p2}', 1), '')"
     return f"(CASE WHEN {e1} <> '' THEN {e1} ELSE {e2} END)"
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal) — the Arc90-readability /
+# jusText block heuristic: drop script/style/comment spans globally,
+# split the document into blocks at closing block-level tags, keep
+# blocks that carry enough visible text and are not link-dominated
+# (navigation, footers, related-article rails).  Link density uses
+# INTEGER arithmetic (3 * anchor_len <= text_len, i.e. density <= 1/3)
+# so both engines decide each block on exact bigints — no float
+# division in the contract.  Whole chain is codegen HOFs over the block
+# array: zero shuffle, zero Python — at 100 TB this is a map-only stage
+# on the page scan, same shape as html_strip above.
+# ---------------------------------------------------------------------------
+
+_BLOCK_SPLIT_RE = (r"(?is)</(?:p|div|li|td|th|article|section|h[1-6]|"
+                   r"blockquote|pre)>")
+_ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _block_text_col(b: Column) -> Column:
+    """Visible text of one block: strip tags, decode entities, collapse
+    whitespace (the html_strip contract minus the global span drops,
+    which already happened document-wide)."""
+    out = F.regexp_replace(b, r"(?is)</?[a-z][^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, _WS_CLASS, " "))
+
+
+def _block_text_sql(b: str) -> str:
+    out = f"regexp_replace({b}, '(?is)</?[a-z][^>]*>', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({out}, '{_WS_CLASS}', ' ', 'g'))"
+
+
+def _anchor_len_col(b: Column) -> Column:
+    """Total visible-character count inside the block's <a> bodies."""
+    parts = F.regexp_extract_all(b, F.lit(_ANCHOR_BODY_RE), F.lit(1))
+    return F.aggregate(parts, F.lit(0),
+                       lambda acc, a: acc + F.length(_block_text_col(a)))
+
+
+def _anchor_len_sql(b: str) -> str:
+    pat = _ANCHOR_BODY_RE.replace("'", "''")
+    parts = f"regexp_extract_all({b}, '{pat}', 1)"
+    return (f"coalesce(list_sum(list_transform({parts}, "
+            f"a -> length({_block_text_sql('a')}))), 0)")
+
+
+def main_content_col(html: Column, min_chars: int = 25) -> Column:
+    """Main text of an HTML page: script/style/comment spans dropped
+    document-wide, then blocks (split at closing block tags) kept iff
+    their visible text has >= ``min_chars`` characters AND link density
+    <= 1/3 (3 * anchor_chars <= text_chars); kept block texts joined by
+    newline ('' when nothing survives)."""
+    cleaned = html
+    for pat in _HTML_DROP[:3]:  # scripts, styles, comments — NOT tags
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    blocks = F.split(cleaned, _BLOCK_SPLIT_RE)
+
+    def keep(b: Column) -> Column:
+        t = _block_text_col(b)
+        return ((F.length(t) >= min_chars)
+                & (F.lit(3) * _anchor_len_col(b) <= F.length(t)))
+
+    kept = F.filter(blocks, keep)
+    return F.coalesce(
+        F.array_join(F.transform(kept, _block_text_col), "\n"), F.lit(""))
+
+
+def main_content_sql(html_expr: str, min_chars: int = 25) -> str:
+    """DuckDB mirror of :func:`main_content_col` (identical patterns;
+    array_to_string([]) NULL -> coalesce)."""
+    cleaned = html_expr
+    for pat in _HTML_DROP[:3]:
+        cleaned = f"regexp_replace({cleaned}, '{pat}', ' ', 'g')"
+    split_pat = _BLOCK_SPLIT_RE.replace("'", "''")
+    blocks = f"regexp_split_to_array({cleaned}, '{split_pat}')"
+    t = _block_text_sql("b")
+    pred = (f"length({t}) >= {min_chars} AND "
+            f"3 * {_anchor_len_sql('b')} <= length({t})")
+    kept = f"list_filter({blocks}, b -> {pred})"
+    return (f"coalesce(array_to_string(list_transform({kept}, "
+            f"b -> {_block_text_sql('b')}), chr(10)), '')")

@@ -98,3 +98,66 @@ def test_normalization_fixes_dedup_misses(spark):
     norm = df.withColumn("text", tx.nfc_normalize_col(F.col("text")))
     assert dedup.exact_dedup(norm, text_col="text",
                              id_col="doc_id").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _main(spark, html, min_chars=25):
+    df = spark.createDataFrame(pd.DataFrame({"html": [html]}))
+    return df.select(tx.main_content_col(F.col("html"), min_chars)
+                     .alias("t")).collect()[0].t
+
+
+def test_main_content_drops_boilerplate(spark):
+    html = ('<body><div class="nav"><a href="/">Home</a> '
+            '<a href="/a">Archive</a> <a href="/c">Contact</a></div>'
+            "<p>This paragraph is the actual article content with many "
+            "plain words and zero links.</p>"
+            "<p>short.</p>"
+            '<div class="footer"><a href="/p">Privacy</a> '
+            '<a href="/t">Terms</a></div></body>')
+    out = _main(spark, html)
+    assert out == ("This paragraph is the actual article content with "
+                   "many plain words and zero links.")
+
+
+def test_main_content_script_hides_block_closers(spark):
+    # a '</div>' inside a script body must not split blocks after the
+    # global span drop; the comment-hidden paragraph must not leak
+    html = ("<script>var x = '</div></p>';</script>"
+            "<!-- <p>hidden comment paragraph with many words</p> -->"
+            "<div>Real content block long enough to clear the minimum "
+            "character bar easily.</div>")
+    out = _main(spark, html)
+    assert out == ("Real content block long enough to clear the minimum "
+                   "character bar easily.")
+
+
+def test_main_content_link_density_integer_boundary(spark):
+    # tag removal inserts one space: visible text is 20 + 1 + n chars.
+    # anchor 10 -> 3*10 <= 31 kept; anchor 11 -> 3*11 > 32 dropped
+    base = "x" * 20
+    keep = f"<p>{base}<a href='/l'>{'y' * 10}</a></p>"
+    drop = f"<p>{base}<a href='/l'>{'y' * 11}</a></p>"
+    assert _main(spark, keep) == base + " " + "y" * 10
+    assert _main(spark, drop) == ""
+
+
+def test_main_content_min_chars_and_entities(spark):
+    # 24 visible chars dropped at min 25; entity decodes before counting
+    assert _main(spark, "<p>" + "a" * 24 + "</p>") == ""
+    assert _main(spark, "<p>" + "a" * 25 + "</p>") == "a" * 25
+    out = _main(spark, "<p>Fish &amp; chips " + "pad " * 5 + "end</p>")
+    assert "Fish & chips" in out
+
+
+def test_main_content_joins_blocks_with_newline(spark):
+    html = ("<p>First real paragraph with enough visible words here.</p>"
+            "<div>Second real block also has plenty of visible text.</div>")
+    out = _main(spark, html)
+    assert out.split("\n") == [
+        "First real paragraph with enough visible words here.",
+        "Second real block also has plenty of visible text."]
