@@ -1379,6 +1379,87 @@ def q_robots_check(spark, sf_dir):
     return robots.robots_check(pages, rb)
 
 
+def _docs_sitemaps(spark, sf_dir):
+    """Deterministic sitemap corpus: one urlset per doc with a fresh
+    /new/ URL (whitespace-padded <loc>, lastmod), plus for some ids a
+    robots-disallowed /tmp/ URL and a messy-absolute duplicate of an
+    already-crawled /p/2 page.  Mirrored by ``_DOCS_SITEMAPS_SQL``."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("site"), (i % 7).cast("string"),
+                    F.lit(".example.com"))
+    e1 = F.concat(F.lit("<url><loc>\n  https://"), host, F.lit("/new/"),
+                  i.cast("string"), F.lit(" \n</loc><lastmod>2026-0"),
+                  (i % 9 + 1).cast("string"),
+                  F.lit("-15</lastmod></url>"))
+    e2 = F.when(i % 4 == 0, F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/tmp/x"),
+        i.cast("string"), F.lit("</loc></url>"))).otherwise(F.lit(""))
+    e3 = F.when(i % 5 == 2, F.concat(
+        F.lit("<url><loc>HTTPS://"), F.upper(host),
+        F.lit(":443/p/2</loc></url>"))).otherwise(F.lit(""))
+    xml = F.concat(F.lit('<?xml version="1.0"?><urlset>'),
+                   e1, e2, e3, F.lit("</urlset>"))
+    return d.select(host.alias("host"), xml.alias("xml"))
+
+
+_DOCS_SITEMAPS_SQL = (
+    "SELECT 'site' || cast(doc_id % 7 as varchar) || '.example.com' AS host, "
+    "'<?xml version=\"1.0\"?><urlset>' || "
+    "'<url><loc>' || chr(10) || '  https://site' || "
+    "cast(doc_id % 7 as varchar) || '.example.com/new/' || "
+    "cast(doc_id as varchar) || ' ' || chr(10) || "
+    "'</loc><lastmod>2026-0' || cast(doc_id % 9 + 1 as varchar) || "
+    "'-15</lastmod></url>' || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '<url><loc>https://site' || "
+    "cast(doc_id % 7 as varchar) || '.example.com/tmp/x' || "
+    "cast(doc_id as varchar) || '</loc></url>' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 2 THEN '<url><loc>HTTPS://SITE' || "
+    "cast(doc_id % 7 as varchar) || '.EXAMPLE.COM:443/p/2</loc></url>' "
+    "ELSE '' END) || '</urlset>' AS xml "
+    "FROM documents")
+
+
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap urlset parsing (operators/links.sitemap_entries): one
+    regexp_extract_all over the XML body, per-entry <loc>/<lastmod>
+    extraction with the explicit whitespace class — codegen map stage,
+    no shuffle."""
+    return links.sitemap_entries(_docs_sitemaps(spark, sf_dir))
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """End-to-end crawl-frontier discovery: sitemap entries ->
+    canonicalize + distinct -> anti-join the already-crawled set ->
+    robots.txt permission gate; emits the allowed new URLs.  At crawl
+    scale the seen-set anti-join is the one real shuffle (bloom
+    pre-filterable); the robots side stays broadcast-sized."""
+    sm = _docs_sitemaps(spark, sf_dir)
+    pages, rb = _robots_tables(spark, sf_dir)
+    ent = links.sitemap_entries(sm)
+    cand = (ent.select(tx.url_canonical_col(F.col("url")).alias("url"))
+            .filter(F.col("url") != "").distinct())
+    seen = (pages.select(tx.url_canonical_col(F.col("url")).alias("url"))
+            .distinct())
+    new = cand.join(seen, "url", "left_anti")
+    return (robots.robots_check(new, rb)
+            .filter(F.col("allowed")).select("url"))
+
+
+def _crawl_frontier_sql() -> str:
+    pages_sql, rb_sql = _robots_sql_tables()
+    ent = links.sitemap_entries_sql(_DOCS_SITEMAPS_SQL)
+    canon = tx.url_canonical_sql("url")
+    gated = robots.robots_check_sql("SELECT url FROM _cf_n", rb_sql)
+    return f"""
+WITH _cf_e AS ({ent}),
+_cf_c AS (SELECT DISTINCT {canon} AS url FROM _cf_e
+          WHERE {canon} <> ''),
+_cf_s AS (SELECT DISTINCT {canon} AS url FROM ({pages_sql})),
+_cf_n AS (SELECT url FROM _cf_c ANTI JOIN _cf_s USING (url))
+SELECT url FROM ({gated}) WHERE allowed"""
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase query (operators/search.phrase_hits): positional
     postings built only for the phrase's terms (isin prunes in the
@@ -2293,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "robots_check": q_robots_check,
         "main_content": q_main_content,
+        "sitemap_entries": q_sitemap_entries,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -3026,4 +3109,6 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "robots_check": robots.robots_check_sql(*_robots_sql_tables()),
         "main_content": (f"SELECT doc_id, {tx.main_content_sql('html')} "
                          f"AS text FROM ({_DOCS_MAIN_SQL})"),
+        "sitemap_entries": links.sitemap_entries_sql(_DOCS_SITEMAPS_SQL),
+        "crawl_frontier": _crawl_frontier_sql(),
     }

@@ -182,3 +182,73 @@ def canonical_collapse_sql(pages_sql: str, url_expr: str = "url",
             f"count(*) AS n_pages, min(url) AS keeper_url "
             f"FROM ({inner}) WHERE NOT noindex "
             f"GROUP BY 1")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing + crawl-frontier discovery.  Sitemaps are the push
+# side of URL discovery (robots.txt's `Sitemap:` lines point at them);
+# the extractor mirrors the href tier: one regexp_extract_all over the
+# XML body (entry blocks), per-entry <loc>/<lastmod> extraction, all
+# codegen — zero Python, zero shuffle.  Whitespace inside <loc> uses
+# the explicit [ \t\n\r\f] class (Java \s and RE2 \s differ on \x0B —
+# the established _WS_CLASS contract).
+# ---------------------------------------------------------------------------
+
+_SM_ENTRY_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
+_SM_CHILD_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+_WS_STAR = r"[ \t\n\r\f]*"
+_SM_LOC_RE = rf"(?is)<loc>{_WS_STAR}(.*?){_WS_STAR}</loc>"
+_SM_LASTMOD_RE = rf"(?is)<lastmod>{_WS_STAR}(.*?){_WS_STAR}</lastmod>"
+
+
+def _sm_explode(sitemaps: DataFrame, entry_re: str, xml_col: str,
+                key_cols: tuple) -> DataFrame:
+    e = F.explode(F.regexp_extract_all(F.col(xml_col), F.lit(entry_re),
+                                       F.lit(1))).alias("_e")
+    out = sitemaps.select(*[F.col(c) for c in key_cols], e)
+    return (out.select(
+        *key_cols,
+        F.regexp_extract("_e", _SM_LOC_RE, 1).alias("url"),
+        F.regexp_extract("_e", _SM_LASTMOD_RE, 1).alias("lastmod"))
+        .filter(F.col("url") != ""))
+
+
+def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml",
+                    key_cols: tuple = ("host",)) -> DataFrame:
+    """One row per ``<url>`` entry of a urlset sitemap:
+    ``(*key_cols, url, lastmod)`` — lastmod '' when absent.  URLs are
+    raw ``<loc>`` values (canonicalize downstream)."""
+    return _sm_explode(sitemaps, _SM_ENTRY_RE, xml_col, key_cols)
+
+
+def sitemap_children(sitemaps: DataFrame, xml_col: str = "xml",
+                     key_cols: tuple = ("host",)) -> DataFrame:
+    """One row per ``<sitemap>`` entry of a sitemap INDEX file — the
+    child sitemap URLs a crawler fetches next (same schema as
+    :func:`sitemap_entries`)."""
+    return _sm_explode(sitemaps, _SM_CHILD_RE, xml_col, key_cols)
+
+
+def _sm_explode_sql(sitemaps_sql: str, entry_re: str, xml_expr: str,
+                    key_exprs: str) -> str:
+    pat = entry_re.replace("'", "''")
+    loc = _SM_LOC_RE.replace("'", "''")
+    lm = _SM_LASTMOD_RE.replace("'", "''")
+    return (f"SELECT {key_exprs}, "
+            f"coalesce(regexp_extract(u.e, '{loc}', 1), '') AS url, "
+            f"coalesce(regexp_extract(u.e, '{lm}', 1), '') AS lastmod "
+            f"FROM ({sitemaps_sql}) s, "
+            f"unnest(regexp_extract_all({xml_expr}, '{pat}', 1)) AS u(e) "
+            f"WHERE coalesce(regexp_extract(u.e, '{loc}', 1), '') <> ''")
+
+
+def sitemap_entries_sql(sitemaps_sql: str, xml_expr: str = "xml",
+                        key_exprs: str = "host") -> str:
+    """DuckDB mirror of :func:`sitemap_entries`."""
+    return _sm_explode_sql(sitemaps_sql, _SM_ENTRY_RE, xml_expr, key_exprs)
+
+
+def sitemap_children_sql(sitemaps_sql: str, xml_expr: str = "xml",
+                         key_exprs: str = "host") -> str:
+    """DuckDB mirror of :func:`sitemap_children`."""
+    return _sm_explode_sql(sitemaps_sql, _SM_CHILD_RE, xml_expr, key_exprs)

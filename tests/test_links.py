@@ -209,3 +209,32 @@ def test_canonical_collapse_groups_and_noindex(spark):
         "https://c.com/canon": (2, "https://c.com/p/1"),
         "https://c.com/p/4": (1, "https://c.com/p/4/"),
     }
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_entries_and_children(spark):
+    urlset = ('<?xml version="1.0"?><urlset>'
+              "<url><loc>\n  https://a.com/x \n</loc>"
+              "<lastmod>2026-01-02</lastmod></url>"
+              "<url><loc>https://a.com/y</loc></url>"
+              "<url><priority>0.5</priority></url>"       # no loc: dropped
+              "</urlset>")
+    index = ('<sitemapindex>'
+             "<sitemap><loc>https://a.com/sitemap-1.xml</loc>"
+             "<lastmod>2026-02-03</lastmod></sitemap>"
+             "<sitemap><loc>https://a.com/sitemap-2.xml</loc></sitemap>"
+             "</sitemapindex>")
+    df = spark.createDataFrame([("a.com", urlset), ("a.com", index)],
+                               "host string, xml string")
+    ents = {(r.url, r.lastmod)
+            for r in links.sitemap_entries(df).collect()}
+    assert ents == {("https://a.com/x", "2026-01-02"),
+                    ("https://a.com/y", "")}
+    kids = {(r.url, r.lastmod)
+            for r in links.sitemap_children(df).collect()}
+    assert kids == {("https://a.com/sitemap-1.xml", "2026-02-03"),
+                    ("https://a.com/sitemap-2.xml", "")}
