@@ -105,3 +105,51 @@ def test_rules_table_shape(spark):
     assert plen == 11 and rx == "^/.*\\?session="
     _plen, rx2 = rules[("a.com", False, "/exact$")]
     assert rx2 == "^/exact$"
+
+
+def test_crawl_audit_job(spark, tmp_path, monkeypatch):
+    """jobs/crawl_audit.py end-to-end: noindex + canonical-shadow +
+    robots gates each drop their target page; resume skips buckets."""
+    import runpy
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    # the job calls spark.stop() on the shared local JVM session — keep
+    # the session fixture alive across the runpy invocations
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    pages = [
+        # plain keeper
+        ("https://a.com/keep", "<html><body><p>"
+         + "fine content words " * 5 + "</p></body></html>"),
+        # noindex -> dropped
+        ("https://a.com/hidden",
+         '<html><head><meta name="robots" content="noindex"></head>'
+         "<body><p>secret</p></body></html>"),
+        # canonical-shadowed: declares /keep as canonical -> dropped,
+        # /keep (the keeper) survives
+        ("https://a.com/dup",
+         '<html><head><link rel="canonical" href="/keep"></head>'
+         "<body><p>dup</p></body></html>"),
+        # robots-disallowed path
+        ("https://a.com/tmp/x", "<html><body><p>tmp</p></body></html>"),
+    ]
+    robots = [("a.com", "User-agent: *\nDisallow: /tmp/\n")]
+    pin = str(tmp_path / "pages.parquet")
+    rin = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(pages, "url string, html string") \
+        .write.parquet(pin)
+    spark.createDataFrame(robots, "host string, robots_txt string") \
+        .write.parquet(rin)
+    table = str(tmp_path / "audited")
+    argv = ["crawl_audit.py", "--pages", pin, "--robots", rin,
+            "--table", table, "--buckets", "2", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/jobs/crawl_audit.py", run_name="__main__")
+    kept = {r.url for r in spark.read.parquet(table + "/data").collect()}
+    assert kept == {"https://a.com/keep"}
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    runpy.run_path("/root/repo/jobs/crawl_audit.py", run_name="__main__")
+    assert {r.url for r in spark.read.parquet(table + "/data").collect()} \
+        == {"https://a.com/keep"}
