@@ -1067,6 +1067,15 @@ def q_canonical_collapse(spark, sf_dir):
     return links.canonical_collapse(_docs_crawl(spark, sf_dir))
 
 
+def q_anchor_index(spark, sf_dir):
+    """Anchor-text index (operators/links.anchor_index): anchor terms
+    aggregated per canonical link target — one extraction scan, one
+    (target, term) groupBy whose map-side partial agg absorbs hub-key
+    skew.  Self-links dropped (a page's navigation can't vote for
+    itself)."""
+    return links.anchor_index(_docs_links(spark, sf_dir))
+
+
 def q_polygon_raster(spark, sf_dir):
     """Vector -> raster rasterization (operators/spatial.py
     polygon_raster_cells): a polygon TABLE (deterministic triangles
@@ -2376,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "sitemap_entries": q_sitemap_entries,
         "crawl_frontier": q_crawl_frontier,
+        "anchor_index": q_anchor_index,
     }
 
 
@@ -3111,4 +3121,5 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
                          f"AS text FROM ({_DOCS_MAIN_SQL})"),
         "sitemap_entries": links.sitemap_entries_sql(_DOCS_SITEMAPS_SQL),
         "crawl_frontier": _crawl_frontier_sql(),
+        "anchor_index": links.anchor_index_sql(_DOCS_LINKS_SQL),
     }

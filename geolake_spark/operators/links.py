@@ -252,3 +252,59 @@ def sitemap_children_sql(sitemaps_sql: str, xml_expr: str = "xml",
                          key_exprs: str = "host") -> str:
     """DuckDB mirror of :func:`sitemap_children`."""
     return _sm_explode_sql(sitemaps_sql, _SM_CHILD_RE, xml_expr, key_exprs)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index — terms from link anchor texts aggregated per link
+# TARGET (the classic external-description ranking signal: what other
+# pages call a page beats what the page says about itself).  One
+# extraction scan (codegen), one explode per (link, term), ONE
+# (target, term) groupBy with map-side partial aggregation — hub
+# targets (every page links "home" to the homepage) are hot keys whose
+# counts collapse per task before the exchange, the link_graph shape.
+# ---------------------------------------------------------------------------
+
+
+def anchor_index(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """``(target_url, term, weight)``: whitespace-tokenized (trim+lower)
+    anchor-text terms of every resolved link, counted per canonical
+    target.  Empty anchors (image links) contribute nothing; self-links
+    (target == the linking page's canonical URL) are dropped — a page's
+    own navigation must not vote for itself."""
+    pairs = F.explode(tx.anchor_text_pairs_col(F.col(html_col))).alias("p")
+    out = pages.select(F.col(url_col).alias("url"), pairs)
+    target = tx.url_canonical_col(
+        tx.resolve_link_col(F.col("p.href"), F.col("url")))
+    rows = (out.select("url", target.alias("target_url"),
+                       F.col("p.anchor").alias("anchor"))
+            .filter((F.col("target_url") != "")
+                    & (F.col("target_url")
+                       != tx.url_canonical_col(F.col("url")))
+                    & (F.col("anchor") != "")))
+    terms = rows.select(
+        "target_url",
+        F.explode(F.split(F.lower(F.col("anchor")), r"\s+")).alias("term"))
+    return (terms.filter(F.col("term") != "")
+            .groupBy("target_url", "term")
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def anchor_index_sql(pages_sql: str, url_expr: str = "url",
+                     html_expr: str = "html") -> str:
+    """DuckDB mirror of :func:`anchor_index`."""
+    target = tx.url_canonical_sql(tx.resolve_link_sql("p.href", url_expr))
+    own = tx.url_canonical_sql(url_expr)
+    pairs = tx.anchor_text_pairs_sql(html_expr)
+    return f"""
+WITH _ai_r AS (
+  SELECT {target} AS target_url, p.anchor AS anchor
+  FROM ({pages_sql}) g, unnest({pairs}) AS _u(p)
+  WHERE {target} <> '' AND {target} <> {own} AND p.anchor <> ''
+), _ai_t AS (
+  SELECT target_url, u.term AS term
+  FROM _ai_r, unnest(string_split_regex(lower(anchor), '\\s+')) AS u(term)
+  WHERE u.term <> ''
+)
+SELECT target_url, term, count(*) AS weight
+FROM _ai_t GROUP BY 1, 2"""

@@ -238,3 +238,28 @@ def test_sitemap_entries_and_children(spark):
             for r in links.sitemap_children(df).collect()}
     assert kids == {("https://a.com/sitemap-1.xml", "2026-02-03"),
                     ("https://a.com/sitemap-2.xml", "")}
+
+
+def test_anchor_index_hand_checked(spark):
+    rows = [
+        ("https://a.com/p1",
+         '<a href="https://b.com/x">Great Search Engine</a>'
+         '<a href="https://b.com/x">great again</a>'
+         '<a href="/self">my own nav</a>'          # self-domain, not self-URL
+         '<a href="https://a.com/p1">home</a>'     # self-link: dropped
+         '<a href="https://c.com/"><img src="i.png"/></a>'),  # empty anchor
+        ("https://a.com/p2",
+         '<a href="https://b.com/x">great</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {(r.target_url, r.term): r.weight
+           for r in links.anchor_index(df).collect()}
+    assert got == {
+        ("https://b.com/x", "great"): 3,
+        ("https://b.com/x", "search"): 1,
+        ("https://b.com/x", "engine"): 1,
+        ("https://b.com/x", "again"): 1,
+        ("https://a.com/self", "my"): 1,
+        ("https://a.com/self", "own"): 1,
+        ("https://a.com/self", "nav"): 1,
+    }
