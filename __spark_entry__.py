@@ -1313,16 +1313,22 @@ FROM _sd_enc e ANTI JOIN _sd_drop d ON e.vec_id = d.vec_id"""
 _ROBOTS_BODIES = [
     # one body per host index 0..6 — covers empty file, wildcard + '$'
     # patterns, Allow-overrides, agent-specific shadowing, empty
-    # Disallow, and an invalid rule before any User-agent line
+    # Disallow, an invalid rule before any User-agent line, Sitemap
+    # lines (group-independent) and Crawl-delay (group-scoped, min wins,
+    # junk values dropped)
     "",
-    ("User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n"
-     "Disallow: /*?sess="),
-    ("User-agent: googlebot\nDisallow: /priv\n\n"
-     "User-agent: *\nAllow: /priv/pub\nDisallow: /priv"),
-    "# no star group here\nUser-agent: othercrawler\nDisallow: /",
+    ("Sitemap: https://site1.example.com/sitemap.xml\n"
+     "User-agent: *\nCrawl-delay: 1.5\nDisallow: /tmp/\nAllow: /tmp/ok\n"
+     "Disallow: /*?sess=\nCrawl-delay: 0.5"),
+    ("User-agent: googlebot\nDisallow: /priv\nCrawl-delay: 2\n\n"
+     "User-agent: *\nAllow: /priv/pub\nDisallow: /priv\n"
+     "Sitemap: https://site2.example.com/sm/a.xml\n"
+     "Sitemap: https://site2.example.com/sm/b.xml"),
+    ("# no star group here\nUser-agent: othercrawler\nDisallow: /\n"
+     "Crawl-delay: 9"),
     "User-agent: *\nDisallow: /p/2$",
-    "User-agent: *\nDisallow:",
-    "Disallow: /orphan",
+    "User-agent: *\nDisallow:\nCrawl-delay: abc",
+    "Disallow: /orphan\nCrawl-delay: 3",
 ]
 # (prefix, embed_id): the '$'-anchored rule needs an EXACT '/p/2' path,
 # so that branch does not embed the doc id (duplicate URLs collapse in
@@ -1467,6 +1473,22 @@ _cf_c AS (SELECT DISTINCT {canon} AS url FROM _cf_e
 _cf_s AS (SELECT DISTINCT {canon} AS url FROM ({pages_sql})),
 _cf_n AS (SELECT url FROM _cf_c ANTI JOIN _cf_s USING (url))
 SELECT url FROM ({gated}) WHERE allowed"""
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive extraction (operators/robots.robots_sitemaps)
+    — group-INDEPENDENT per RFC 9309 §2.3; feeds links.sitemap_entries
+    after fetch."""
+    _pages, rb = _robots_tables(spark, sf_dir)
+    return robots.robots_sitemaps(rb)
+
+
+def q_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction (operators/robots.robots_crawl_delays):
+    group-scoped with the most-specific agent selection; several
+    applicable values -> the minimum; junk values try-cast away."""
+    _pages, rb = _robots_tables(spark, sf_dir)
+    return robots.robots_crawl_delays(rb)
 
 
 def q_phrase_search(spark, sf_dir):
@@ -2386,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "crawl_frontier": q_crawl_frontier,
         "anchor_index": q_anchor_index,
+        "robots_sitemaps": q_robots_sitemaps,
+        "crawl_delays": q_crawl_delays,
     }
 
 
@@ -3122,4 +3146,8 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "sitemap_entries": links.sitemap_entries_sql(_DOCS_SITEMAPS_SQL),
         "crawl_frontier": _crawl_frontier_sql(),
         "anchor_index": links.anchor_index_sql(_DOCS_LINKS_SQL),
+        "robots_sitemaps": robots.robots_sitemaps_sql(
+            _robots_sql_tables()[1]),
+        "crawl_delays": robots.robots_crawl_delays_sql(
+            _robots_sql_tables()[1]),
     }

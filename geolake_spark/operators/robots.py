@@ -48,7 +48,8 @@ from geolake_spark.functions import text as tx
 # '$' is escaped here too — the end-anchor form is split off BEFORE
 # escaping, so any remaining '$' is literal
 _META_CLASS = r'([\.\+\?\(\)\[\]\{\}\^\|\$\\])'
-_DIRECTIVE_RE = r'(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$'
+_DIRECTIVE_RE = (r'(?i)^(user-agent|allow|disallow|sitemap|crawl-delay)'
+                 r'\s*:\s*(.*)$')
 # path+query of an absolute URL (everything from the first '/' after
 # the authority, fragment dropped); '' when the URL has no path
 _URL_PATHQ_RE = r'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)'
@@ -75,6 +76,48 @@ def _rx_sql(pat: str) -> str:
             f"(CASE WHEN {ends} THEN '$' ELSE '' END))")
 
 
+def _grouped_lines(robots: DataFrame, host_col: str,
+                   body_col: str) -> DataFrame:
+    """Parsed robots lines with group ids: ``(host, pos, dir, val,
+    grp)`` — the shared front half of every robots operator.  One
+    shuffle on host (the window); downstream aggs key on (host, grp)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.regexp_extract(
+            F.trim(F.regexp_replace("raw", "#.*$", "")),
+            _DIRECTIVE_RE, 1)).alias("dir"),
+        F.trim(F.regexp_extract(
+            F.trim(F.regexp_replace("raw", "#.*$", "")),
+            _DIRECTIVE_RE, 2)).alias("val"))
+    w = Window.partitionBy("host").orderBy("pos")
+    return parsed.withColumn(
+        "grp",
+        F.sum(((F.col("dir") == "user-agent")
+               & (F.lag("dir", 1, "").over(w) != "user-agent"))
+              .cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+
+def _selected_groups(grouped: DataFrame, agent: str) -> DataFrame:
+    """(host, grp) of the groups that apply to ``agent`` — RFC 9309
+    most-specific rule: when any group on the host names the agent
+    literally, the '*' groups are IGNORED for that host."""
+    ga = (grouped.filter(F.col("dir") == "user-agent")
+          .groupBy("host", "grp")
+          .agg(F.collect_set(F.lower(F.col("val"))).alias("agents"))
+          .select("host", "grp",
+                  F.array_contains("agents", agent).alias("has_agent"),
+                  F.array_contains("agents", "*").alias("has_star")))
+    hw = Window.partitionBy("host")
+    return (ga.withColumn("spec", F.max("has_agent").over(hw))
+            .filter(F.when(F.col("spec"), F.col("has_agent"))
+                    .otherwise(F.col("has_star")))
+            .select("host", "grp"))
+
+
 def robots_rules(robots: DataFrame, agent: str = "*",
                  host_col: str = "host",
                  body_col: str = "robots_txt") -> DataFrame:
@@ -90,40 +133,8 @@ def robots_rules(robots: DataFrame, agent: str = "*",
     (``Disallow:`` with no path == allow everything) contribute no rule
     row."""
     agent = agent.strip().lower()
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"))
-    parsed = lines.select(
-        "host", "pos",
-        F.lower(F.regexp_extract(
-            F.trim(F.regexp_replace("raw", "#.*$", "")),
-            _DIRECTIVE_RE, 1)).alias("dir"),
-        F.trim(F.regexp_extract(
-            F.trim(F.regexp_replace("raw", "#.*$", "")),
-            _DIRECTIVE_RE, 2)).alias("val"))
-    w = Window.partitionBy("host").orderBy("pos")
-    grouped = parsed.withColumn(
-        "grp",
-        F.sum(((F.col("dir") == "user-agent")
-               & (F.lag("dir", 1, "").over(w) != "user-agent"))
-              .cast("int")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    # reuses the window's (host) hash partitioning — but keyed on
-    # (host, grp), which re-shuffles; group the agent agg on host's
-    # partitioning by keeping host first in the key
-    # RFC 9309 most-specific-group rule: when any group names the agent
-    # literally, the '*' groups are IGNORED for that host
-    ga = (grouped.filter(F.col("dir") == "user-agent")
-          .groupBy("host", "grp")
-          .agg(F.collect_set(F.lower(F.col("val"))).alias("agents"))
-          .select("host", "grp",
-                  F.array_contains("agents", agent).alias("has_agent"),
-                  F.array_contains("agents", "*").alias("has_star")))
-    hw = Window.partitionBy("host")
-    agents = (ga.withColumn("spec", F.max("has_agent").over(hw))
-              .filter(F.when(F.col("spec"), F.col("has_agent"))
-                      .otherwise(F.col("has_star")))
-              .select("host", "grp"))
+    grouped = _grouped_lines(robots, host_col, body_col)
+    agents = _selected_groups(grouped, agent)
     rules = (grouped
              .filter(F.col("dir").isin("allow", "disallow")
                      & (F.col("val") != "") & (F.col("grp") >= 1))
@@ -244,3 +255,106 @@ _rc_p AS (
 SELECT url, coalesce(best.allow, true) AS allowed,
        coalesce(best.path, '') AS rule
 FROM _rc_b"""
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "robots_txt") -> DataFrame:
+    """``(host, sitemap_url)`` from ``Sitemap:`` lines — the discovery
+    link between robots.txt and the sitemap tier (feed the URLs to
+    :func:`links.sitemap_entries` after fetching).  Per RFC 9309 §2.3
+    the directive is group-INDEPENDENT: every Sitemap line applies,
+    wherever it sits in the file.  Distinct per (host, url)."""
+    grouped = _grouped_lines(robots, host_col, body_col)
+    return (grouped.filter((F.col("dir") == "sitemap")
+                           & (F.col("val") != ""))
+            .select("host", F.col("val").alias("sitemap_url"))
+            .distinct())
+
+
+def robots_crawl_delays(robots: DataFrame, agent: str = "*",
+                        host_col: str = "host",
+                        body_col: str = "robots_txt") -> DataFrame:
+    """``(host, crawl_delay double)`` for ``agent`` — the de-facto
+    (non-RFC) politeness directive.  Group-scoped like Allow/Disallow
+    (same most-specific agent selection); when several applicable
+    groups set it, the MINIMUM wins (deterministic, and the fetcher
+    schedule it feeds treats delay as a floor).  Unparseable values
+    are ignored (try-cast null)."""
+    agent = agent.strip().lower()
+    grouped = _grouped_lines(robots, host_col, body_col)
+    agents = _selected_groups(grouped, agent)
+    return (grouped
+            .filter((F.col("dir") == "crawl-delay") & (F.col("grp") >= 1))
+            .join(agents, ["host", "grp"])
+            .select("host",
+                    F.col("val").try_cast("double").alias("crawl_delay"))
+            .filter(F.col("crawl_delay").isNotNull())
+            .groupBy("host")
+            .agg(F.min("crawl_delay").alias("crawl_delay")))
+
+
+def _grouped_lines_sql(robots_sql: str, host_expr: str,
+                       body_expr: str) -> str:
+    """Shared CTE chain (_rb_l/_rb_p/_rb_f/_rb_g) for the SQL mirrors."""
+    return f"""
+_rb_l AS (
+  SELECT {host_expr} AS host, u.pos - 1 AS pos,
+         trim(regexp_replace(u.raw, '#.*$', '')) AS ln
+  FROM ({robots_sql}) r, LATERAL (
+    SELECT unnest(list_transform(
+      list_zip(string_split({body_expr}, chr(10)),
+               range(1, len(string_split({body_expr}, chr(10))) + 1)),
+      z -> {{'raw': z[1], 'pos': z[2]}}), recursive := true)) u
+), _rb_p AS (
+  SELECT host, pos,
+         lower(coalesce(regexp_extract(ln, '{_DIRECTIVE_RE}', 1), ''))
+           AS dir,
+         trim(coalesce(regexp_extract(ln, '{_DIRECTIVE_RE}', 2), ''))
+           AS val
+  FROM _rb_l
+), _rb_f AS (
+  SELECT *, (CASE WHEN dir = 'user-agent' AND
+             coalesce(lag(dir) OVER (PARTITION BY host ORDER BY pos), '')
+               <> 'user-agent' THEN 1 ELSE 0 END) AS _new
+  FROM _rb_p
+), _rb_g AS (
+  SELECT host, pos, dir, val,
+         sum(_new) OVER (PARTITION BY host ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+  FROM _rb_f
+)"""
+
+
+def robots_sitemaps_sql(robots_sql: str, host_expr: str = "host",
+                        body_expr: str = "robots_txt") -> str:
+    """DuckDB mirror of :func:`robots_sitemaps`."""
+    return (f"WITH {_grouped_lines_sql(robots_sql, host_expr, body_expr)} "
+            f"SELECT DISTINCT host, val AS sitemap_url FROM _rb_g "
+            f"WHERE dir = 'sitemap' AND val <> ''")
+
+
+def robots_crawl_delays_sql(robots_sql: str, agent: str = "*",
+                            host_expr: str = "host",
+                            body_expr: str = "robots_txt") -> str:
+    """DuckDB mirror of :func:`robots_crawl_delays`."""
+    agent = agent.strip().lower().replace("'", "''")
+    return f"""
+WITH {_grouped_lines_sql(robots_sql, host_expr, body_expr)},
+_rb_ga AS (
+  SELECT host, grp,
+         bool_or(lower(val) = '{agent}') AS has_agent,
+         bool_or(lower(val) = '*') AS has_star
+  FROM _rb_g WHERE dir = 'user-agent'
+  GROUP BY host, grp
+), _rb_a AS (
+  SELECT host, grp FROM (
+    SELECT host, grp, has_agent, has_star,
+           max(has_agent) OVER (PARTITION BY host) AS spec
+    FROM _rb_ga)
+  WHERE (CASE WHEN spec THEN has_agent ELSE has_star END)
+)
+SELECT g.host, min(TRY_CAST(val AS DOUBLE)) AS crawl_delay
+FROM _rb_g g JOIN _rb_a a ON g.host = a.host AND g.grp = a.grp
+WHERE dir = 'crawl-delay' AND g.grp >= 1
+  AND TRY_CAST(val AS DOUBLE) IS NOT NULL
+GROUP BY g.host"""

@@ -227,3 +227,36 @@ def test_semdedup_lowest_id_is_keeper(spark):
     centers = ann.demo_ivf_centers(dim=64, nlist=4)
     got = [r.vec_id for r in ann.semdedup_keep(df, centers, tau=0.99).collect()]
     assert got == [3]
+
+
+def test_text_index_job(spark, tmp_path, monkeypatch):
+    """jobs/text_index.py: bucketed resumable index; champion-list
+    pruning keeps top-K postings per term by (tf desc, doc_id asc)."""
+    import runpy
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    pin = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(list(CORPUS.items()),
+                          "doc_id long, text string").write.parquet(pin)
+    table = str(tmp_path / "index")
+    argv = ["text_index.py", "--input", pin, "--table", table,
+            "--buckets", "2", "--champions", "1", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/jobs/text_index.py", run_name="__main__")
+    rows = {(r.term, r.doc_id): (r.tf, r.df_count)
+            for r in spark.read.parquet(table + "/data").collect()}
+    # one posting per term; 'spark' champion is doc 2 (tf 4)
+    terms = [t for t, _d in rows]
+    assert len(terms) == len(set(terms))
+    assert rows[("spark", 2)] == (4, 3)       # df counted BEFORE pruning
+    assert ("spark", 1) not in rows
+    # 'cluster': tf 2 in doc 4 beats tf 1 in doc 1
+    assert rows[("cluster", 4)][0] == 2
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    runpy.run_path("/root/repo/jobs/text_index.py", run_name="__main__")
+    assert {(r.term, r.doc_id)
+            for r in spark.read.parquet(table + "/data").collect()} \
+        == set(rows)

@@ -153,3 +153,27 @@ def test_crawl_audit_job(spark, tmp_path, monkeypatch):
     runpy.run_path("/root/repo/jobs/crawl_audit.py", run_name="__main__")
     assert {r.url for r in spark.read.parquet(table + "/data").collect()} \
         == {"https://a.com/keep"}
+
+
+def test_sitemaps_and_crawl_delays(spark):
+    rows = [
+        ("s.com",
+         "Sitemap: https://s.com/sm.xml\n"
+         "User-agent: bot\nCrawl-delay: 2\nDisallow: /x\n"
+         "User-agent: *\nCrawl-delay: 1.5\nCrawl-delay: 0.5\n"
+         "Sitemap: https://s.com/sm2.xml\n"
+         "Crawl-delay: nonsense\n"),
+        ("t.com", "Crawl-delay: 3\n"),   # before any UA line: invalid
+    ]
+    rdf = spark.createDataFrame(rows, "host string, robots_txt string")
+    sm = {(r.host, r.sitemap_url)
+          for r in robots.robots_sitemaps(rdf).collect()}
+    # Sitemap lines are group-independent — both extracted
+    assert sm == {("s.com", "https://s.com/sm.xml"),
+                  ("s.com", "https://s.com/sm2.xml")}
+    star = {r.host: r.crawl_delay
+            for r in robots.robots_crawl_delays(rdf).collect()}
+    assert star == {"s.com": 0.5}        # min of 1.5/0.5; junk ignored
+    bot = {r.host: r.crawl_delay
+           for r in robots.robots_crawl_delays(rdf, agent="BOT").collect()}
+    assert bot == {"s.com": 2.0}         # specific group shadows '*'
