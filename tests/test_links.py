@@ -263,3 +263,23 @@ def test_anchor_index_hand_checked(spark):
         ("https://a.com/self", "own"): 1,
         ("https://a.com/self", "nav"): 1,
     }
+
+
+def test_crawl_policies_plan_is_map_only(spark):
+    # pure codegen map stage: no Exchange, no Python eval in the plan
+    df = _pages(spark, [("https://a.com/x", "<html></html>")])
+    plan = links.crawl_policies(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_anchor_index_single_exchange(spark):
+    # extraction+resolution are map-side; the only shuffle is the
+    # (target, term) groupBy with a map-side partial agg before it
+    df = _pages(spark, [("https://a.com/x",
+                         '<a href="https://b.com/">go there</a>')])
+    plan = links.anchor_index(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.index("HashAggregate") < plan.index("Exchange")

@@ -98,3 +98,30 @@ def test_streaming_pip_join_explicit_res(spark, pages, tmp_path):
            for r in joins.pip_join(pages, synth.polygon_specs(), res=6)
            .select("url", "polygon_id").collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_crawl_policies_equals_batch(spark, tmp_path):
+    """crawl_policies is a stateless map stage — it runs unchanged on a
+    streaming source and matches the batch operator row-for-row."""
+    from geolake_spark.operators import links
+
+    rows = [
+        ("https://a.com/1",
+         '<html><head><meta name="robots" content="noindex, follow">'
+         '<link rel="canonical" href="/c"></head></html>'),
+        ("https://a.com/2",
+         '<html><head><meta content="index, nofollow" name="robots">'
+         "</head></html>"),
+        ("https://a.com/3", "<html></html>"),
+    ]
+    batch = spark.createDataFrame(rows, "url string, html string")
+    drop = str(tmp_path / "drop")
+    batch.repartition(2).write.parquet(drop)
+    stream = spark.readStream.schema(batch.schema).parquet(drop)
+    q = (links.crawl_policies(stream)
+         .writeStream.format("memory").queryName("polstream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from polstream").collect()}
+    exp = {tuple(r) for r in links.crawl_policies(batch).collect()}
+    assert got == exp and len(exp) == 3
