@@ -1501,6 +1501,16 @@ def q_phrase_search(spark, sf_dir):
     return search.phrase_hits(d, ["slow", "hash", "batch"])
 
 
+def q_similar_pairs(spark, sf_dir):
+    """Vector-space more-like-this (operators/search.similar_pairs):
+    TF-IDF-ish cosine via the inverted index — tf/df rational weights
+    (no libm log in the contract), sorted-sequential folds for dot and
+    norms, stop-terms (df > max_df) dropped BEFORE the candidate
+    self-join (the shingle-tier skew guard)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.similar_pairs(d, min_score=0.85)
+
+
 def q_retention(spark, sf_dir):
     """Cohort retention (operators/trips.retention_matrix): users
     bucketed by first-event week, counted per later active week —
@@ -2410,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_index": q_anchor_index,
         "robots_sitemaps": q_robots_sitemaps,
         "crawl_delays": q_crawl_delays,
+        "similar_pairs": q_similar_pairs,
     }
 
 
@@ -3150,4 +3161,6 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             _robots_sql_tables()[1]),
         "crawl_delays": robots.robots_crawl_delays_sql(
             _robots_sql_tables()[1]),
+        "similar_pairs": search.similar_pairs_sql(
+            "SELECT * FROM documents", min_score=0.85),
     }

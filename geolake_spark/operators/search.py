@@ -336,3 +336,109 @@ WITH _ph_t AS (
 SELECT doc_id, len(starts) AS n_hits,
        cast(list_min(starts) - 1 AS INTEGER) AS first_pos
 FROM _ph_s WHERE len(starts) > 0"""
+
+
+# ---------------------------------------------------------------------------
+# More-like-this: document-to-document similarity through the inverted
+# index (the vector-space model).  Weight w(t,d) = tf/df — an exact
+# rational idf proxy (bigint/bigint double division, deterministic) so
+# no libm log enters the contract; cosine = sorted-sequential folds
+# (by term) for the dot product and the norms, the pagerank
+# determinism pattern — both engines fold the identical sequence.
+# Scale shape: the index self-join on term is the candidate generator;
+# stop-terms (df > max_df) are dropped BEFORE the join — the same skew
+# guard as the shingle tier (a term in every doc would otherwise emit
+# N²/2 pairs).  Dot products partial-aggregate per (id_a, id_b).
+# ---------------------------------------------------------------------------
+
+
+def similar_pairs(docs: DataFrame, min_score: float,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_df: int = 1000) -> DataFrame:
+    """Unordered doc pairs with TF-IDF-ish cosine >= ``min_score``:
+    ``(id_a, id_b, score)``, score rounded to 6 dp.  Terms with document
+    frequency above ``max_df`` are excluded from weights AND norms
+    (stated: the similarity is over the filtered vocabulary)."""
+    from pyspark.sql import Window
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(_toks(F.col(text_col))).alias("term"))
+    per = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    per = (per.withColumn("df_count",
+                          F.count("*").over(Window.partitionBy("term")))
+           .filter(F.col("df_count") <= max_df)
+           .select("term", "doc_id",
+                   (F.col("tf") / F.col("df_count")).alias("w")))
+    # persisted: feeds the norm agg and both self-join sides; released
+    # via dedup.release_caches() (the registry contract)
+    from geolake_spark.operators.dedup import _persist_tier
+    per = _persist_tier(per)
+
+    def fold(items):
+        return F.aggregate(F.array_sort(items), F.lit(0.0),
+                           lambda acc, x: acc + x["v"])
+
+    norms = (per.groupBy("doc_id")
+             .agg(F.sqrt(fold(F.collect_list(
+                 F.struct(F.col("term"), (F.col("w") * F.col("w"))
+                          .alias("v"))))).alias("norm")))
+    a = per.select(F.col("term"), F.col("doc_id").alias("id_a"),
+                   F.col("w").alias("wa"))
+    b = per.select(F.col("term"), F.col("doc_id").alias("id_b"),
+                   F.col("w").alias("wb"))
+    dots = (a.join(b, "term").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(fold(F.collect_list(F.struct(
+                F.col("term"),
+                (F.col("wa") * F.col("wb")).alias("v")))).alias("dot")))
+    out = (dots
+           .join(norms.select(F.col("doc_id").alias("id_a"),
+                              F.col("norm").alias("na")), "id_a")
+           .join(norms.select(F.col("doc_id").alias("id_b"),
+                              F.col("norm").alias("nb")), "id_b")
+           .select("id_a", "id_b",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                   .alias("score"))
+           .filter(F.col("score") >= min_score))
+    return out
+
+
+def similar_pairs_sql(docs_sql: str, min_score: float,
+                      text_expr: str = "text", id_expr: str = "doc_id",
+                      max_df: int = 1000) -> str:
+    """DuckDB mirror of :func:`similar_pairs` (list_reduce over
+    term-ordered contribution lists == the Spark sorted fold)."""
+    return f"""
+WITH _sp_t AS (
+  SELECT {id_expr} AS doc_id, u.term AS term
+  FROM (SELECT {id_expr},
+               CASE WHEN trim(lower({text_expr})) = '' THEN []
+                    ELSE regexp_split_to_array(trim(lower({text_expr})),
+                                               '\\s+') END AS tk
+        FROM ({docs_sql})) d, unnest(tk) AS u(term)
+), _sp_p AS (
+  SELECT term, doc_id, cast(count(*) AS BIGINT) AS tf
+  FROM _sp_t GROUP BY 1, 2
+), _sp_w AS (
+  SELECT term, doc_id,
+         tf / (count(*) OVER (PARTITION BY term)) AS w,
+         count(*) OVER (PARTITION BY term) AS df_count
+  FROM _sp_p QUALIFY df_count <= {max_df}
+), _sp_n AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list(w * w ORDER BY term),
+                          (acc, x) -> acc + x)) AS norm
+  FROM _sp_w GROUP BY doc_id
+), _sp_d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_reduce(list(a.w * b.w ORDER BY a.term),
+                     (acc, x) -> acc + x) AS dot
+  FROM _sp_w a JOIN _sp_w b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (na.norm * nb.norm), 6) AS score
+FROM _sp_d
+JOIN _sp_n na ON na.doc_id = id_a
+JOIN _sp_n nb ON nb.doc_id = id_b
+WHERE round(dot / (na.norm * nb.norm), 6) >= {min_score}"""

@@ -167,3 +167,58 @@ def test_phrase_hits_repeated_term_and_single(spark):
               for r in search.phrase_hits(df, ["b"]).collect()}
     assert single == {1: 2, 2: 2}
     assert search.phrase_hits(df, ["z", "q"]).count() == 0
+
+
+def _similar_ref(corpus, min_score, max_df=1000):
+    toks = {i: t.strip().lower().split() for i, t in corpus.items()}
+    tf = {}
+    for i, tk in toks.items():
+        for t in tk:
+            tf[(t, i)] = tf.get((t, i), 0) + 1
+    df = {}
+    for (t, _i) in tf:
+        df[t] = df.get(t, 0) + 1
+    w = {(t, i): c / df[t] for (t, i), c in tf.items() if df[t] <= max_df}
+    import math
+    norms = {i: math.sqrt(sum(v * v for (t, j), v in sorted(w.items())
+                              if j == i)) for i in toks}
+    out = {}
+    ids = sorted(toks)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            dot = sum(w[(t, a)] * w[(t, b)] for t in sorted(set(toks[a]))
+                      if (t, a) in w and (t, b) in w)
+            if norms[a] and norms[b]:
+                s = round(dot / (norms[a] * norms[b]), 6)
+                if s >= min_score:
+                    out[(a, b)] = s
+    return out
+
+
+def test_similar_pairs_reference(spark):
+    corpus = {
+        1: "apache spark distributed compute engine",
+        2: "apache spark cluster compute engine fast",
+        3: "duckdb single node analytics engine",
+        4: "gardening tips for spring tomatoes",
+    }
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.score
+           for r in search.similar_pairs(df, min_score=0.1).collect()}
+    assert got == _similar_ref(corpus, 0.1)
+    assert got[(1, 2)] > got.get((1, 3), 0.0)   # near-dup beats topical
+    assert (1, 4) not in got and (2, 4) not in got
+
+def test_similar_pairs_stop_terms_excluded(spark):
+    # 'the' appears in every doc: with max_df=2 it must not contribute
+    # to weights OR norms — identical docs still score 1.0 without it
+    corpus = {1: "the alpha beta", 2: "the alpha beta", 3: "the gamma x"}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.score
+           for r in search.similar_pairs(df, 0.05, max_df=2).collect()}
+    assert got == _similar_ref(corpus, 0.05, max_df=2)
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got                    # only shared term was 'the'
