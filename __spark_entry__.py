@@ -1501,6 +1501,54 @@ def q_phrase_search(spark, sf_dir):
     return search.phrase_hits(d, ["slow", "hash", "batch"])
 
 
+def _parts_fuzzy(spark, sf_dir):
+    """DISTINCT part names (min partkey as id — the raw table repeats a
+    tiny name vocabulary, which would drown the typo tier in dist-0
+    pairs) + planted typos: every 4th name re-appears with one character
+    DELETED at a key-derived position, every 4th+1 with one character
+    SUBSTITUTED by 'x'.  Mirrored by :func:`_parts_fuzzy_sql`."""
+    p = (_t(spark, sf_dir, "part")
+         .groupBy("p_name").agg(F.min("p_partkey").alias("p_partkey"))
+         .select("p_partkey", "p_name"))
+    k, nm = F.col("p_partkey"), F.col("p_name")
+    ln = F.length(nm)
+    pos = (k % ln + 1).cast("int")
+    deleted = F.concat(nm.substr(F.lit(1), pos - 1), nm.substr(pos + 1, ln))
+    substituted = F.concat(nm.substr(F.lit(1), pos - 1), F.lit("x"),
+                           nm.substr(pos + 1, ln))
+    orig = p.select(k.alias("id"), nm.alias("name"))
+    corr = (p.withColumn(
+        "name", F.when(k % 4 == 0, deleted).otherwise(substituted))
+        .filter((k % 4 == 0) | (k % 4 == 1))
+        .select((k + 1000000).alias("id"), "name"))
+    return orig.unionAll(corr)
+
+
+def _parts_fuzzy_sql() -> str:
+    pos = "(p_partkey % length(p_name) + 1)"
+    base = ("SELECT min(p_partkey) AS p_partkey, p_name "
+            "FROM part GROUP BY p_name")
+    return (
+        f"SELECT p_partkey AS id, p_name AS name FROM ({base}) "
+        "UNION ALL "
+        "SELECT p_partkey + 1000000 AS id, "
+        f"(CASE WHEN p_partkey % 4 = 0 THEN "
+        f"substring(p_name, 1, {pos} - 1) || "
+        f"substring(p_name, {pos} + 1, length(p_name)) "
+        f"ELSE substring(p_name, 1, {pos} - 1) || 'x' || "
+        f"substring(p_name, {pos} + 1, length(p_name)) END) AS name "
+        f"FROM ({base}) WHERE p_partkey % 4 IN (0, 1)")
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Typo-tolerant matching (operators/dedup.fuzzy_pairs): q-gram
+    blocking with a hot-gram df cap, sound DISTINCT-gram count filter
+    (one edit kills <= q gram types), length filter, exact Levenshtein
+    verify — the entity-resolution filter-and-refine (Gravano et al.
+    2001) over part names with planted deletions/substitutions."""
+    return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
+
+
 def q_similar_pairs(spark, sf_dir):
     """Vector-space more-like-this (operators/search.similar_pairs):
     TF-IDF-ish cosine via the inverted index — tf/df rational weights
@@ -2421,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "crawl_delays": q_crawl_delays,
         "similar_pairs": q_similar_pairs,
+        "fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -3163,4 +3212,6 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             _robots_sql_tables()[1]),
         "similar_pairs": search.similar_pairs_sql(
             "SELECT * FROM documents", min_score=0.85),
+        "fuzzy_pairs": dedup.fuzzy_pairs_sql(_parts_fuzzy_sql(),
+                                             max_dist=2),
     }

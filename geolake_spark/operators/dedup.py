@@ -712,3 +712,105 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("shared_fps")))
     return inter.filter(F.col("shared_fps") >= min_shared)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — q-gram blocking + exact Levenshtein verify
+# (the classic entity-resolution filter-and-refine: Gravano et al. 2001
+# count filter).  Titles/hosts/product names that differ by typos are
+# invisible to exact dedup and diluted for shingle Jaccard (q-grams ARE
+# the shingles here, at character grain).  Scale shape: the q-gram
+# equi-join is the candidate generator (the LSH-band analogue) — hot
+# grams are dropped by a df cap BEFORE the join (stop-shingle guard),
+# the length filter and the count filter kill most candidates before
+# the O(len^2) levenshtein verify runs.  Both engines implement
+# levenshtein with unit costs over UTF-16/UTF-8 units — parity verified
+# on BMP text; the contract is BMP strings (supplementary-plane code
+# points count differently, stated).
+# ---------------------------------------------------------------------------
+
+
+def _qgrams(col, q: int):
+    """Distinct character q-grams of a string (the whole string when
+    shorter than q)."""
+    n = F.length(col)
+    grams = F.transform(F.sequence(F.lit(1), n - q + 1),
+                        lambda i: col.substr(i, F.lit(q)))
+    return F.when(n < q, F.array(col)).otherwise(F.array_distinct(grams))
+
+
+def fuzzy_pairs(df: DataFrame, col: str = "name", id_col: str = "id",
+                max_dist: int = 2, q: int = 2,
+                max_gram_df: int = 10000) -> DataFrame:
+    """Unordered id pairs whose strings are within Levenshtein distance
+    ``max_dist``: ``(id_a, id_b, dist)``.
+
+    Filter-and-refine: (1) length filter |len_a - len_b| <= max_dist;
+    (2) DISTINCT-gram count filter — one edit destroys at most ``q``
+    gram TYPES, so true pairs share >= max(|Da|, |Db|) - max_dist*q
+    surviving distinct grams (sound; the classic length-based bound is
+    NOT sound over distinct sets on repetitive strings); (3) exact
+    levenshtein verify.  Grams appearing in more than ``max_gram_df``
+    strings are dropped from blocking (the count filter uses
+    post-filter gram counts, so it stays sound relative to them).
+    Stated limits: a pair sharing NO q-gram at all is never emitted
+    (only possible when max_dist*q edits blanket the shorter string),
+    and the distance is over UTF-16/UTF-8 units — BMP-text contract."""
+    base = df.select(F.col(id_col).alias("id"), F.col(col).alias("s"))
+    g = base.select("id", "s", F.length("s").alias("ln"),
+                    F.explode(_qgrams(F.col("s"), q)).alias("gram"))
+    freq = g.groupBy("gram").agg(F.count("*").alias("gdf"))
+    g = (g.join(freq, "gram").filter(F.col("gdf") <= max_gram_df)
+         .withColumn("dn", F.count("*").over(Window.partitionBy("id")))
+         .select("gram", "id", "s", "ln", "dn"))
+    a = g.select(F.col("gram"), F.col("id").alias("id_a"),
+                 F.col("s").alias("s_a"), F.col("ln").alias("ln_a"),
+                 F.col("dn").alias("dn_a"))
+    b = g.select(F.col("gram"), F.col("id").alias("id_b"),
+                 F.col("s").alias("s_b"), F.col("ln").alias("ln_b"),
+                 F.col("dn").alias("dn_b"))
+    cand = (a.join(b, "gram")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist))
+            .groupBy("id_a", "id_b", "s_a", "s_b", "dn_a", "dn_b")
+            .agg(F.count("*").alias("shared")))
+    need = F.greatest(
+        F.lit(1),
+        F.greatest(F.col("dn_a"), F.col("dn_b")) - max_dist * q)
+    return (cand.filter(F.col("shared") >= need)
+            .withColumn("dist", F.levenshtein("s_a", "s_b"))
+            .filter(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist"))
+
+
+def fuzzy_pairs_sql(docs_sql: str, col: str = "name", id_expr: str = "id",
+                    max_dist: int = 2, q: int = 2,
+                    max_gram_df: int = 10000) -> str:
+    """DuckDB mirror of :func:`fuzzy_pairs`."""
+    grams = (f"CASE WHEN length(s) < {q} THEN [s] ELSE list_distinct("
+             f"list_transform(range(1, length(s) - {q} + 2), "
+             f"i -> substring(s, i::INT, {q}))) END")
+    return f"""
+WITH _fz_b AS (
+  SELECT {id_expr} AS id, {col} AS s FROM ({docs_sql})
+), _fz_g AS (
+  SELECT id, s, length(s) AS ln, u.gram AS gram
+  FROM _fz_b, unnest({grams}) AS u(gram)
+), _fz_k AS (
+  SELECT gram, id, s, ln FROM _fz_g
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {max_gram_df}
+), _fz_f AS (
+  SELECT gram, id, s, ln,
+         count(*) OVER (PARTITION BY id) AS dn
+  FROM _fz_k
+), _fz_c AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+         a.dn AS dn_a, b.dn AS dn_b, count(*) AS shared
+  FROM _fz_f a JOIN _fz_f b USING (gram)
+  WHERE a.id < b.id AND abs(a.ln - b.ln) <= {max_dist}
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
+FROM _fz_c
+WHERE shared >= greatest(1, greatest(dn_a, dn_b) - {max_dist} * {q})
+  AND levenshtein(s_a, s_b) <= {max_dist}"""

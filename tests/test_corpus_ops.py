@@ -260,3 +260,50 @@ def test_text_index_job(spark, tmp_path, monkeypatch):
     assert {(r.term, r.doc_id)
             for r in spark.read.parquet(table + "/data").collect()} \
         == set(rows)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    import numpy as _np
+    d = _np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (ca != cb))
+    return int(d[len(b)])
+
+
+def test_fuzzy_pairs_brute_force(spark):
+    names = {1: "blue widget", 2: "blue widgit", 3: "blue widgets",
+             4: "red gear", 5: "red bear", 6: "completely different",
+             7: "blu widge"}
+    df = spark.createDataFrame(list(names.items()), "id long, name string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in dedup.fuzzy_pairs(df, max_dist=2).collect()}
+    exp = {(a, b): _lev(names[a], names[b])
+           for a in names for b in names
+           if a < b and _lev(names[a], names[b]) <= 2}
+    assert got == exp
+    assert got[(1, 2)] == 1 and got[(4, 5)] == 1
+
+
+def test_fuzzy_pairs_repetitive_strings_not_lost(spark):
+    # the length-based count filter would wrongly drop this pair: the
+    # distinct-gram bound must keep it (one edit kills <= q gram types)
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "aaaaxaaaaa")], "id long, name string")
+    rows = dedup.fuzzy_pairs(df, max_dist=1).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in rows] == [(1, 2, 1)]
+
+
+def test_fuzzy_pairs_exact_dups_and_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "same name"), (2, "same name"), (3, "sam name"),
+         (4, "far away string")], "id long, name string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in dedup.fuzzy_pairs(df, max_dist=1).collect()}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
