@@ -1540,6 +1540,32 @@ def _parts_fuzzy_sql() -> str:
         f"FROM ({base}) WHERE p_partkey % 4 IN (0, 1)")
 
 
+def q_crawl_depth(spark, sf_dir):
+    """Multi-source BFS (operators/graph.bfs_depths): minimum hop count
+    from the seed set over a directed graph — the crawl-depth /
+    distance-from-homepage feature.  Frontier-sized joins + per-round
+    lineage truncation + empty-frontier early exit; integer-exact, the
+    oracle replays it with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("n"), (i % 101).cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((i * 7 + 3) % 101).cast("string"))
+        .alias("dst"))
+    seeds = d.filter(i < 2).select(
+        F.concat(F.lit("n"), i.cast("string")).alias("node"))
+    return graph.bfs_depths(edges, seeds, max_depth=8)
+
+
+_CRAWL_DEPTH_EDGES_SQL = (
+    "SELECT 'n' || cast(doc_id % 101 as varchar) AS src, "
+    "'n' || cast((doc_id * 7 + 3) % 101 as varchar) AS dst "
+    "FROM documents")
+_CRAWL_DEPTH_SEEDS_SQL = (
+    "SELECT 'n' || cast(doc_id as varchar) AS node "
+    "FROM documents WHERE doc_id < 2")
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Typo-tolerant matching (operators/dedup.fuzzy_pairs): q-gram
     blocking with a hot-gram df cap, sound DISTINCT-gram count filter
@@ -2470,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delays": q_crawl_delays,
         "similar_pairs": q_similar_pairs,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "crawl_depth": q_crawl_depth,
     }
 
 
@@ -3214,4 +3241,7 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             "SELECT * FROM documents", min_score=0.85),
         "fuzzy_pairs": dedup.fuzzy_pairs_sql(_parts_fuzzy_sql(),
                                              max_dist=2),
+        "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
+                                            _CRAWL_DEPTH_SEEDS_SQL,
+                                            max_depth=8),
     }

@@ -114,3 +114,52 @@ def pagerank_sql(edges_sql: str, n_iter: int = 10,
 )""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, rank FROM _pr_r{n_iter}")
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame, max_depth: int = 10,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node") -> DataFrame:
+    """``(node, depth)``: minimum hop count from any seed following edge
+    direction — the crawl-depth / distance-from-homepage feature.
+    Nodes unreachable within ``max_depth`` are absent.
+
+    Frontier BFS: each round joins ONLY the newly-discovered frontier
+    against the edges (frontier-sized join, not visited-sized), anti-
+    joins the visited set, and truncates lineage (the pagerank
+    localCheckpoint lesson — without it Catalyst analysis dominates by
+    round ~10).  Early-exits when the frontier empties, so bounded
+    graphs cost their eccentricity, not ``max_depth``.  Integer-exact:
+    the oracle replays it with a recursive CTE."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct().cache()
+    visited = seeds.select(F.col(node_col).alias("node")).distinct() \
+        .select("node", F.lit(0).alias("depth"))
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        frontier = (e.join(frontier.select(F.col("node").alias("src")),
+                           "src")
+                    .select(F.col("dst").alias("node")).distinct()
+                    .join(visited, "node", "left_anti")
+                    .select("node", F.lit(d).alias("depth"))
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def bfs_depths_sql(edges_sql: str, seeds_sql: str,
+                   max_depth: int = 10) -> str:
+    """DuckDB mirror of :func:`bfs_depths` — recursive CTE with UNION
+    (distinct) so the (node, depth) state space is finite even on
+    cyclic graphs; min(depth) per node is the BFS distance."""
+    return f"""
+WITH RECURSIVE _bfs AS (
+  SELECT node, 0 AS depth FROM ({seeds_sql})
+  UNION
+  SELECT e.dst AS node, _bfs.depth + 1 AS depth
+  FROM _bfs JOIN ({edges_sql}) e ON e.src = _bfs.node
+  WHERE _bfs.depth < {max_depth}
+)
+SELECT node, cast(min(depth) AS INTEGER) AS depth
+FROM _bfs GROUP BY node"""

@@ -48,3 +48,37 @@ def test_deterministic_mode_matches_default(spark):
     assert set(fast) == set(det)
     for k in fast:
         assert fast[k] == pytest.approx(det[k], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# bfs_depths
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, edges, seeds, max_depth=10):
+    from geolake_spark.operators import graph
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    return {r.node: r.depth
+            for r in graph.bfs_depths(e, s, max_depth).collect()}
+
+
+def test_bfs_path_cycle_and_unreachable(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),   # cycle
+             ("c", "d"), ("x", "y")]               # y unreachable from a
+    got = _bfs(spark, edges, ["a"])
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_multi_seed_min_and_direction(spark):
+    edges = [("a", "b"), ("b", "c"), ("z", "c"), ("c", "z")]
+    got = _bfs(spark, edges, ["a", "z"])
+    # c reachable at depth 1 from z (beats depth 2 via a); edges are
+    # directed — nothing reaches a besides the seed itself
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+def test_bfs_max_depth_truncates(spark):
+    edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    got = _bfs(spark, edges, ["n0"], max_depth=3)
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
