@@ -1076,6 +1076,17 @@ def q_anchor_index(spark, sf_dir):
     return links.anchor_index(_docs_links(spark, sf_dir))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.hits) over the extracted
+    domain link graph — PageRank's companion ranking; 6 iterations of
+    sorted-fold sums and L2 normalizations replayed bit-identically by
+    the unrolled MATERIALIZED-CTE oracle."""
+    edges = links.link_graph(_docs_links(spark, sf_dir), grain="domain")
+    out = graph.hits(edges.select("src", "dst"), n_iter=6)
+    return out.select("node", F.round("hub", 9).alias("hub"),
+                      F.round("authority", 9).alias("authority"))
+
+
 def q_polygon_raster(spark, sf_dir):
     """Vector -> raster rasterization (operators/spatial.py
     polygon_raster_cells): a polygon TABLE (deterministic triangles
@@ -2497,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_pairs": q_similar_pairs,
         "fuzzy_pairs": q_fuzzy_pairs,
         "crawl_depth": q_crawl_depth,
+        "hits": q_hits,
     }
 
 
@@ -3244,4 +3256,12 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),
+        "hits": (
+            "SELECT node, round(hub, 9) AS hub, "
+            "round(authority, 9) AS authority FROM ("
+            + graph.hits_sql(
+                "SELECT src, dst FROM ("
+                + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")
+                + ")", n_iter=6)
+            + ")"),
     }

@@ -163,3 +163,93 @@ WITH RECURSIVE _bfs AS (
 )
 SELECT node, cast(min(depth) AS INTEGER) AS depth
 FROM _bfs GROUP BY node"""
+
+
+def hits(edges: DataFrame, n_iter: int = 10, src: str = "src",
+         dst: str = "dst") -> DataFrame:
+    """``(node, hub, authority)`` after ``n_iter`` HITS iterations
+    (Kleinberg 1999): authority(d) = sum of hub over in-edges, then hub
+    (s) = sum of the NEW authority over out-edges, each L2-normalized.
+    PageRank's companion web-ranking — hubs are link directories,
+    authorities are the linked-to canon.
+
+    Determinism contract (always on — HITS is only offered oracle-
+    replayable): every per-node sum and both norm reductions are
+    sorted sequential folds, norms fold over the RAW aggregated rows
+    only (zeros are exact +0.0 no-ops, but the fold sequence is the
+    contract), divisions are scalar.  Lineage truncated per iteration
+    (the pagerank lesson)."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct().cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = nodes.select("node", F.lit(0.0).alias("a"))
+    for _ in range(n_iter):
+        hub = hub.localCheckpoint(eager=True)
+        araw = (e.join(hub, e.src == F.col("node"))
+                .select("dst", "src", F.col("h").alias("v"))
+                .groupBy("dst")
+                .agg(_sorted_fold(F.struct(F.col("src"), F.col("v")))
+                     .alias("v")))
+        az = float(araw.agg(F.sqrt(_sorted_fold(
+            F.struct(F.col("dst").alias("node"),
+                     (F.col("v") * F.col("v")).alias("v"))))
+        ).collect()[0][0])
+        auth = (nodes.join(araw, nodes.node == araw.dst, "left")
+                .select("node", (F.coalesce(F.col("v"), F.lit(0.0))
+                                 / F.lit(az)).alias("a"))
+                .localCheckpoint(eager=True))
+        hraw = (e.join(auth, e.dst == F.col("node"))
+                .select("src", "dst", F.col("a").alias("v"))
+                .groupBy("src")
+                .agg(_sorted_fold(F.struct(F.col("dst"), F.col("v")))
+                     .alias("v")))
+        hz = float(hraw.agg(F.sqrt(_sorted_fold(
+            F.struct(F.col("src").alias("node"),
+                     (F.col("v") * F.col("v")).alias("v"))))
+        ).collect()[0][0])
+        hub = (nodes.join(hraw, nodes.node == hraw.src, "left")
+               .select("node", (F.coalesce(F.col("v"), F.lit(0.0))
+                                / F.lit(hz)).alias("h")))
+    return (nodes.join(hub, "node").join(auth, "node")
+            .select("node", F.col("h").alias("hub"),
+                    F.col("a").alias("authority")))
+
+
+def hits_sql(edges_sql: str, n_iter: int = 10) -> str:
+    """DuckDB twin of :func:`hits` — iterations unrolled into
+    MATERIALIZED CTE stages (inlining re-evaluates stages exponentially,
+    the pagerank_sql lesson), per-node sums as list_sum over ORDER BY
+    lists, norms folded over the raw aggregated rows."""
+    parts = [f"""_ht_e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM ({edges_sql})
+), _ht_nodes AS MATERIALIZED (
+    SELECT src AS node FROM _ht_e UNION SELECT dst FROM _ht_e
+), _ht_h0 AS MATERIALIZED (
+    SELECT node, 1.0 AS h FROM _ht_nodes
+)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""_ht_ar{i} AS MATERIALIZED (
+    SELECT e.dst, list_sum(list(h.h ORDER BY e.src)) AS v
+    FROM _ht_e e JOIN _ht_h{i - 1} h ON h.node = e.src
+    GROUP BY e.dst
+), _ht_az{i} AS MATERIALIZED (
+    SELECT sqrt(list_sum(list(v * v ORDER BY dst))) AS z FROM _ht_ar{i}
+), _ht_a{i} AS MATERIALIZED (
+    SELECT nn.node, coalesce(r.v, 0.0) / z AS a
+    FROM _ht_nodes nn LEFT JOIN _ht_ar{i} r ON r.dst = nn.node, _ht_az{i}
+), _ht_hr{i} AS MATERIALIZED (
+    SELECT e.src, list_sum(list(a.a ORDER BY e.dst)) AS v
+    FROM _ht_e e JOIN _ht_a{i} a ON a.node = e.dst
+    GROUP BY e.src
+), _ht_hz{i} AS MATERIALIZED (
+    SELECT sqrt(list_sum(list(v * v ORDER BY src))) AS z FROM _ht_hr{i}
+), _ht_h{i} AS MATERIALIZED (
+    SELECT nn.node, coalesce(r.v, 0.0) / z AS h
+    FROM _ht_nodes nn LEFT JOIN _ht_hr{i} r ON r.src = nn.node, _ht_hz{i}
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT h.node, h.h AS hub, a.a AS authority "
+              f"FROM _ht_h{n_iter} h JOIN _ht_a{n_iter} a USING (node)")

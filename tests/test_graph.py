@@ -82,3 +82,30 @@ def test_bfs_max_depth_truncates(spark):
     edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
     got = _bfs(spark, edges, ["n0"], max_depth=3)
     assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+
+
+def test_hits_star_graph(spark):
+    """Hub/authority on a star: the center pointing at leaves is the
+    only hub; leaves are equal authorities; in a reversed star the
+    roles flip."""
+    import math
+
+    from geolake_spark.operators import graph
+    e = spark.createDataFrame([("hub", f"leaf{i}") for i in range(4)],
+                              "src string, dst string")
+    out = {r.node: (r.hub, r.authority)
+           for r in graph.hits(e, n_iter=5).collect()}
+    assert out["hub"][0] == 1.0 and out["hub"][1] == 0.0
+    for i in range(4):
+        h, a = out[f"leaf{i}"]
+        assert h == 0.0 and abs(a - 1 / math.sqrt(4)) < 1e-12
+
+
+def test_hits_authority_ordering(spark):
+    # two pages linked by 3 resp. 1 hubs: more in-links -> higher auth
+    from geolake_spark.operators import graph
+    edges = [("h1", "popular"), ("h2", "popular"), ("h3", "popular"),
+             ("h1", "niche")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.authority for r in graph.hits(e, n_iter=8).collect()}
+    assert out["popular"] > out["niche"] > 0.0
