@@ -57,6 +57,7 @@ SOLO_BASELINE = {
     "dedup_exact": 0.25, "minhash_sigs": 2.11, "dedup_e2e": 7.99,
     "minhash_sigs_uni": 2.76, "ivf_train": 6.6, "ivf_query": 2.12,
     "para_dedup": 2.49, "pq_adc": 5.49, "link_graph": 4.41,
+    "crawl_audit": 5.28,
 }
 PLAUSIBLE_FACTOR = 1.5
 PLAUSIBLE_RETRIES = 2
@@ -446,6 +447,65 @@ def extra_queries(spark) -> tuple[dict, dict]:
     m_links(runs=1)  # warm-up
     timings["link_graph"] = round(m_links(), 3)
     remeasure["link_graph"] = m_links
+
+    # crawl_audit — the crawl-compliance funnel end to end over 500k
+    # pages x ~70k robots hosts: in-page policy extraction (meta robots
+    # both orders + rel=canonical, all codegen), canonical-shadow drop,
+    # robots.txt parse (window-recovered RFC 9309 groups) + per-URL
+    # longest-match permission check.  Corpus synthesis is part of the
+    # timed plan (the link_graph convention).
+    from geolake_spark.functions import text as tx_fn
+    from geolake_spark.operators import links as links_mod
+    from geolake_spark.operators import robots as robots_op
+    aid = F.col("id")
+    a_host = F.concat(F.lit("www.site"), (aid % 9973).cast("string"),
+                      F.lit(".example"), (aid % 7).cast("string"),
+                      F.lit(".com"))
+    a_m = aid % 8
+    a_meta = (F.when(a_m == 0,
+                     F.lit('<META NAME="robots" CONTENT="NOINDEX">'))
+              .when(a_m == 1,
+                    F.lit('<meta content="index, nofollow" name="robots">'))
+              .when(a_m == 7, F.lit('<meta name="robots" content="none">'))
+              .otherwise(F.lit('<meta name="viewport" content="w">')))
+    a_canon = (F.when(aid % 3 == 0, F.concat(
+        F.lit('<link rel="canonical" href="/p/'),
+        (aid - aid % 6).cast("string"), F.lit('">')))
+        .otherwise(F.lit("")))
+    audit_pages = spark.range(500_000).select(
+        F.concat(F.lit("https://"), a_host, F.lit("/p/"),
+                 aid.cast("string")).alias("url"),
+        F.concat(F.lit("<html><head>"), a_meta, a_canon,
+                 F.lit('</head><body><p>content here</p>'
+                       '<a href="/x">x</a></body></html>')).alias("html"))
+    audit_rb = spark.range(69_811).select(
+        F.concat(F.lit("www.site"), (aid % 9973).cast("string"),
+                 F.lit(".example"), (aid % 7).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.when(aid % 2 == 0,
+               F.lit("User-agent: *\nDisallow: /p/1\nAllow: /p/12"))
+        .otherwise(F.lit("User-agent: bot\nDisallow: /\n"
+                         "User-agent: *\nDisallow: /*?s="))
+        .alias("robots_txt"))
+
+    def m_audit(runs=3):
+        best, n = 1e18, 0
+        for _ in range(runs):
+            t0 = time.time()
+            pol = links_mod.crawl_policies(audit_pages)
+            own = tx_fn.url_canonical_col(F.col("url"))
+            keep = (pol.filter(~F.col("noindex"))
+                    .filter((F.col("canonical_url") == "")
+                            | (F.col("canonical_url") == own)))
+            n = (robots_op.robots_check(keep.select("url"), audit_rb)
+                 .filter("allowed").count())
+            best = min(best, time.time() - t0)
+        info["crawl_audit_pages_kept"] = n
+        return best
+
+    m_audit(runs=1)  # warm-up
+    timings["crawl_audit"] = round(m_audit(), 3)
+    remeasure["crawl_audit"] = m_audit
 
     emb_path = synth.ensure_embeddings("/root/repo/data", 500_000)
     emb = spark.read.parquet(emb_path)

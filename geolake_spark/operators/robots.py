@@ -142,9 +142,14 @@ def robots_rules(robots: DataFrame, agent: str = "*",
              .select("host",
                      (F.col("dir") == "allow").alias("allow"),
                      F.col("val").alias("path")))
+    # plain = no '*' anywhere and no end anchor: the fast path matches
+    # by prefix compare instead of a per-row-compiled regex (a mid-
+    # pattern '$' is literal, so startswith handles it)
+    plain = (~F.col("path").contains("*")) & (~F.col("path").endswith("$"))
     return rules.select(
         "host", "allow", "path",
         F.length("path").cast("int").alias("pattern_len"),
+        plain.alias("plain"),
         _rx_col(F.col("path")).alias("rx"))
 
 
@@ -164,8 +169,9 @@ def robots_check(pages: DataFrame, robots: DataFrame, agent: str = "*",
         .alias("host"),
         F.when(pathq == "", F.lit("/")).otherwise(pathq).alias("_path"))
     j = pagep.join(rules, "host", "left")
-    hit = F.when(F.col("rx").isNotNull()
-                 & F.regexp_like(F.col("_path"), F.col("rx")),
+    matched = F.when(F.col("plain"), F.col("_path").startswith(F.col("path"))) \
+        .otherwise(F.regexp_like(F.col("_path"), F.col("rx")))
+    hit = F.when(F.col("rx").isNotNull() & matched,
                  F.struct(F.col("pattern_len"), F.col("allow"),
                           F.col("path")))
     best = (j.groupBy("url")
@@ -224,6 +230,7 @@ WITH _rb_l AS (
 )
 SELECT g.host, (dir = 'allow') AS allow, val AS path,
        cast(length(val) AS INTEGER) AS pattern_len,
+       (NOT contains(val, '*') AND NOT val LIKE '%$') AS plain,
        {_rx_sql('val')} AS rx
 FROM _rb_g g JOIN _rb_a a ON g.host = a.host AND g.grp = a.grp
 WHERE dir IN ('allow', 'disallow') AND val <> '' AND g.grp >= 1"""
@@ -245,7 +252,9 @@ _rc_p AS (
   FROM ({pages_sql})
 ), _rc_b AS (
   SELECT p.url,
-         max(CASE WHEN r.rx IS NOT NULL AND regexp_matches(p._path, r.rx)
+         max(CASE WHEN r.rx IS NOT NULL AND
+             (CASE WHEN r.plain THEN starts_with(p._path, r.path)
+                   ELSE regexp_matches(p._path, r.rx) END)
              THEN struct_pack(pattern_len := r.pattern_len,
                               allow := r.allow, path := r.path)
              END) AS best
