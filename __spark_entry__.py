@@ -1076,6 +1076,25 @@ def q_anchor_index(spark, sf_dir):
     return links.anchor_index(_docs_links(spark, sf_dir))
 
 
+def q_host_report(spark, sf_dir):
+    """Per-host crawl-compliance rollup (operators/links.host_report):
+    page/noindex/nofollow/canonical/indexable counts — one groupBy on
+    host with constant agg state (mega-hosts are partial-agg'd
+    counters)."""
+    return links.host_report(_docs_crawl(spark, sf_dir))
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation similarity (operators/graph.cocitation_pairs, Small
+    1973): domain pairs cited by the same source domains — reuses the
+    dedup in-bucket HOF pair kernel (one shuffle, no two-sided
+    self-join) over the url-grain link graph."""
+    edges = links.link_graph(_docs_links(spark, sf_dir),
+                             grain="domain")
+    return graph.cocitation_pairs(edges.select("src", "dst"),
+                                  min_shared=2)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.hits) over the extracted
     domain link graph — PageRank's companion ranking; 6 iterations of
@@ -2509,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
+        "host_report": q_host_report,
+        "cocitation": q_cocitation,
     }
 
 
@@ -3256,6 +3277,11 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),
+        "host_report": links.host_report_sql(_DOCS_CRAWL_SQL),
+        "cocitation": graph.cocitation_pairs_sql(
+            "SELECT src, dst FROM ("
+            + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")
+            + ")", min_shared=2),
         "hits": (
             "SELECT node, round(hub, 9) AS hub, "
             "round(authority, 9) AS authority FROM ("

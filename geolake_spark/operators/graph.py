@@ -253,3 +253,45 @@ def hits_sql(edges_sql: str, n_iter: int = 10) -> str:
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT h.node, h.h AS hub, a.a AS authority "
               f"FROM _ht_h{n_iter} h JOIN _ht_a{n_iter} a USING (node)")
+
+
+def cocitation_pairs(edges: DataFrame, min_shared: int = 1,
+                     src: str = "src", dst: str = "dst",
+                     mode: str = "cocitation") -> DataFrame:
+    """Structural similarity on the link graph (Small 1973 / Kessler
+    1963): ``mode="cocitation"`` pairs TARGETS cited by the same source
+    (pages co-linked from many pages are topically related);
+    ``mode="coupling"`` pairs SOURCES sharing out-links (bibliographic
+    coupling).  ``(id_a, id_b, shared)`` with shared >= ``min_shared``
+    — integer-exact.
+
+    Reuses the dedup bucket-pair kernel: the grouping side is the
+    "bucket", the paired side streams through the in-bucket HOF
+    upper-triangle (one shuffle, no two-sided self-join); a hub source
+    citing k targets contributes k²/2 pairs — cap hot buckets upstream
+    with a degree filter when the graph has mega-hubs (stated)."""
+    assert mode in ("cocitation", "coupling")
+    from geolake_spark.operators.dedup import _bucket_pairs
+    key, val = (src, dst) if mode == "cocitation" else (dst, src)
+    items = edges.select(F.col(val).alias("id"),
+                         F.col(key).alias("k")).distinct()
+    pairs = (_bucket_pairs(items, ["k"], dedupe=False)
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared")))
+    return pairs.filter(F.col("shared") >= min_shared)
+
+
+def cocitation_pairs_sql(edges_sql: str, min_shared: int = 1,
+                         mode: str = "cocitation") -> str:
+    """DuckDB mirror of :func:`cocitation_pairs`."""
+    assert mode in ("cocitation", "coupling")
+    key, val = ("src", "dst") if mode == "cocitation" else ("dst", "src")
+    return f"""
+WITH _cc_i AS (
+  SELECT DISTINCT {val} AS id, {key} AS k FROM ({edges_sql})
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+FROM _cc_i a JOIN _cc_i b USING (k)
+WHERE a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}"""

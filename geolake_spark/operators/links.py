@@ -308,3 +308,41 @@ WITH _ai_r AS (
 )
 SELECT target_url, term, count(*) AS weight
 FROM _ai_t GROUP BY 1, 2"""
+
+
+def host_report(pages: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """Per-host crawl-compliance rollup: ``(host, n_pages, n_noindex,
+    n_nofollow, n_canonical, n_indexable)`` — the crawl-ops dashboard
+    row.  One groupBy on host with integer sums (constant agg state;
+    mega-hosts are partial-agg'd counters, the canonical_collapse
+    shape)."""
+    pol = crawl_policies(pages, url_col, html_col)
+    host = F.lower(F.regexp_extract(F.col("url"), tx._URL_AUTH_RE, 1))
+    return (pol.select(
+        host.alias("host"),
+        F.col("noindex").cast("long").alias("ni"),
+        F.col("nofollow").cast("long").alias("nf"),
+        (F.col("canonical_url") != "").cast("long").alias("ca"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum("ni").alias("n_noindex"),
+             F.sum("nf").alias("n_nofollow"),
+             F.sum("ca").alias("n_canonical"),
+             (F.count(F.lit(1)) - F.sum("ni")).alias("n_indexable")))
+
+
+def host_report_sql(pages_sql: str, url_expr: str = "url",
+                    html_expr: str = "html") -> str:
+    """DuckDB mirror of :func:`host_report`."""
+    inner = crawl_policies_sql(pages_sql, url_expr, html_expr)
+    host = (f"lower(coalesce(regexp_extract(url, "
+            f"'{tx._URL_AUTH_RE}', 1), ''))")
+    return (f"SELECT {host} AS host, count(*) AS n_pages, "
+            f"sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS n_noindex, "
+            f"sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS n_nofollow, "
+            f"sum(CASE WHEN canonical_url <> '' THEN 1 ELSE 0 END) "
+            f"AS n_canonical, "
+            f"count(*) - sum(CASE WHEN noindex THEN 1 ELSE 0 END) "
+            f"AS n_indexable "
+            f"FROM ({inner}) GROUP BY 1")

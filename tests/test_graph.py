@@ -109,3 +109,39 @@ def test_hits_authority_ordering(spark):
     e = spark.createDataFrame(edges, "src string, dst string")
     out = {r.node: r.authority for r in graph.hits(e, n_iter=8).collect()}
     assert out["popular"] > out["niche"] > 0.0
+
+
+def test_cocitation_and_coupling(spark):
+    from geolake_spark.operators import graph
+    # s1 cites {a,b,c}; s2 cites {a,b}; s3 cites {a}
+    edges = [("s1", "a"), ("s1", "b"), ("s1", "c"),
+             ("s2", "a"), ("s2", "b"), ("s3", "a"),
+             ("s2", "a")]                      # duplicate edge: ignored
+    e = spark.createDataFrame(edges, "src string, dst string")
+    co = {(r.id_a, r.id_b): r.shared
+          for r in graph.cocitation_pairs(e).collect()}
+    assert co == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    assert {(r.id_a, r.id_b): r.shared
+            for r in graph.cocitation_pairs(e, min_shared=2).collect()} \
+        == {("a", "b"): 2}
+    # coupling: sources sharing out-links — s1/s2 share {a,b}, all share a
+    cp = {(r.id_a, r.id_b): r.shared
+          for r in graph.cocitation_pairs(e, mode="coupling").collect()}
+    assert cp == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_host_report_hand_checked(spark):
+    from geolake_spark.operators import links
+    pages = [
+        ("https://A.com/1",
+         '<meta name="robots" content="noindex, nofollow">'),
+        ("https://a.com/2", '<link rel="canonical" href="/c">'),
+        ("https://a.com/3", ""),
+        ("https://b.com/1", '<meta name="robots" content="nofollow">'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {r.host: (r.n_pages, r.n_noindex, r.n_nofollow, r.n_canonical,
+                    r.n_indexable)
+           for r in links.host_report(df).collect()}
+    # host lowercased: A.com and a.com roll up together
+    assert got == {"a.com": (3, 1, 1, 1, 2), "b.com": (1, 0, 1, 0, 1)}
