@@ -1076,6 +1076,32 @@ def q_anchor_index(spark, sf_dir):
     return links.anchor_index(_docs_links(spark, sf_dir))
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Snapshot-to-snapshot crawl diff (operators/links.crawl_diff):
+    added/gone/changed/unchanged per canonical URL — one full-outer
+    join on md5-fingerprinted sides; the recrawl scheduler's input."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (i % 5).cast("string"),
+                   F.lit(".example.com/p/"), i.cast("string"))
+    old = d.filter(i % 9 != 0).select(url.alias("url"), "text")
+    new = d.filter(i % 7 != 3).select(
+        url.alias("url"),
+        F.when(i % 5 == 2, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text"))
+    return links.crawl_diff(old, new)
+
+
+_CRAWL_DIFF_URL = ("'https://site' || cast(doc_id % 5 as varchar) || "
+                   "'.example.com/p/' || cast(doc_id as varchar)")
+_CRAWL_DIFF_OLD = (f"SELECT {_CRAWL_DIFF_URL} AS url, text "
+                   "FROM documents WHERE doc_id % 9 <> 0")
+_CRAWL_DIFF_NEW = (f"SELECT {_CRAWL_DIFF_URL} AS url, "
+                   "(CASE WHEN doc_id % 5 = 2 THEN text || ' updated' "
+                   "ELSE text END) AS text "
+                   "FROM documents WHERE doc_id % 7 <> 3")
+
+
 def q_host_report(spark, sf_dir):
     """Per-host crawl-compliance rollup (operators/links.host_report):
     page/noindex/nofollow/canonical/indexable counts — one groupBy on
@@ -2530,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "host_report": q_host_report,
         "cocitation": q_cocitation,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -3278,6 +3305,8 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),
         "host_report": links.host_report_sql(_DOCS_CRAWL_SQL),
+        "crawl_diff": links.crawl_diff_sql(_CRAWL_DIFF_OLD,
+                                           _CRAWL_DIFF_NEW),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

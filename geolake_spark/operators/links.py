@@ -346,3 +346,50 @@ def host_report_sql(pages_sql: str, url_expr: str = "url",
             f"count(*) - sum(CASE WHEN noindex THEN 1 ELSE 0 END) "
             f"AS n_indexable "
             f"FROM ({inner}) GROUP BY 1")
+
+
+def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """Snapshot-to-snapshot crawl diff: ``(url, status)`` with status in
+    ``added`` (only in new), ``gone`` (only in old), ``changed``
+    (md5(text) differs), ``unchanged`` — the recrawl-scheduler input
+    (change-rate feeds fetch priority).  URLs are canonicalized before
+    the compare; duplicate canonical URLs collapse to one fingerprint
+    per side via min(md5) (deterministic).  One full-outer equi-join on
+    the canonical URL — at crawl scale both sides are bucketed tables,
+    so the join co-locates without a shuffle when written bucketed."""
+    def prep(df):
+        return (df.select(
+            tx.url_canonical_col(F.col(url_col)).alias("url"),
+            F.md5(F.col(text_col)).alias("fp"))
+            .filter(F.col("url") != "")
+            .groupBy("url").agg(F.min("fp").alias("fp")))
+
+    o = prep(old).select("url", F.col("fp").alias("fp_old"))
+    n = prep(new).select("url", F.col("fp").alias("fp_new"))
+    j = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("fp_old").isNull(), F.lit("added"))
+              .when(F.col("fp_new").isNull(), F.lit("gone"))
+              .when(F.col("fp_old") == F.col("fp_new"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("url", status.alias("status"))
+
+
+def crawl_diff_sql(old_sql: str, new_sql: str, url_expr: str = "url",
+                   text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`crawl_diff`."""
+    canon = tx.url_canonical_sql(url_expr)
+
+    def prep(src: str) -> str:
+        return (f"SELECT {canon} AS url, min(md5({text_expr})) AS fp "
+                f"FROM ({src}) WHERE {canon} <> '' GROUP BY 1")
+
+    return f"""
+WITH _cd_o AS ({prep(old_sql)}), _cd_n AS ({prep(new_sql)})
+SELECT coalesce(o.url, n.url) AS url,
+       (CASE WHEN o.url IS NULL THEN 'added'
+             WHEN n.url IS NULL THEN 'gone'
+             WHEN o.fp = n.fp THEN 'unchanged'
+             ELSE 'changed' END) AS status
+FROM _cd_o o FULL OUTER JOIN _cd_n n ON o.url = n.url"""

@@ -283,3 +283,26 @@ def test_anchor_index_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_crawl_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("https://a.com/1", "alpha"), ("https://a.com/2", "beta"),
+         ("https://a.com/3/", "gamma"),           # trailing slash variant
+         ("https://a.com/dup?utm_source=x", "v1"),
+         ("https://a.com/dup", "v1")],            # canonical collapse
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("https://a.com/1", "alpha"),            # unchanged
+         ("https://a.com/3", "gamma CHANGED"),    # changed (canon match)
+         ("https://a.com/dup", "v1"),             # unchanged after collapse
+         ("https://a.com/4", "delta")],           # added
+        "url string, text string")
+    got = {r.url: r.status for r in links.crawl_diff(old, new).collect()}
+    assert got == {
+        "https://a.com/1": "unchanged",
+        "https://a.com/2": "gone",
+        "https://a.com/3": "changed",
+        "https://a.com/dup": "unchanged",
+        "https://a.com/4": "added",
+    }
