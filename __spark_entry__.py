@@ -1076,6 +1076,25 @@ def q_anchor_index(spark, sf_dir):
     return links.anchor_index(_docs_links(spark, sf_dir))
 
 
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context snippets (functions/text.kwic_col): 3 tokens
+    of context around the first 'spark' hit per doc — the search-result
+    presentation tier; pure codegen, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    snip = tx.kwic_col(F.col("text"), "spark", window=3)
+    return (d.select("doc_id", snip.alias("snippet"))
+            .filter(F.col("snippet") != ""))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid readability (functions/text.readability_cols):
+    integer word/sentence/vowel-group counts + the grade as a fixed
+    sequence of exact-ratio double ops — oracle-identical."""
+    d = _t(spark, sf_dir, "documents")
+    cols = tx.readability_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
 def q_crawl_diff(spark, sf_dir):
     """Snapshot-to-snapshot crawl diff (operators/links.crawl_diff):
     added/gone/changed/unchanged per canonical URL — one full-outer
@@ -2557,6 +2576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_report": q_host_report,
         "cocitation": q_cocitation,
         "crawl_diff": q_crawl_diff,
+        "kwic": q_kwic,
+        "readability": q_readability,
     }
 
 
@@ -3307,6 +3328,12 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
         "host_report": links.host_report_sql(_DOCS_CRAWL_SQL),
         "crawl_diff": links.crawl_diff_sql(_CRAWL_DIFF_OLD,
                                            _CRAWL_DIFF_NEW),
+        "kwic": (f"SELECT doc_id, {tx.kwic_sql('text', 'spark')} "
+                 f"AS snippet FROM documents "
+                 f"WHERE {tx.kwic_sql('text', 'spark')} <> ''"),
+        "readability": ("SELECT doc_id, " + ", ".join(
+            f"{v} AS {k}" for k, v in tx.readability_sql("text").items())
+            + " FROM documents"),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

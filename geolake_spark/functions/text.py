@@ -1001,3 +1001,85 @@ def main_content_sql(html_expr: str, min_chars: int = 25) -> str:
     kept = f"list_filter({blocks}, b -> {pred})"
     return (f"coalesce(array_to_string(list_transform({kept}, "
             f"b -> {_block_text_sql('b')}), chr(10)), '')")
+
+
+# ---------------------------------------------------------------------------
+# Search-result snippets (KWIC — keyword in context) and readability
+# scoring (Flesch-Kincaid grade).  Both pure codegen; readability keeps
+# every reduction integer (token/sentence/vowel-group counts) so the
+# final grade is a fixed sequence of exact-ratio double ops — the same
+# arithmetic expression in both engines.
+# ---------------------------------------------------------------------------
+
+
+def kwic_col(text: Column, term: str, window: int = 3) -> Column:
+    """Context snippet around the FIRST occurrence of ``term`` among the
+    whitespace tokens (trim+lower+split contract): ``window`` tokens
+    each side joined by spaces; '' when the term is absent.  The
+    snippet preserves original-case tokens (match is case-insensitive)."""
+    term = term.strip().lower()
+    toks = F.split(F.trim(text), r"\s+")
+    pos = F.array_position(F.transform(toks, F.lower), term)
+    lo = F.greatest(pos - window, F.lit(1))
+    # slice length: from lo through pos+window, clamped by array size
+    ln = F.least(pos + window, F.size(toks)) - lo + 1
+    return F.when(pos > 0,
+                  F.array_join(F.slice(toks, lo, ln), " ")) \
+        .otherwise(F.lit(""))
+
+
+def kwic_sql(text_expr: str, term: str, window: int = 3) -> str:
+    """DuckDB mirror of :func:`kwic_col`."""
+    term = term.strip().lower().replace("'", "''")
+    toks = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    pos = (f"list_position(list_transform({toks}, t -> lower(t)), "
+           f"'{term}')")
+    lo = f"greatest({pos} - {window}, 1)"
+    hi = f"least({pos} + {window}, len({toks}))"
+    return (f"(CASE WHEN coalesce({pos}, 0) > 0 THEN "
+            f"coalesce(array_to_string({toks}[{lo}:{hi}], ' '), '') "
+            f"ELSE '' END)")
+
+
+def readability_cols(text: Column) -> dict:
+    """Flesch-Kincaid inputs + grade as named columns: ``n_words``,
+    ``n_sentences`` (runs of [.!?], min 1), ``n_syllables`` (vowel-group
+    heuristic: runs of [aeiouy], min 1 per word), and ``fk_grade`` =
+    0.39*(words/sentences) + 11.8*(syllables/words) - 15.59, rounded to
+    4 dp.  All counts integer; the grade is a fixed op sequence over
+    exact integer ratios — oracle-identical."""
+    toks = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
+                    lambda t: t != "")
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_sent = F.greatest(F.size(F.regexp_extract_all(
+        text, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1))
+    syl = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, t: acc + F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"),
+                                        F.lit(0))), F.lit(1)))
+    n_syl = F.greatest(syl, F.lit(1))
+    grade = F.round(
+        F.lit(0.39) * (n_words.cast("double") / n_sent.cast("double"))
+        + F.lit(11.8) * (n_syl.cast("double") / n_words.cast("double"))
+        - F.lit(15.59), 4)
+    return {"n_words": F.size(toks), "n_sentences": n_sent,
+            "n_syllables": n_syl, "fk_grade": grade}
+
+
+def readability_sql(text_expr: str) -> dict:
+    """DuckDB mirrors of :func:`readability_cols` (same names)."""
+    toks = (f"list_filter(regexp_split_to_array(trim(lower({text_expr})), "
+            f"'\\s+'), t -> t <> '')")
+    n_words = f"greatest(len({toks}), 1)"
+    n_sent = (f"greatest(len(regexp_extract_all({text_expr}, "
+              f"'[.!?]+')), 1)")
+    syl = (f"list_sum(list_transform({toks}, t -> greatest("
+           f"len(regexp_extract_all(t, '[aeiouy]+')), 1)))")
+    n_syl = f"greatest(coalesce({syl}, 0), 1)"
+    grade = (f"round(0.39 * (cast({n_words} AS DOUBLE) / "
+             f"cast({n_sent} AS DOUBLE)) + 11.8 * "
+             f"(cast({n_syl} AS DOUBLE) / cast({n_words} AS DOUBLE)) "
+             f"- 15.59, 4)")
+    return {"n_words": f"len({toks})", "n_sentences": n_sent,
+            "n_syllables": n_syl, "fk_grade": grade}

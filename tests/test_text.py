@@ -242,3 +242,38 @@ def test_hashed_bow_score_feature_bounds(spark):
         tx.hashed_bow_score_col(F.lit("x"), [0.1, 0.2])       # D too small
     with pytest.raises(AssertionError):
         tx.hashed_bow_score_col(F.lit("x"), [0.0] * (1 << 17))  # too big
+
+
+def test_kwic_snippets(spark):
+    from pyspark.sql import functions as F
+
+    from geolake_spark.functions import text as tx
+    rows = [(1, "alpha beta GAMMA delta epsilon zeta eta"),
+            (2, "gamma at start of doc here"),
+            (3, "tail words then gamma"),
+            (4, "no match here at all"),
+            (5, "gamma")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.s for r in df.select(
+        "id", tx.kwic_col(F.col("text"), "Gamma", window=2)
+        .alias("s")).collect()}
+    assert got == {1: "alpha beta GAMMA delta epsilon",  # case preserved
+                   2: "gamma at start",
+                   3: "words then gamma",
+                   4: "",
+                   5: "gamma"}
+
+
+def test_readability_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from geolake_spark.functions import text as tx
+    text = "The cat sat. The dog ran away! Did it?"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    cols = tx.readability_cols(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    # 9 words, 3 sentences, syllables: the=1 cat=1 sat=1 the=1 dog=1
+    # ran=1 away=2(a, ay) did=1 it?=1 -> 10
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (9, 3, 10)
+    exp = round(0.39 * (9 / 3) + 11.8 * (10 / 9) - 15.59, 4)
+    assert r.fk_grade == exp
