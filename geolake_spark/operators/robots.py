@@ -157,29 +157,53 @@ def robots_check(pages: DataFrame, robots: DataFrame, agent: str = "*",
                  url_col: str = "url", host_col: str = "host",
                  body_col: str = "robots_txt") -> DataFrame:
     """Evaluate every page URL against its host's robots rules:
-    ``(url, allowed boolean, rule)`` where ``rule`` is the winning
-    pattern ('' when no rule matched — allowed by default, including
-    hosts with no robots.txt at all).  Precedence: longest pattern
-    wins; on equal length Allow beats Disallow (RFC 9309)."""
+    ``(url, allowed boolean, rule)`` — ONE OUTPUT ROW PER INPUT PAGE ROW
+    (duplicate URLs stay duplicated; distinct the input for per-URL
+    facts).  ``rule`` is the winning pattern ('' when no rule matched —
+    allowed by default, including hosts with no robots.txt at all).
+    Precedence: longest pattern wins; on equal length Allow beats
+    Disallow (RFC 9309).
+
+    Plan shape: rules are collapsed to ONE array row per host, so the
+    page side takes a single (broadcast-able) equi-join and the winner
+    is a map-side HOF fold over the matched rules — the page table is
+    NEVER shuffled (the first version's per-URL groupBy moved every
+    page row through an exchange; this one moves none)."""
     rules = robots_rules(robots, agent, host_col, body_col)
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("pattern_len", "allow", "path",
+                                "plain", "rx")).alias("_rules"))
     pathq = F.regexp_extract(F.col(url_col), _URL_PATHQ_RE, 1)
     pagep = pages.select(
         F.col(url_col).alias("url"),
         F.lower(F.regexp_extract(F.col(url_col), tx._URL_AUTH_RE, 1))
         .alias("host"),
         F.when(pathq == "", F.lit("/")).otherwise(pathq).alias("_path"))
-    j = pagep.join(rules, "host", "left")
-    matched = F.when(F.col("plain"), F.col("_path").startswith(F.col("path"))) \
-        .otherwise(F.regexp_like(F.col("_path"), F.col("rx")))
-    hit = F.when(F.col("rx").isNotNull() & matched,
-                 F.struct(F.col("pattern_len"), F.col("allow"),
-                          F.col("path")))
-    best = (j.groupBy("url")
-            .agg(F.max(hit).alias("best")))
-    return best.select(
+    j = pagep.join(per_host, "host", "left")
+    path = F.col("_path")
+
+    def matched(r):
+        return F.when(r["plain"], path.startswith(r["path"])) \
+            .otherwise(F.regexp_like(path, r["rx"]))
+
+    hits = F.filter(F.coalesce(
+        F.col("_rules"),
+        F.array().cast("array<struct<pattern_len:int,allow:boolean,"
+                       "path:string,plain:boolean,rx:string>>")), matched)
+    null_best = F.lit(None).cast(
+        "struct<pattern_len:int,allow:boolean,path:string>")
+    best = F.aggregate(
+        hits, null_best,
+        lambda acc, r: F.when(
+            acc.isNull()
+            | (F.struct(r["pattern_len"], r["allow"], r["path"]) > acc),
+            F.struct(r["pattern_len"].alias("pattern_len"),
+                     r["allow"].alias("allow"),
+                     r["path"].alias("path"))).otherwise(acc))
+    return j.select(
         "url",
-        F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
-        F.coalesce(F.col("best.path"), F.lit("")).alias("rule"))
+        F.coalesce(best["allow"], F.lit(True)).alias("allowed"),
+        F.coalesce(best["path"], F.lit("")).alias("rule"))
 
 
 def robots_rules_sql(robots_sql: str, agent: str = "*",
@@ -251,15 +275,16 @@ _rc_p AS (
          (CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END) AS _path
   FROM ({pages_sql})
 ), _rc_b AS (
+  -- per-row correlated evaluation == the Spark HOF fold (one output
+  -- row per input page row; no GROUP BY)
   SELECT p.url,
-         max(CASE WHEN r.rx IS NOT NULL AND
-             (CASE WHEN r.plain THEN starts_with(p._path, r.path)
-                   ELSE regexp_matches(p._path, r.rx) END)
-             THEN struct_pack(pattern_len := r.pattern_len,
-                              allow := r.allow, path := r.path)
-             END) AS best
-  FROM _rc_p p LEFT JOIN _rc_r r ON p.host = r.host
-  GROUP BY p.url
+         (SELECT max(struct_pack(pattern_len := r.pattern_len,
+                                 allow := r.allow, path := r.path))
+          FROM _rc_r r
+          WHERE r.host = p.host AND
+            (CASE WHEN r.plain THEN starts_with(p._path, r.path)
+                  ELSE regexp_matches(p._path, r.rx) END)) AS best
+  FROM _rc_p p
 )
 SELECT url, coalesce(best.allow, true) AS allowed,
        coalesce(best.path, '') AS rule
