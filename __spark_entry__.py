@@ -1650,6 +1650,23 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_completions(spark, sf_dir):
+    """Query autocomplete (operators/search.completions): top-3 corpus
+    terms per 4-char prefix by total frequency — one token shuffle into
+    the term counts, then a window over the vocabulary-sized table."""
+    return search.completions(_t(spark, sf_dir, "documents"),
+                              prefix_len=4, k=3)
+
+
+def q_fuzzy_components(spark, sf_dir):
+    """Fuzzy entity resolution end-to-end: q-gram/Levenshtein pairs ->
+    O(log n) star-contraction connected components — typo clusters
+    collapse to their min-id canonical (the near_dup_components pattern
+    over a different pair generator)."""
+    pairs = dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
+    return dedup.connected_components(pairs)
+
+
 def q_similar_pairs(spark, sf_dir):
     """Vector-space more-like-this (operators/search.similar_pairs):
     TF-IDF-ish cosine via the inverted index — tf/df rational weights
@@ -2571,6 +2588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delays": q_crawl_delays,
         "similar_pairs": q_similar_pairs,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "fuzzy_components": q_fuzzy_components,
+        "completions": q_completions,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3322,6 +3341,21 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             "SELECT * FROM documents", min_score=0.85),
         "fuzzy_pairs": dedup.fuzzy_pairs_sql(_parts_fuzzy_sql(),
                                              max_dist=2),
+        "fuzzy_components": f"""
+WITH RECURSIVE pairs AS ({dedup.fuzzy_pairs_sql(_parts_fuzzy_sql(),
+                                                max_dist=2)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+r AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, r.label FROM edges e JOIN r ON r.id = e.dst)
+SELECT id, cast(min(label) AS BIGINT) AS component
+FROM r GROUP BY id""",
+        "completions": search.completions_sql("SELECT * FROM documents",
+                                              prefix_len=4, k=3),
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),

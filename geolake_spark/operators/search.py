@@ -442,3 +442,44 @@ FROM _sp_d
 JOIN _sp_n na ON na.doc_id = id_a
 JOIN _sp_n nb ON nb.doc_id = id_b
 WHERE round(dot / (na.norm * nb.norm), 6) >= {min_score}"""
+
+
+def completions(docs: DataFrame, prefix_len: int = 4, k: int = 3,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Query-autocomplete table: for every ``prefix_len``-char prefix,
+    the top-``k`` corpus terms by document-INDEPENDENT total frequency
+    (ties broken by term asc): ``(prefix, term, freq, rank)``.  Terms
+    shorter than the prefix are their own prefix (still completable to
+    themselves).  Shape: one token shuffle into the (term) count, then
+    a window over the tiny term-count table — vocabulary-sized, not
+    corpus-sized."""
+    from pyspark.sql import Window
+    toks = docs.select(F.explode(_toks(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    pref = counts.withColumn(
+        "prefix", F.substring(F.col("term"), 1, prefix_len))
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(),
+                                             F.col("term").asc())
+    return (pref.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("prefix", "term", "freq",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def completions_sql(docs_sql: str, prefix_len: int = 4, k: int = 3,
+                    text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`completions`."""
+    return f"""
+WITH _ac_t AS (
+  SELECT u.term AS term
+  FROM (SELECT CASE WHEN trim(lower({text_expr})) = '' THEN []
+               ELSE regexp_split_to_array(trim(lower({text_expr})),
+                                          '\\s+') END AS tk
+        FROM ({docs_sql})) d, unnest(tk) AS u(term)
+), _ac_c AS (
+  SELECT term, count(*) AS freq FROM _ac_t GROUP BY term
+)
+SELECT substring(term, 1, {prefix_len}) AS prefix, term, freq,
+       cast(row_number() OVER (PARTITION BY substring(term, 1, {prefix_len})
+            ORDER BY freq DESC, term ASC) AS INTEGER) AS rank
+FROM _ac_c QUALIFY rank <= {k}"""

@@ -222,3 +222,23 @@ def test_similar_pairs_stop_terms_excluded(spark):
     assert got == _similar_ref(corpus, 0.05, max_df=2)
     assert got[(1, 2)] == 1.0
     assert (1, 3) not in got                    # only shared term was 'the'
+
+
+def test_completions_topk_and_ties(spark):
+    corpus = {1: "spark sparse sparta spark spark sparse",
+              2: "spark table tablet tab",
+              3: "spa"}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {(r.prefix, r.rank): (r.term, r.freq)
+           for r in search.completions(df, prefix_len=4, k=2).collect()}
+    # 'spar': spark x4, sparse x2, sparta x1 -> top-2 keeps spark, sparse
+    assert got[("spar", 1)] == ("spark", 4)
+    assert got[("spar", 2)] == ("sparse", 2)
+    assert ("spar", 3) not in got
+    # freq tie (table/tablet both 1) -> term asc breaks it
+    assert got[("tabl", 1)] == ("table", 1)
+    assert got[("tabl", 2)] == ("tablet", 1)
+    # terms shorter than the prefix are their own prefix
+    assert got[("spa", 1)] == ("spa", 1)
+    assert got[("tab", 1)] == ("tab", 1)
