@@ -1650,6 +1650,15 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust anomaly detection (operators/aggregates.mad_outliers):
+    per-event-type |x - median| > 3 * MAD — two exact-percentile
+    aggregations broadcast back, zero Python; rounded-6dp medians in
+    the comparison so interpolation ulps can't flip boundary rows."""
+    e = _t(spark, sf_dir, "events")
+    return aggregates.mad_outliers(e, "value", ["event_type"])
+
+
 def q_completions(spark, sf_dir):
     """Query autocomplete (operators/search.completions): top-3 corpus
     terms per 4-char prefix by total frequency — one token shuffle into
@@ -2590,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "fuzzy_components": q_fuzzy_components,
         "completions": q_completions,
+        "mad_outliers": q_mad_outliers,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3356,6 +3366,8 @@ SELECT id, cast(min(label) AS BIGINT) AS component
 FROM r GROUP BY id""",
         "completions": search.completions_sql("SELECT * FROM documents",
                                               prefix_len=4, k=3),
+        "mad_outliers": aggregates.mad_outliers_sql(
+            "SELECT * FROM events", "value", ["event_type"]),
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),

@@ -181,3 +181,58 @@ SELECT {entity_col}, t AS grid_ts,
        pt != t AS interpolated
 FROM _ig_w WHERE obs = 0
 """
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                 id_col: str = "event_id", k: float = 3.0) -> DataFrame:
+    """Robust per-group outliers by median absolute deviation: a row is
+    an outlier iff ``|x - median| > k * MAD`` where MAD = median of
+    ``|x - median|`` within the group (the 3-sigma rule's
+    robust-statistics twin — medians shrug off the very outliers that
+    poison mean/stddev).  Returns the outlier rows as ``(id, *groups,
+    value, med, mad)``.
+
+    Parity contract: both medians come from exact-percentile
+    interpolation (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    order-free over sorted values) ROUNDED to 6 dp, and the comparison
+    runs on the rounded doubles — so a final-ulp interpolation
+    difference cannot flip a boundary row.  Plan shape: two grouped
+    percentile aggregations (group-count-sized results broadcast back),
+    zero Python."""
+    g = [F.col(c) for c in group_cols]
+    med = (df.groupBy(*g)
+           .agg(F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6)
+                .alias("med")))
+    with_med = df.join(F.broadcast(med), group_cols)
+    dev = with_med.withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = (dev.groupBy(*g)
+           .agg(F.round(F.percentile(F.col("_dev"), F.lit(0.5)), 6)
+                .alias("mad")))
+    out = dev.join(F.broadcast(mad), group_cols)
+    return (out.filter(F.col("_dev") > F.lit(k) * F.col("mad"))
+            .select(F.col(id_col), *group_cols, F.col(value_col),
+                    "med", "mad"))
+
+
+def mad_outliers_sql(docs_sql: str, value_col: str, group_cols: list[str],
+                     id_col: str = "event_id", k: float = 3.0) -> str:
+    """DuckDB mirror of :func:`mad_outliers`."""
+    gc = ", ".join(group_cols)
+    return f"""
+WITH _mo_b AS (
+  SELECT * FROM ({docs_sql})
+), _mo_m AS (
+  SELECT {gc}, round(quantile_cont({value_col}, 0.5), 6) AS med
+  FROM _mo_b GROUP BY {gc}
+), _mo_d AS (
+  SELECT b.*, m.med, abs(b.{value_col} - m.med) AS _dev
+  FROM _mo_b b JOIN _mo_m m USING ({gc})
+), _mo_s AS (
+  SELECT {gc}, round(quantile_cont(_dev, 0.5), 6) AS mad
+  FROM _mo_d GROUP BY {gc}
+)
+SELECT d.{id_col}, {', '.join('d.' + c for c in group_cols)},
+       d.{value_col}, d.med, s.mad
+FROM _mo_d d JOIN _mo_s s USING ({gc})
+WHERE d._dev > {k!r} * s.mad"""

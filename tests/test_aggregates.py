@@ -78,3 +78,19 @@ def test_average_collapses_dim(spark, series):
     got = {r["key"]: r["value"] for r in out.collect()}
     exp = pdf.groupby("key")["value"].mean()  # pandas mean skips NaN
     assert abs(got["a"] - exp["a"]) < 1e-9 and abs(got["b"] - exp["b"]) < 1e-9
+
+
+def test_mad_outliers_hand_checked(spark):
+    from geolake_spark.operators import aggregates
+    rows = [(i, "a", float(v)) for i, v in
+            enumerate([10, 11, 12, 13, 14, 100])]          # 100 is wild
+    rows += [(100 + i, "b", float(v)) for i, v in
+             enumerate([5, 5, 5, 5, 5])]                   # MAD 0: none
+    df = spark.createDataFrame(rows, "event_id long, event_type string, "
+                               "value double")
+    out = {r.event_id: (r.med, r.mad)
+           for r in aggregates.mad_outliers(
+               df, "value", ["event_type"]).collect()}
+    # group a: median 12.5, devs [2.5,1.5,0.5,0.5,1.5,87.5] -> MAD 1.5,
+    # threshold 4.5 -> only the 100 row (id 5) flags
+    assert out == {5: (12.5, 1.5)}
