@@ -1650,6 +1650,15 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_ewma(spark, sf_dir):
+    """Recency-weighted user activity (operators/aggregates.ewma_last):
+    per-user EWMA of event values in (ts, value) order with alpha=0.5
+    (binary-exact) — the fold order is total, both engines replay it
+    bit-identically."""
+    e = _t(spark, sf_dir, "events")
+    return aggregates.ewma_last(e, "user_id", "ts", "value")
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust anomaly detection (operators/aggregates.mad_outliers):
     per-event-type |x - median| > 3 * MAD — two exact-percentile
@@ -2600,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_components": q_fuzzy_components,
         "completions": q_completions,
         "mad_outliers": q_mad_outliers,
+        "ewma": q_ewma,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3368,6 +3378,8 @@ FROM r GROUP BY id""",
                                               prefix_len=4, k=3),
         "mad_outliers": aggregates.mad_outliers_sql(
             "SELECT * FROM events", "value", ["event_type"]),
+        "ewma": aggregates.ewma_last_sql("SELECT * FROM events",
+                                         "user_id", "ts", "value"),
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),

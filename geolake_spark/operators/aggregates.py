@@ -236,3 +236,50 @@ SELECT d.{id_col}, {', '.join('d.' + c for c in group_cols)},
        d.{value_col}, d.med, s.mad
 FROM _mo_d d JOIN _mo_s s USING ({gc})
 WHERE d._dev > {k!r} * s.mad"""
+
+
+def ewma_last(df: DataFrame, entity_col: str, ts_col: str,
+              value_col: str, alpha: float = 0.5) -> DataFrame:
+    """Per-entity exponentially-weighted moving average after the LAST
+    observation (recency-weighted activity score): fold
+    ``acc = alpha*x + (1-alpha)*acc`` over the entity's values in
+    ``(ts, value)`` order, seeded with the first value.  Returns
+    ``(entity, n_obs, ewma)`` with ewma rounded to 9 dp.
+
+    Determinism: the fold order is total — ties on ts break by value —
+    and each step is the same two-multiply-one-add sequence in both
+    engines, so the oracle replays it bit-identically (use an alpha
+    exactly representable in binary, e.g. 0.5/0.25/0.375, to keep the
+    per-step arithmetic exact-input).  Plan: one groupBy collecting the
+    per-entity series; entities with pathological cardinality (one key
+    = the whole table) are a skew risk like any collect_list — bound
+    upstream, stated."""
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col(ts_col).alias("t"),
+                 F.col(value_col).cast("double").alias("v"))))
+    fold = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size(pairs) - 1, F.lit(0))),
+        F.element_at(pairs, 1)["v"],
+        lambda acc, x: F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc)
+    return (df.groupBy(F.col(entity_col).alias("entity"))
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.round(fold, 9).alias("ewma")))
+
+
+def ewma_last_sql(docs_sql: str, entity_col: str, ts_col: str,
+                  value_col: str, alpha: float = 0.5) -> str:
+    """DuckDB mirror of :func:`ewma_last`.  DuckDB's two-arg
+    ``list_reduce`` seeds the accumulator with the FIRST element — the
+    exact contract of the Spark fold (scalar acc, so the struct-literal
+    fold pitfall does not apply)."""
+    return f"""
+WITH _ew_g AS (
+  SELECT {entity_col} AS entity, count(*) AS n_obs,
+         list(cast({value_col} AS DOUBLE)
+              ORDER BY {ts_col}, {value_col}) AS vs
+  FROM ({docs_sql}) GROUP BY 1
+)
+SELECT entity, n_obs,
+       round(list_reduce(vs, (acc, x) ->
+             {alpha!r} * x + {1.0 - alpha!r} * acc), 9) AS ewma
+FROM _ew_g"""

@@ -94,3 +94,20 @@ def test_mad_outliers_hand_checked(spark):
     # group a: median 12.5, devs [2.5,1.5,0.5,0.5,1.5,87.5] -> MAD 1.5,
     # threshold 4.5 -> only the 100 row (id 5) flags
     assert out == {5: (12.5, 1.5)}
+
+
+def test_ewma_last_hand_checked(spark):
+    import datetime as dt
+
+    from geolake_spark.operators import aggregates
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10.0), (1, t0 + dt.timedelta(hours=2), 4.0),
+            (1, t0 + dt.timedelta(hours=1), 2.0),   # out-of-order input
+            (2, t0, 7.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                               "value double")
+    got = {r.entity: (r.n_obs, r.ewma)
+           for r in aggregates.ewma_last(df, "user_id", "ts",
+                                         "value").collect()}
+    # user 1 in ts order: 10 -> 0.5*2+0.5*10=6 -> 0.5*4+0.5*6=5
+    assert got == {1: (3, 5.0), 2: (1, 7.0)}
