@@ -1650,6 +1650,14 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I (operators/spatial.morans_i): spatial
+    autocorrelation of per-cell doc counts under queen weights — two-
+    level sorted folds (per-src then across the grid-bounded cell set)
+    keep every float addition sequence total while staying distributed."""
+    return spatial.morans_i(_docs_geo(spark, sf_dir), res=5)
+
+
 def q_ewma(spark, sf_dir):
     """Recency-weighted user activity (operators/aggregates.ewma_last):
     per-user EWMA of event values in (ts, value) order with alpha=0.5
@@ -2610,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completions": q_completions,
         "mad_outliers": q_mad_outliers,
         "ewma": q_ewma,
+        "morans_i": q_morans_i,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3380,6 +3389,7 @@ FROM r GROUP BY id""",
             "SELECT * FROM events", "value", ["event_type"]),
         "ewma": aggregates.ewma_last_sql("SELECT * FROM events",
                                          "user_id", "ts", "value"),
+        "morans_i": spatial.morans_i_sql(_DOCS_GEO_SQL, res=5),
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),

@@ -453,3 +453,117 @@ SELECT cell, count(*) AS n_stations,
        round(list_sum(list((1.0 / (greatest(d, {eps_km!r}) * greatest(d, {eps_km!r}))) * sval ORDER BY sid))
              / list_sum(list(1.0 / (greatest(d, {eps_km!r}) * greatest(d, {eps_km!r})) ORDER BY sid)), 6) AS idw_value
 FROM _iw_hit GROUP BY cell"""
+
+
+def morans_i(df: DataFrame, res: int, min_pts: int = 1,
+             lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Global Moran's I spatial autocorrelation of per-cell point counts
+    under binary 8-neighbor (queen) weights: one row ``(n_cells,
+    n_edges, mean_count, moran_i)`` — the is-my-heatmap-clustered
+    statistic (I > 0 clustered, ~0 random, < 0 dispersed).
+
+    I = (N/W) * sum_edges((x_i - mu)(x_j - mu)) / sum_i((x_i - mu)^2).
+
+    Determinism (oracle contract): counts are integers and mu is one
+    exact integer-sum ratio; both float reductions are TWO-LEVEL sorted
+    folds — per-src over dst-ordered neighbor terms, then across the
+    src-ordered per-cell partials — so every addition sequence is total
+    while both levels stay distributed; the second level folds a
+    GRID-BOUNDED array (cells at a resolution are geometry-bounded, not
+    data-bounded), so the pattern survives 100 TB inputs."""
+    occ = dense_cells(df, res, min_pts, lat_col, lon_col).cache()
+    stats = occ.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_points").alias("s")).collect()[0]
+    n, mu = int(stats.n), float(stats.s) / float(stats.n)
+    edges = _neighbor_edges(occ, res)
+    xs = occ.select(F.col("cell"), (F.col("n_points") - F.lit(mu))
+                    .alias("xd"))
+
+    def fold(items):
+        return F.aggregate(F.array_sort(items), F.lit(0.0),
+                           lambda acc, x: acc + x["v"])
+
+    ej = (edges
+          .join(xs.select(F.col("cell").alias("src"),
+                          F.col("xd").alias("xa")), "src")
+          .join(xs.select(F.col("cell").alias("dst"),
+                          F.col("xd").alias("xb")), "dst"))
+    per_src = (ej.groupBy("src")
+               .agg(F.count(F.lit(1)).alias("w"),
+                    fold(F.collect_list(F.struct(
+                        F.col("dst"), (F.col("xa") * F.col("xb"))
+                        .alias("v")))).alias("p")))
+    agg = per_src.agg(
+        F.sum("w").alias("w_total"),
+        fold(F.collect_list(F.struct(F.col("src"), F.col("p").alias("v"))))
+        .alias("num")).collect()[0]
+    den = xs.agg(fold(F.collect_list(F.struct(
+        F.col("cell"), (F.col("xd") * F.col("xd")).alias("v"))))
+    ).collect()[0][0]
+    w_total = int(agg.w_total or 0)
+    moran = ((n / w_total) * (float(agg.num) / float(den))
+             if w_total and den else 0.0)
+    spark = df.sparkSession
+    # round via Spark's round (half-up == DuckDB round), not Python's
+    # banker's rounding
+    raw = spark.createDataFrame(
+        [(n, w_total, mu, moran)],
+        "n_cells bigint, n_edges bigint, mean_count double, "
+        "moran_i double")
+    return raw.select("n_cells", "n_edges",
+                      F.round("mean_count", 9).alias("mean_count"),
+                      F.round("moran_i", 9).alias("moran_i"))
+
+
+def morans_i_sql(points_sql: str, res: int, min_pts: int = 1,
+                 lat_expr: str = "lat", lon_expr: str = "lon") -> str:
+    """DuckDB mirror of :func:`morans_i` — the same two-level ordered
+    folds (list_sum over ORDER BY lists at both levels), the same
+    arithmetic neighbor edges as grid_clusters_sql."""
+    from geolake_spark import cells as _cells
+    nx, ny = _cells.grid_dims(res)
+    occ = dense_cells_sql(points_sql, res, min_pts, lat_expr, lon_expr)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NEIGHBOR_OFFSETS)
+    return f"""
+WITH _mi_occ AS ({occ}),
+_mi_s AS (
+  SELECT count(*) AS n, sum(n_points) AS s FROM _mi_occ
+),
+_mi_mu AS (SELECT n, cast(s AS DOUBLE) / cast(n AS DOUBLE) AS mu
+           FROM _mi_s),
+_d(dx, dy) AS (VALUES {offs}),
+_mi_e AS (
+  SELECT o.cell AS src,
+         {res * _RES_UNIT}::BIGINT
+           + (((o.cell >> 28) & {_IY_UNIT - 1}) + d.dy) * {_IY_UNIT}::BIGINT
+           + (((o.cell & {_IY_UNIT - 1}) + d.dx + {nx}) % {nx}) AS dst
+  FROM _mi_occ o, _d d
+  WHERE ((o.cell >> 28) & {_IY_UNIT - 1}) + d.dy >= 0
+    AND ((o.cell >> 28) & {_IY_UNIT - 1}) + d.dy < {ny}
+),
+_mi_ed AS (
+  SELECT e.src, e.dst,
+         (a.n_points - mu.mu) * (b.n_points - mu.mu) AS v
+  FROM _mi_e e
+  JOIN _mi_occ a ON a.cell = e.src
+  JOIN _mi_occ b ON b.cell = e.dst
+  CROSS JOIN _mi_mu mu
+),
+_mi_ps AS (
+  SELECT src, count(*) AS w, list_sum(list(v ORDER BY dst)) AS p
+  FROM _mi_ed GROUP BY src
+),
+_mi_num AS (
+  SELECT sum(w) AS w_total, list_sum(list(p ORDER BY src)) AS num
+  FROM _mi_ps
+),
+_mi_den AS (
+  SELECT list_sum(list((n_points - mu.mu) * (n_points - mu.mu)
+                       ORDER BY cell)) AS den
+  FROM _mi_occ CROSS JOIN _mi_mu mu
+)
+SELECT s.n AS n_cells, cast(nu.w_total AS BIGINT) AS n_edges,
+       round(mu.mu, 9) AS mean_count,
+       round((cast(s.n AS DOUBLE) / nu.w_total) * (nu.num / d.den), 9)
+         AS moran_i
+FROM _mi_s s, _mi_mu mu, _mi_num nu, _mi_den d"""

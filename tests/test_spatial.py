@@ -215,3 +215,58 @@ def test_idw_weights_pull_toward_closer_station(spark):
              spatial.idw_to_grid(st, res=4, radius_km=900.0).collect()}
     for c, r in out.items():
         assert abs(plain[c] - r["idw_value"]) < 1e-6
+
+
+def test_morans_i_clustered_vs_checkerboard(spark):
+    """Sign sanity on constructed grids: a hot contiguous block ->
+    positive I; an alternating checkerboard -> negative I."""
+    import numpy as np
+
+    from geolake_spark import cells
+    from geolake_spark.operators import spatial
+
+    nx, ny = cells.grid_dims(5)
+
+    def grid_points(weights):
+        # weights[(ix, iy)] = count of points to drop in that res-5 cell
+        rows = []
+        for (ix, iy), cnt in weights.items():
+            lat = 90.0 - (iy + 0.5) / ny * 180.0
+            lon = (ix + 0.5) / nx * 360.0 - 180.0
+            rows.extend([(lat, lon)] * cnt)
+        return spark.createDataFrame(rows, "lat double, lon double")
+
+    def moran_ref(weights):
+        keys = list(weights)
+        x = np.array([weights[k] for k in keys], dtype=float)
+        mu = x.mean()
+        num, w = 0.0, 0
+        for a, (ax, ay) in enumerate(keys):
+            for b, (bx, by) in enumerate(keys):
+                if a != b and abs(ax - bx) <= 1 and abs(ay - by) <= 1:
+                    num += (x[a] - mu) * (x[b] - mu)
+                    w += 1
+        den = ((x - mu) ** 2).sum()
+        return (len(keys) / w) * num / den
+
+    base_ix, base_iy = 40, 30
+    # 3x3 hot block (count 9) inside a ring of cold cells (count 1)
+    clustered = {}
+    for dx in range(5):
+        for dy in range(5):
+            hot = 1 <= dx <= 3 and 1 <= dy <= 3
+            clustered[(base_ix + dx, base_iy + dy)] = 9 if hot else 1
+    ci = spatial.morans_i(grid_points(clustered), res=5).collect()[0]
+    assert abs(ci.moran_i - moran_ref(clustered)) < 1e-8, ci
+    assert ci.moran_i > 0
+
+    checker = {}
+    for dx in range(5):
+        for dy in range(5):
+            checker[(base_ix + dx, base_iy + dy)] = \
+                9 if (dx + dy) % 2 == 0 else 1
+    xi = spatial.morans_i(grid_points(checker), res=5).collect()[0]
+    assert abs(xi.moran_i - moran_ref(checker)) < 1e-8, xi
+    assert xi.moran_i < 0
+    assert ci.n_cells == xi.n_cells == 25
+    assert ci.n_edges == xi.n_edges == 144
