@@ -1650,6 +1650,13 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_getis_ord(spark, sf_dir):
+    """Getis-Ord Gi* hotspots (operators/spatial.getis_ord): per-cell
+    z-like score from INTEGER neighborhood sums + two exact global
+    ratios — no float accumulation anywhere, bit-identical oracle."""
+    return spatial.getis_ord(_docs_geo(spark, sf_dir), res=5)
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I (operators/spatial.morans_i): spatial
     autocorrelation of per-cell doc counts under queen weights — two-
@@ -2619,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "ewma": q_ewma,
         "morans_i": q_morans_i,
+        "getis_ord": q_getis_ord,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3390,6 +3398,7 @@ FROM r GROUP BY id""",
         "ewma": aggregates.ewma_last_sql("SELECT * FROM events",
                                          "user_id", "ts", "value"),
         "morans_i": spatial.morans_i_sql(_DOCS_GEO_SQL, res=5),
+        "getis_ord": spatial.getis_ord_sql(_DOCS_GEO_SQL, res=5),
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),

@@ -567,3 +567,96 @@ SELECT s.n AS n_cells, cast(nu.w_total AS BIGINT) AS n_edges,
        round((cast(s.n AS DOUBLE) / nu.w_total) * (nu.num / d.den), 9)
          AS moran_i
 FROM _mi_s s, _mi_mu mu, _mi_num nu, _mi_den d"""
+
+
+def getis_ord(df: DataFrame, res: int, min_pts: int = 1,
+              lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Getis-Ord Gi* hotspot scores per occupied cell (queen weights
+    including self): ``(cell, n_points, w_i, gi_star)`` where
+    gi_star = (S_nbr - W_i*mu) / (S*sqrt((n*W_i - W_i^2)/(n-1))) — the
+    per-cell z-like statistic behind every "statistically significant
+    hotspot" map.
+
+    Exactness: every reduction is an INTEGER sum (neighborhood count
+    sums, global count and count-of-squares), mu and S derive from two
+    exact integer ratios, and each cell's score is one fixed scalar op
+    sequence — no float accumulation anywhere, so the oracle replays it
+    bit-identically with no sorted-fold machinery.  Shape: one neighbor
+    join + one integer groupBy per cell; global stats are a single agg
+    row broadcast as literals."""
+    occ = dense_cells(df, res, min_pts, lat_col, lon_col).cache()
+    g = occ.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_points").alias("s1"),
+                F.sum(F.col("n_points") * F.col("n_points"))
+                .alias("s2")).collect()[0]
+    n, s1, s2 = int(g.n), int(g.s1), int(g.s2)
+    if n < 2:
+        raise ValueError("getis_ord needs >= 2 occupied cells")
+    edges = _neighbor_edges(occ, res)
+    nbr = (edges.join(occ.select(F.col("cell").alias("dst"),
+                                 F.col("n_points").alias("xj")), "dst")
+           .groupBy("src")
+           .agg(F.count(F.lit(1)).alias("w_nbr"),
+                F.sum("xj").alias("s_nbr")))
+    j = (occ.join(nbr.withColumnRenamed("src", "cell"), "cell", "left")
+         .select("cell", "n_points",
+                 (F.coalesce(F.col("w_nbr"), F.lit(0)) + 1).alias("w_i"),
+                 (F.coalesce(F.col("s_nbr"), F.lit(0))
+                  + F.col("n_points")).alias("s_i")))
+    mu = F.lit(s1).cast("double") / F.lit(n).cast("double")
+    sd = F.sqrt(F.lit(s2).cast("double") / F.lit(n).cast("double")
+                - mu * mu)
+    wi = F.col("w_i").cast("double")
+    den = sd * F.sqrt((F.lit(n).cast("double") * wi - wi * wi)
+                      / F.lit(n - 1).cast("double"))
+    gi = (F.col("s_i").cast("double") - wi * mu) / den
+    return j.select("cell", "n_points", "w_i",
+                    F.round(gi, 9).alias("gi_star"))
+
+
+def getis_ord_sql(points_sql: str, res: int, min_pts: int = 1,
+                  lat_expr: str = "lat", lon_expr: str = "lon") -> str:
+    """DuckDB mirror of :func:`getis_ord` (identical scalar op order)."""
+    from geolake_spark import cells as _cells
+    nx, ny = _cells.grid_dims(res)
+    occ = dense_cells_sql(points_sql, res, min_pts, lat_expr, lon_expr)
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _NEIGHBOR_OFFSETS)
+    return f"""
+WITH _go_occ AS ({occ}),
+_go_g AS (
+  SELECT count(*) AS n, sum(n_points) AS s1,
+         sum(n_points * n_points) AS s2
+  FROM _go_occ
+),
+_d(dx, dy) AS (VALUES {offs}),
+_go_e AS (
+  SELECT o.cell AS src,
+         {res * _RES_UNIT}::BIGINT
+           + (((o.cell >> 28) & {_IY_UNIT - 1}) + d.dy) * {_IY_UNIT}::BIGINT
+           + (((o.cell & {_IY_UNIT - 1}) + d.dx + {nx}) % {nx}) AS dst
+  FROM _go_occ o, _d d
+  WHERE ((o.cell >> 28) & {_IY_UNIT - 1}) + d.dy >= 0
+    AND ((o.cell >> 28) & {_IY_UNIT - 1}) + d.dy < {ny}
+),
+_go_n AS (
+  SELECT e.src, count(*) AS w_nbr, sum(b.n_points) AS s_nbr
+  FROM _go_e e JOIN _go_occ b ON b.cell = e.dst
+  GROUP BY e.src
+),
+_go_j AS (
+  SELECT o.cell, o.n_points,
+         coalesce(nb.w_nbr, 0) + 1 AS w_i,
+         coalesce(nb.s_nbr, 0) + o.n_points AS s_i
+  FROM _go_occ o LEFT JOIN _go_n nb ON nb.src = o.cell
+)
+SELECT j.cell, j.n_points, cast(j.w_i AS BIGINT) AS w_i,
+       round((cast(j.s_i AS DOUBLE)
+              - cast(j.w_i AS DOUBLE)
+                * (cast(g.s1 AS DOUBLE) / cast(g.n AS DOUBLE)))
+             / (sqrt(cast(g.s2 AS DOUBLE) / cast(g.n AS DOUBLE)
+                     - (cast(g.s1 AS DOUBLE) / cast(g.n AS DOUBLE))
+                       * (cast(g.s1 AS DOUBLE) / cast(g.n AS DOUBLE)))
+                * sqrt((cast(g.n AS DOUBLE) * cast(j.w_i AS DOUBLE)
+                        - cast(j.w_i AS DOUBLE) * cast(j.w_i AS DOUBLE))
+                       / cast(g.n - 1 AS DOUBLE))), 9) AS gi_star
+FROM _go_j j, _go_g g"""

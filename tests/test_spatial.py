@@ -270,3 +270,50 @@ def test_morans_i_clustered_vs_checkerboard(spark):
     assert xi.moran_i < 0
     assert ci.n_cells == xi.n_cells == 25
     assert ci.n_edges == xi.n_edges == 144
+
+
+def test_getis_ord_hotspot_reference(spark):
+    """Gi* against a direct NumPy reference on the clustered grid; the
+    hot block's center scores highest, the far corner lowest."""
+    import math
+
+    from geolake_spark import cells
+    from geolake_spark.operators import spatial
+
+    nx, ny = cells.grid_dims(5)
+    base_ix, base_iy = 40, 30
+    weights = {}
+    for dx in range(5):
+        for dy in range(5):
+            hot = 1 <= dx <= 3 and 1 <= dy <= 3
+            weights[(base_ix + dx, base_iy + dy)] = 9 if hot else 1
+    rows = []
+    for (ix, iy), cnt in weights.items():
+        lat = 90.0 - (iy + 0.5) / ny * 180.0
+        lon = (ix + 0.5) / nx * 360.0 - 180.0
+        rows.extend([(lat, lon)] * cnt)
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = spatial.getis_ord(df, res=5).collect()
+
+    def ref(ix, iy):
+        xs = list(weights.values())
+        n = len(xs)
+        mu = sum(xs) / n
+        sd = math.sqrt(sum(x * x for x in xs) / n - mu * mu)
+        nbrs = [(jx, jy) for (jx, jy) in weights
+                if abs(jx - ix) <= 1 and abs(jy - iy) <= 1]
+        wi = len(nbrs)
+        s_i = sum(weights[k] for k in nbrs)
+        return (s_i - wi * mu) / (sd * math.sqrt(
+            (n * wi - wi * wi) / (n - 1)))
+
+    ix_of = {}
+    for r in out:
+        ix = r.cell & ((1 << 28) - 1)
+        iy = (r.cell >> 28) & ((1 << 28) - 1)
+        ix_of[(ix, iy)] = r.gi_star
+        assert abs(r.gi_star - ref(ix, iy)) < 1e-8
+    center = ix_of[(base_ix + 2, base_iy + 2)]
+    corner = ix_of[(base_ix, base_iy)]
+    assert center == max(ix_of.values()) and center > 2.0
+    assert corner < 0
