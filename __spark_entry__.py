@@ -1650,6 +1650,18 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_drift(spark, sf_dir):
+    """Distribution drift (operators/aggregates.distribution_drift):
+    per-bin counts of event values in two snapshot halves over shared
+    baseline-defined edges — integer-exact; the PSI/KL finisher is
+    consumer-side (the PMI precedent)."""
+    e = _t(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 2 == 0)
+    new = (e.filter(F.col("event_id") % 2 == 1)
+           .withColumn("value", F.col("value") * F.lit(1.1)))
+    return aggregates.distribution_drift(old, new, "value", nbins=12)
+
+
 def q_getis_ord(spark, sf_dir):
     """Getis-Ord Gi* hotspots (operators/spatial.getis_ord): per-cell
     z-like score from INTEGER neighborhood sums + two exact global
@@ -2627,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "morans_i": q_morans_i,
         "getis_ord": q_getis_ord,
+        "drift": q_drift,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3399,6 +3412,10 @@ FROM r GROUP BY id""",
                                          "user_id", "ts", "value"),
         "morans_i": spatial.morans_i_sql(_DOCS_GEO_SQL, res=5),
         "getis_ord": spatial.getis_ord_sql(_DOCS_GEO_SQL, res=5),
+        "drift": aggregates.distribution_drift_sql(
+            "SELECT * FROM events WHERE event_id % 2 = 0",
+            "SELECT event_id, value * 1.1 AS value FROM events "
+            "WHERE event_id % 2 = 1", "value", nbins=12),
         "crawl_depth": graph.bfs_depths_sql(_CRAWL_DEPTH_EDGES_SQL,
                                             _CRAWL_DEPTH_SEEDS_SQL,
                                             max_depth=8),

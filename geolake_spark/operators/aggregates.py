@@ -283,3 +283,70 @@ SELECT entity, n_obs,
        round(list_reduce(vs, (acc, x) ->
              {alpha!r} * x + {1.0 - alpha!r} * acc), 9) AS ewma
 FROM _ew_g"""
+
+
+def distribution_drift(old: DataFrame, new: DataFrame, value_col: str,
+                       nbins: int = 10) -> DataFrame:
+    """Snapshot-to-snapshot distribution comparison of a numeric column
+    — the data-quality drift monitor.  Bin edges come from the OLD
+    side's min/max (one agg row; the baseline defines the reference
+    frame), both sides are histogrammed over those SHARED edges with
+    out-of-range values clamped into the edge bins, and every bin row
+    is emitted even when empty: ``(bin, lo, hi, n_old, n_new)``.
+
+    Counts are integers (exact oracle); the PSI / KL-divergence
+    finisher stays consumer-side (cross-engine libm logs are not
+    bit-contracted — the PMI precedent).  Binning arithmetic is the
+    fixed sequence floor((x - mn) / width) in both engines."""
+    s = old.agg(F.min(value_col).alias("mn"),
+                F.max(value_col).alias("mx")).collect()[0]
+    mn, mx = float(s.mn), float(s.mx)
+    width = (mx - mn) / nbins
+    if width <= 0:
+        width = 1.0  # degenerate constant baseline: one bin catches all
+
+    def binned(df):
+        b = F.floor((F.col(value_col) - F.lit(mn)) / F.lit(width))
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+        return (df.select(b.cast("int").alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+    spark = old.sparkSession
+    bins = spark.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    out = (bins
+           .join(binned(old).withColumnRenamed("n", "n_old"), "bin", "left")
+           .join(binned(new).withColumnRenamed("n", "n_new"), "bin", "left"))
+    lo = F.round(F.lit(mn) + F.col("bin") * F.lit(width), 6)
+    hi = F.round(F.lit(mn) + (F.col("bin") + 1) * F.lit(width), 6)
+    return out.select("bin", lo.alias("lo"), hi.alias("hi"),
+                      F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new"))
+
+
+def distribution_drift_sql(old_sql: str, new_sql: str, value_col: str,
+                           nbins: int = 10) -> str:
+    """DuckDB mirror of :func:`distribution_drift`."""
+    def binned(src: str) -> str:
+        b = (f"cast(least(greatest(floor(({value_col} - s.mn) / s.w), 0), "
+             f"{nbins - 1}) AS INTEGER)")
+        return (f"SELECT {b} AS bin, count(*) AS n "
+                f"FROM ({src}), _dd_s s GROUP BY 1")
+
+    return f"""
+WITH _dd_m AS (
+  SELECT min({value_col}) AS mn, max({value_col}) AS mx FROM ({old_sql})
+), _dd_s AS (
+  SELECT cast(mn AS DOUBLE) AS mn,
+         (CASE WHEN (cast(mx AS DOUBLE) - cast(mn AS DOUBLE))
+                    / {nbins} <= 0 THEN 1.0
+          ELSE (cast(mx AS DOUBLE) - cast(mn AS DOUBLE)) / {nbins} END)
+           AS w
+  FROM _dd_m
+), _dd_o AS ({binned(old_sql)}), _dd_n AS ({binned(new_sql)})
+SELECT b.bin, round(s.mn + b.bin * s.w, 6) AS lo,
+       round(s.mn + (b.bin + 1) * s.w, 6) AS hi,
+       coalesce(o.n, 0) AS n_old, coalesce(n.n, 0) AS n_new
+FROM (SELECT cast(range AS INTEGER) AS bin FROM range({nbins})) b
+LEFT JOIN _dd_o o ON o.bin = b.bin
+LEFT JOIN _dd_n n ON n.bin = b.bin
+CROSS JOIN _dd_s s"""

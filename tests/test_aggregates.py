@@ -111,3 +111,33 @@ def test_ewma_last_hand_checked(spark):
                                          "value").collect()}
     # user 1 in ts order: 10 -> 0.5*2+0.5*10=6 -> 0.5*4+0.5*6=5
     assert got == {1: (3, 5.0), 2: (1, 7.0)}
+
+
+def test_distribution_drift_hand_checked(spark):
+    from geolake_spark.operators import aggregates
+    old = spark.createDataFrame([(float(v),) for v in range(10)],
+                                "value double")     # min 0 max 9
+    # new shifts right: values 5..14 -> 14 clamps into the top bin
+    new = spark.createDataFrame([(float(v),) for v in range(5, 15)],
+                                "value double")
+    out = {r.bin: (r.lo, r.hi, r.n_old, r.n_new)
+           for r in aggregates.distribution_drift(old, new, "value",
+                                                  nbins=3).collect()}
+    # width 3: bins [0,3) [3,6) [6,9]; old 3/3/4 (9 clamps into bin 2);
+    # new 0/1/9 (6..14 all clamp into bin 2)
+    assert out == {0: (0.0, 3.0, 3, 0), 1: (3.0, 6.0, 3, 1),
+                   2: (6.0, 9.0, 4, 9)}
+    # empty bins still emitted
+    assert len(out) == 3
+
+
+def test_distribution_drift_constant_baseline(spark):
+    from geolake_spark.operators import aggregates
+    old = spark.createDataFrame([(5.0,), (5.0,)], "value double")
+    new = spark.createDataFrame([(5.0,), (7.0,)], "value double")
+    out = {r.bin: (r.n_old, r.n_new)
+           for r in aggregates.distribution_drift(old, new, "value",
+                                                  nbins=4).collect()}
+    # degenerate width -> 1.0; everything >= mn lands by floor distance
+    assert sum(n for n, _ in out.values()) == 2
+    assert sum(n for _, n in out.values()) == 2
