@@ -1650,6 +1650,15 @@ def q_fuzzy_pairs(spark, sf_dir):
     return dedup.fuzzy_pairs(_parts_fuzzy(spark, sf_dir), max_dist=2)
 
 
+def q_lag_features(spark, sf_dir):
+    """Per-user ML lag features (operators/aggregates.lag_features):
+    previous-3 values + microsecond gap to the prior event in one
+    Window node — the feature-engineering staple; total (ts, value)
+    order makes it oracle-identical."""
+    e = _t(spark, sf_dir, "events")
+    return aggregates.lag_features(e, "user_id", "ts", "value")
+
+
 def q_drift(spark, sf_dir):
     """Distribution drift (operators/aggregates.distribution_drift):
     per-bin counts of event values in two snapshot halves over shared
@@ -2640,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "getis_ord": q_getis_ord,
         "drift": q_drift,
+        "lag_features": q_lag_features,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "host_report": q_host_report,
@@ -3412,6 +3422,8 @@ FROM r GROUP BY id""",
                                          "user_id", "ts", "value"),
         "morans_i": spatial.morans_i_sql(_DOCS_GEO_SQL, res=5),
         "getis_ord": spatial.getis_ord_sql(_DOCS_GEO_SQL, res=5),
+        "lag_features": aggregates.lag_features_sql(
+            "SELECT * FROM events", "user_id", "ts", "value"),
         "drift": aggregates.distribution_drift_sql(
             "SELECT * FROM events WHERE event_id % 2 = 0",
             "SELECT event_id, value * 1.1 AS value FROM events "

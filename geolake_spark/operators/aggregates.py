@@ -350,3 +350,37 @@ FROM (SELECT cast(range AS INTEGER) AS bin FROM range({nbins})) b
 LEFT JOIN _dd_o o ON o.bin = b.bin
 LEFT JOIN _dd_n n ON n.bin = b.bin
 CROSS JOIN _dd_s s"""
+
+
+def lag_features(df: DataFrame, entity_col: str, ts_col: str,
+                 value_col: str, lags: int = 3) -> DataFrame:
+    """Per-entity ML lag features: the previous ``lags`` values and the
+    gap to the previous event — ``(entity, ts, value, value_lag1..k,
+    gap_us)`` with nulls where history runs out.  One window shuffle on
+    the entity key; every feature is a lag over the same (ts, value)-
+    ordered frame, so Catalyst computes them in a single Window node
+    (ties on ts break by value — total order, oracle-identical)."""
+    out = df.select(F.col(entity_col).alias("entity"),
+                    F.col(ts_col).alias("ts"),
+                    F.col(value_col).alias("value"))
+    w2 = Window.partitionBy("entity").orderBy(F.col("ts"), F.col("value"))
+    for i in range(1, lags + 1):
+        out = out.withColumn(f"value_lag{i}",
+                             F.lag("value", i).over(w2))
+    return out.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts", 1).over(w2).cast("timestamp")))
+
+
+def lag_features_sql(docs_sql: str, entity_col: str, ts_col: str,
+                     value_col: str, lags: int = 3) -> str:
+    """DuckDB mirror of :func:`lag_features`."""
+    over = f"OVER (PARTITION BY {entity_col} ORDER BY {ts_col}, {value_col})"
+    lag_cols = ", ".join(
+        f"lag({value_col}, {i}) {over} AS value_lag{i}"
+        for i in range(1, lags + 1))
+    return (f"SELECT {entity_col} AS entity, {ts_col} AS ts, "
+            f"{value_col} AS value, {lag_cols}, "
+            f"epoch_us({ts_col}) - epoch_us(lag({ts_col}, 1) {over}) "
+            f"AS gap_us FROM ({docs_sql})")

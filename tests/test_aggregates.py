@@ -141,3 +141,37 @@ def test_distribution_drift_constant_baseline(spark):
     # degenerate width -> 1.0; everything >= mn lands by floor distance
     assert sum(n for n, _ in out.values()) == 2
     assert sum(n for _, n in out.values()) == 2
+
+def test_lag_features_hand_checked(spark):
+    import datetime as dt
+
+    from geolake_spark.operators import aggregates
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=s), float(v))
+            for s, v in [(0, 10.0), (2, 30.0), (1, 20.0)]]  # out of order
+    rows += [(2, t0, 5.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                               "value double")
+    got = {(r.entity, r.value): (r.value_lag1, r.value_lag2, r.value_lag3,
+                                 r.gap_us)
+           for r in aggregates.lag_features(df, "user_id", "ts",
+                                            "value").collect()}
+    # user 1 in ts order: 10, 20, 30 with 1s gaps
+    assert got[(1, 10.0)] == (None, None, None, None)
+    assert got[(1, 20.0)] == (10.0, None, None, 1_000_000)
+    assert got[(1, 30.0)] == (20.0, 10.0, None, 1_000_000)
+    assert got[(2, 5.0)] == (None, None, None, None)
+
+
+def test_lag_features_single_window_shuffle(spark):
+    """All lags + the gap share one (ts, value)-ordered frame: exactly one
+    Exchange and one Window node in the physical plan."""
+    from geolake_spark.operators import aggregates
+    df = spark.range(10).select(
+        F.col("id").alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+        F.col("id").cast("double").alias("value"))
+    plan = (aggregates.lag_features(df, "user_id", "ts", "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") <= 1
+    assert plan.count("Window") == 1
