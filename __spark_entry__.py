@@ -1820,6 +1820,24 @@ def q_zonal_stats(spark, sf_dir):
                  F.sum("n_points").alias("n_events")))
 
 
+def q_geofence(spark, sf_dir):
+    """Geofence enter/exit stream (operators/trips.geofence_events):
+    the zonal-stats triangles rasterize once (even-odd ray-cast over
+    cell centers), then per-user transitions come from a broadcast
+    fence-cell join + one lag window — integer cell membership, so the
+    DuckDB oracle replays it exactly."""
+    d = _docs_geo(spark, sf_dir)
+    lat, lon = F.col("lat"), F.col("lon")
+    p1 = F.array(lon, lat + 0.9)
+    p2 = F.array(lon + 0.7, lat - 0.5)
+    p3 = F.array(lon - 0.8, lat - 0.3)
+    polys = (d.filter(F.col("doc_id") % 7 == 0)
+             .select(F.col("doc_id").alias("polygon_id"),
+                     F.array(F.array(p1, p2, p3, p1)).alias("rings")))
+    fences = spatial.polygon_raster_cells(polys, res=6)
+    return trips.geofence_events(_events_geo(spark, sf_dir), fences, res=6)
+
+
 def q_cell_smooth(spark, sf_dir):
     """Heatmap smoothing (operators/spatial.smooth_cells): the res-5
     event histogram box-blurred over each cell's 3x3 neighborhood —
@@ -2575,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_smooth": q_cell_smooth,
         "od_matrix": q_od_matrix,
         "zonal_stats": q_zonal_stats,
+        "geofence": q_geofence,
         "cooccurrence": q_cooccurrence,
         "idw_grid": q_idw_grid,
         "funnel": q_funnel,
@@ -3090,6 +3109,14 @@ def oracle_sql() -> dict[str, str]:
             + ") r JOIN ("
             + spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=6)
             + ") h ON r.cell = h.cell GROUP BY r.polygon_id"),
+        "geofence": trips.geofence_events_sql(
+            _EVENTS_GEO_SQL,
+            spatial.polygon_raster_cells_sql(
+                "SELECT doc_id AS polygon_id, "
+                "[[[lon, lat + 0.9], [lon + 0.7, lat - 0.5], "
+                "[lon - 0.8, lat - 0.3], [lon, lat + 0.9]]] AS rings "
+                f"FROM ({_DOCS_GEO_SQL}) WHERE doc_id % 7 = 0", res=6),
+            res=6),
         "cell_smooth": spatial.smooth_cells_sql(
             spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=5), res=5),
         "spatial_clusters": spatial.grid_clusters_sql(

@@ -323,3 +323,104 @@ WITH _rt_a AS (
 SELECT cohort AS cohort_bucket, b - cohort AS bucket_offset,
        count(*) AS n_active
 FROM _rt_c GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Geofencing — enter/exit transition detection over polygon fences
+# ---------------------------------------------------------------------------
+# The standard mobility/telemetry primitive (geofence alerting): given a
+# set of polygon fences and a point-event stream, emit one row per
+# entity state TRANSITION — the first observation inside any fence and
+# every subsequent boundary crossing.  Fence membership is decided at
+# cell granularity: the fences rasterize once through
+# spatial.polygon_raster_cells (even-odd ray-cast over cell centers) and
+# an event is "inside" iff its res-cell is a fence cell.  That makes the
+# whole operator integer-exact (no float PIP at probe time) and turns
+# the membership test into a broadcast hash join against the small
+# rasterized fence set.
+#
+# Scale shape: ONE broadcast join (fence raster is polygons-sized, not
+# events-sized) + ONE window shuffle on the entity key — the same
+# single-shuffle budget as segment_trips; at 10^12 events the cost is
+# the per-entity window everyone already pays for sessionization.
+# Union semantics: overlapping fences collapse to min(polygon_id) per
+# cell; a fence-to-fence move without leaving fenced area emits nothing
+# (in_fence never flips).  Trailing presence emits no exit.
+#
+# Reference analogue: none (geolake has no event streams); this extends
+# the mobility surface mandated beyond the reference (SURVEY §6).
+
+
+def geofence_events(events: DataFrame, fence_cells: DataFrame, res: int,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", lat_col: str = "lat",
+                    lon_col: str = "lon") -> DataFrame:
+    """``(entity, ts, event_id, kind, fence_id)`` enter/exit transitions.
+
+    ``fence_cells`` is ``(polygon_id, cell)`` as produced by
+    :func:`geolake_spark.operators.spatial.polygon_raster_cells` at the
+    same ``res`` used to bucket the events here.  ``kind`` is ``enter``
+    (first in-fence observation of a run, including an entity's very
+    first event) or ``exit`` (first out-of-fence observation after an
+    in-fence run); ``fence_id`` is the fence entered, or for exits the
+    fence just left.
+    """
+    from ..functions.geo import grid_cell_col
+
+    fence = (fence_cells.groupBy("cell")
+             .agg(F.min("polygon_id").alias("fence_id")))
+    ev = events.select(
+        F.col(entity_col).alias("entity"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("cell"))
+    flagged = ev.join(F.broadcast(fence), "cell", "left")
+    w = Window.partitionBy("entity").orderBy("ts", "event_id")
+    in_f = F.when(F.col("fence_id").isNotNull(), 1).otherwise(0)
+    out = (flagged.withColumn("in_fence", in_f)
+           .withColumn("prev_in", F.lag("in_fence").over(w))
+           .withColumn("prev_fence", F.lag("fence_id").over(w)))
+    enter = (F.col("in_fence") == 1) & (F.col("prev_in").isNull()
+                                        | (F.col("prev_in") == 0))
+    exit_ = (F.col("in_fence") == 0) & (F.col("prev_in") == 1)
+    return (out.filter(enter | exit_)
+            .select("entity", "ts", "event_id",
+                    F.when(F.col("in_fence") == 1, F.lit("enter"))
+                    .otherwise(F.lit("exit")).alias("kind"),
+                    F.when(F.col("in_fence") == 1, F.col("fence_id"))
+                    .otherwise(F.col("prev_fence")).alias("fence_id")))
+
+
+def geofence_events_sql(events_sql: str, fence_cells_sql: str, res: int,
+                        entity_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id", lat_col: str = "lat",
+                        lon_col: str = "lon") -> str:
+    """DuckDB mirror of :func:`geofence_events` (same cell bucketing,
+    same min-fence collapse, same lag-window transition predicate)."""
+    from .. import cells
+
+    cell = cells.grid_cell_sql(lat_col, lon_col, res)
+    return f"""
+WITH _gf_fence AS (
+  SELECT cell, min(polygon_id) AS fence_id
+  FROM ({fence_cells_sql}) GROUP BY cell
+), _gf_ev AS (
+  SELECT {entity_col} AS entity, {ts_col} AS ts, {id_col} AS event_id,
+         {cell} AS cell
+  FROM ({events_sql})
+), _gf_flag AS (
+  SELECT v.entity, v.ts, v.event_id, f.fence_id,
+         CASE WHEN f.fence_id IS NULL THEN 0 ELSE 1 END AS in_fence
+  FROM _gf_ev v LEFT JOIN _gf_fence f ON v.cell = f.cell
+), _gf_lag AS (
+  SELECT entity, ts, event_id, fence_id, in_fence,
+         lag(in_fence) OVER w AS prev_in,
+         lag(fence_id) OVER w AS prev_fence
+  FROM _gf_flag
+  WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+)
+SELECT entity, ts, event_id,
+       CASE WHEN in_fence = 1 THEN 'enter' ELSE 'exit' END AS kind,
+       CASE WHEN in_fence = 1 THEN fence_id ELSE prev_fence END AS fence_id
+FROM _gf_lag
+WHERE (in_fence = 1 AND (prev_in IS NULL OR prev_in = 0))
+   OR (in_fence = 0 AND prev_in = 1)"""

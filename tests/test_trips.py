@@ -158,3 +158,42 @@ def test_retention_matrix_hand_checked(spark):
     assert out[(c0, 3)] == 1          # only user 1 in week 3
     assert out[(c0 + 2, 0)] == 1      # user 2's own cohort
     assert sum(v for k, v in out.items()) == 6  # user-week activity rows
+
+
+def test_geofence_events_hand_checked(spark):
+    """Planted walk: user 1 starts outside, enters fence, stays, exits,
+    re-enters; user 2's FIRST event is inside (counts as enter); user 3
+    never enters (no rows).  Fence = one cell supplied directly."""
+    from geolake_spark.functions import geo
+    # res 4 cell containing (10, 10)
+    cell = spark.range(1).select(
+        geo.grid_cell_col(F.lit(10.0), F.lit(10.0), 4).alias("cell")
+    ).collect()[0].cell
+    fences = spark.createDataFrame([(7, cell)], "polygon_id long, cell long")
+    rows = [
+        (1, 1, T0, -50.0, -50.0),                       # out
+        (1, 2, T0 + dt.timedelta(minutes=1), 10.0, 10.0),   # enter
+        (1, 3, T0 + dt.timedelta(minutes=2), 10.1, 10.1),   # still in
+        (1, 4, T0 + dt.timedelta(minutes=3), -50.0, -50.0),  # exit
+        (1, 5, T0 + dt.timedelta(minutes=4), 10.0, 10.0),   # re-enter
+        (2, 6, T0, 10.0, 10.0),                          # first ev inside
+        (3, 7, T0, -50.0, -50.0),                        # never in
+    ]
+    out = {r.event_id: (r.kind, r.fence_id)
+           for r in trips.geofence_events(
+               _events(spark, rows), fences, res=4).collect()}
+    assert out == {2: ("enter", 7), 4: ("exit", 7), 5: ("enter", 7),
+                   6: ("enter", 7)}
+
+
+def test_geofence_broadcast_single_shuffle(spark):
+    """Fence membership join is broadcast; the only Exchange is the
+    entity window's hash partitioning."""
+    fences = spark.createDataFrame([(7, 123)], "polygon_id long, cell long")
+    rows = [(1, 1, T0, 10.0, 10.0)]
+    plan = (trips.geofence_events(_events(spark, rows), fences, res=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # the events path shuffles exactly once (the entity window); the other
+    # hash exchange is the fences-sized groupBy(cell) before the broadcast
+    assert plan.count("hashpartitioning(entity") == 1
