@@ -159,6 +159,45 @@ class IcebergishTable:
                 "removed_manifests": removed_manifests,
                 "retained": keep}
 
+    def drop_partitions(self, partitions: list[dict]) -> int:
+        """Commit a new snapshot whose manifest list excludes
+        ``partitions``, and remove their data directories (the
+        copy-on-write DELETE of a whole partition — merge_snapshot uses
+        this when an upsert's deletes empty a partition out).  Returns
+        the new snapshot id (no-op current id if nothing matched)."""
+        import shutil
+        prev = self.snapshot()
+        if prev is None:
+            return 0
+        victims = {json.dumps(p, sort_keys=True) for p in partitions}
+        keep, dropped = [], []
+        for mp in prev["manifest_list"]:
+            with open(os.path.join(self.meta_dir, mp)) as f:
+                part = json.load(f)["partition"]
+            if json.dumps(part, sort_keys=True) in victims:
+                dropped.append(part)
+            else:
+                keep.append(mp)
+        if not dropped:
+            return prev["snapshot_id"]
+        snap_id = prev["snapshot_id"] + 1
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": prev["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "manifest_list": keep,
+            "summary": {"dropped_partitions": len(dropped)},
+        }
+        with open(self._snap_path(snap_id), "w") as f:
+            json.dump(snap, f, indent=1)
+        tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+        os.replace(tmp, self._hint_path())
+        for p in dropped:
+            shutil.rmtree(self.partition_path(p), ignore_errors=True)
+        return snap_id
+
     def diff(self, from_snap: int | None,
              to_snap: int | None = None) -> dict:
         """Partition-level diff between two snapshots — METADATA ONLY

@@ -138,3 +138,85 @@ def write_snapshot(df: DataFrame, table: IcebergishTable,
     return {"snapshot_id": snap_id, "written_partitions": len(metrics),
             "skipped_partitions": len(skip_keys),
             "rows": sum(m["row_count"] for m in metrics)}
+
+
+def merge_snapshot(updates: DataFrame, table: IcebergishTable,
+                   key_cols: list[str],
+                   deletes: DataFrame | None = None) -> dict:
+    """Copy-on-write MERGE (Iceberg/Delta ``MERGE INTO`` analogue): upsert
+    ``updates`` by ``key_cols`` and optionally remove ``deletes`` keys,
+    rewriting ONLY the table partitions the touched keys live in.
+
+    Semantics (one new snapshot):
+
+    * a current row whose key matches an update row is REPLACED,
+    * an update row with an unseen key is INSERTED,
+    * a current row whose key is in ``deletes`` (key_cols + partition
+      cols) is REMOVED,
+    * every row in an untouched partition is untouched — its files and
+      manifests carry over to the new snapshot verbatim.
+
+    Scale shape: the affected-partition set comes from a distinct on the
+    partition columns (metadata-sized collect); the current-state read is
+    MANIFEST-PRUNED to those partitions, so a 10-partition merge against
+    a 100k-partition table scans 10 partitions; the anti-join runs over
+    that slice only, with the updates side broadcastable when small.
+    This is exactly the copy-on-write granularity trade Iceberg v1 makes
+    (file-level there, partition-level here — our manifest unit).
+
+    Contract: a key's partition values must not change across merges
+    (standard CoW-merge constraint — a moved key must be deleted from
+    its old partition explicitly via ``deletes``).
+
+    Reference analogue: none — geolake's sink is append/overwrite only
+    (executor writes whole products); MERGE extends the lakehouse
+    surface (SURVEY §2 S9-S11) the way engines users expect.
+    """
+    spark = updates.sparkSession
+    part_cols = table.table_spec()["partition_cols"]
+    touched = updates.select(*part_cols)
+    if deletes is not None:
+        touched = touched.unionByName(deletes.select(*part_cols))
+    affected = {tuple(r[c] for c in part_cols)
+                for r in touched.distinct().collect()}
+    live = {tuple(m["partition"][c] for c in part_cols)
+            for m in table.manifests()}
+    hit = affected & live
+
+    merged = updates
+    if hit:
+        current = table.read(
+            spark, partition_filter=lambda p:
+            tuple(p[c] for c in part_cols) in hit)
+        keys = updates.select(*key_cols)
+        if deletes is not None:
+            keys = keys.unionByName(deletes.select(*key_cols))
+        survivors = current.join(keys.distinct(), key_cols, "left_anti")
+        merged = survivors.unionByName(updates.select(*current.columns))
+        # materialization barrier: the dynamic overwrite below replaces the
+        # very files `merged` lazily reads — without a barrier Spark deletes
+        # its own input mid-job (FAILED_READ_FILE).  Iceberg's CoW avoids
+        # this by writing fresh files and swapping manifests; our in-place
+        # partition overwrite needs the affected slice pinned first (slice-
+        # sized, not table-sized — bounded by the partitions being merged).
+        merged = merged.localCheckpoint(eager=True)
+    n_deleted = 0
+    if deletes is not None:
+        n_deleted = (table.read(spark, partition_filter=lambda p:
+                                tuple(p[c] for c in part_cols) in hit)
+                     .join(deletes.select(*key_cols).distinct(),
+                           key_cols, "left_semi").count()) if hit else 0
+
+    out = write_snapshot(merged, table, part_cols)
+    if deletes is not None and hit:
+        # a partition whose rows were ALL deleted has nothing in `merged`,
+        # so dynamic overwrite never touches it — drop it explicitly
+        remaining = {tuple(r[c] for c in part_cols)
+                     for r in merged.select(*part_cols).distinct().collect()}
+        emptied = [dict(zip(part_cols, k)) for k in sorted(hit - remaining)]
+        if emptied:
+            out["snapshot_id"] = table.drop_partitions(emptied)
+            out["dropped_partitions"] = len(emptied)
+    out["merged_partitions"] = len(affected)
+    out["deleted_rows"] = n_deleted
+    return out

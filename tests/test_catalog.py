@@ -81,3 +81,60 @@ def test_human_size_floor():
 def test_plan_stats_estimate(spark):
     df = spark.range(1000).withColumn("x", F.rand(seed=1))
     assert estimate.estimate_df_bytes(df) > 0
+
+
+def test_merge_snapshot_upsert(spark, table):
+    from geolake_spark.write import merge_snapshot
+    write_snapshot(_sample(spark, ["en", "de", "fr"]), table, ["lang"])
+    pre = {json.dumps(m["partition"], sort_keys=True): m["manifest_list"]
+           if "manifest_list" in m else None for m in table.manifests()}
+    pre_snap = table.current_snapshot_id()
+    # update one en row, insert a new en key — de/fr untouched
+    ups = spark.createDataFrame(
+        [("u0-en", "en", 99.0, 99.0), ("NEW-en", "en", 1.0, 1.0)],
+        ["url", "lang", "lat", "lon"])
+    info = merge_snapshot(ups, table, key_cols=["url"])
+    assert info["merged_partitions"] == 1
+    back = table.read(spark)
+    assert back.count() == 61                      # 60 + 1 insert
+    row = back.filter(F.col("url") == "u0-en").collect()[0]
+    assert row.lat == 99.0                         # replaced, not duplicated
+    assert back.filter(F.col("url") == "NEW-en").count() == 1
+    # metadata: only the en partition's manifest changed
+    d = table.diff(pre_snap)
+    assert [p["lang"] for p in d["rewritten"]] == ["en"]
+    assert d["unchanged"] == 2
+
+
+def test_merge_snapshot_new_partition_and_delete(spark, table):
+    from geolake_spark.write import merge_snapshot
+    write_snapshot(_sample(spark, ["en", "de"]), table, ["lang"])
+    # insert a brand-new partition + delete ALL de rows -> de dropped
+    ups = spark.createDataFrame([("x-it", "it", 0.0, 0.0)],
+                                ["url", "lang", "lat", "lon"])
+    dels = spark.createDataFrame(
+        [(f"u{i}-de", "de") for i in range(20)], ["url", "lang"])
+    info = merge_snapshot(ups, table, key_cols=["url"], deletes=dels)
+    assert info["deleted_rows"] == 20
+    assert info["dropped_partitions"] == 1
+    back = table.read(spark)
+    assert back.filter(F.col("lang") == "de").count() == 0
+    assert back.filter(F.col("lang") == "it").count() == 1
+    assert back.count() == 21
+    # partition dir physically gone, manifests consistent
+    assert not os.path.exists(table.partition_path({"lang": "de"}))
+    assert {m["partition"]["lang"] for m in table.manifests()} == {"en", "it"}
+
+
+def test_merge_snapshot_partial_delete(spark, table):
+    from geolake_spark.write import merge_snapshot
+    write_snapshot(_sample(spark, ["en"]), table, ["lang"])
+    dels = spark.createDataFrame([("u3-en", "en")], ["url", "lang"])
+    info = merge_snapshot(
+        spark.createDataFrame([], "url string, lang string, lat double, "
+                              "lon double"),
+        table, key_cols=["url"], deletes=dels)
+    assert info["deleted_rows"] == 1
+    back = table.read(spark)
+    assert back.count() == 19
+    assert back.filter(F.col("url") == "u3-en").count() == 0
