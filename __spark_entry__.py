@@ -2122,6 +2122,16 @@ def q_bm25(spark, sf_dir):
     return search.bm25_scores(d, _BM25_TERMS)
 
 
+def q_champion_topk(spark, sf_dir):
+    """Champion-list top-k retrieval (operators/search.champion_topk):
+    each query term keeps only its top-c postings by tf before scoring —
+    index-pruned approximate retrieval (Manning IR §7.1.3); c=8 is
+    deliberately tight so the champion prune is exercised, and the
+    oracle replays rank, rational weights, and the term-ordered sum."""
+    d = _t(spark, sf_dir, "documents")
+    return search.champion_topk(d, _BM25_TERMS, k=15, c=8)
+
+
 def q_classifier_scores(spark, sf_dir):
     """Model-based quality filtering (CCNet/GPT-3 recipe): linear
     classifier over hashing-trick bag-of-words features, inference as ONE
@@ -2578,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "classifier_scores": q_classifier_scores,
         "bm25_search": q_bm25,
+        "champion_topk": q_champion_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "pq_rerank": q_pq_rerank,
@@ -3166,6 +3177,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_docs_urls_messy_sql()}) GROUP BY 1"),
         "bm25_search": search.bm25_scores_sql(
             "SELECT doc_id, text FROM documents", _BM25_TERMS),
+        "champion_topk": search.champion_topk_sql(
+            "SELECT doc_id, text FROM documents", _BM25_TERMS, k=15, c=8),
         "pq_topk": _pq_sql(),
         "ivfpq_topk": _ivfpq_sql(),
         "pq_rerank": _pq_rerank_sql(),

@@ -483,3 +483,93 @@ SELECT substring(term, 1, {prefix_len}) AS prefix, term, freq,
        cast(row_number() OVER (PARTITION BY substring(term, 1, {prefix_len})
             ORDER BY freq DESC, term ASC) AS INTEGER) AS rank
 FROM _ac_c QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Champion lists — index-pruned top-k retrieval (Manning IR §7.1.3).
+# Exhaustive scoring reads every posting of every query term; champion
+# lists keep only each term's top-c postings by tf (ties -> doc_id asc),
+# bounding query cost by c*|terms| regardless of df.  The whole plan is
+# index-shaped: the tokenize scan filters to the query terms FIRST (at
+# 10^12 docs the exchange carries a few postings rows per matching doc,
+# never the token stream), both windows share one term-hash exchange,
+# and the final top-k is a TakeOrderedAndProject (no global sort).
+# Scoring stays rational (tf * (N+1) / df — no libm), summed per doc by
+# the sorted-sequential fold (pagerank pattern) so the DuckDB oracle is
+# value-hash exact on doubles.  Approximation is by construction: a doc
+# outside every query term's champion list scores 0 and cannot surface
+# — the documented recall trade (raise c to widen).
+# ---------------------------------------------------------------------------
+
+
+def champion_topk(docs: DataFrame, terms: list[str], k: int = 10,
+                  c: int = 64, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` docs for ``terms`` scored over champion lists of size
+    ``c``: ``(doc_id, n_terms, score)``, score = sum over matched
+    champion terms of ``tf * (N + 1) / df``, ties -> doc_id asc."""
+    from pyspark.sql import Window
+    qs = sorted({t.strip().lower() for t in terms if t.strip()})
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(_toks(F.col(text_col))).alias("term"))
+            .filter(F.col("term").isin(qs)))
+    tfs = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    wdf = Window.partitionBy("term")
+    wrk = Window.partitionBy("term").orderBy(F.col("tf").desc(),
+                                             F.col("doc_id"))
+    champ = (tfs.withColumn("df_count", F.count("*").over(wdf))
+             .withColumn("rnk", F.row_number().over(wrk))
+             .filter(F.col("rnk") <= c))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (champ.crossJoin(F.broadcast(n))
+              .select("doc_id", "term",
+                      ((F.col("tf") * (F.col("n_docs") + 1))
+                       / F.col("df_count")).alias("w"))
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("term"), F.col("w").alias("v")))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["v"]).alias("score")))
+    return (scored.select("doc_id", "n_terms", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k))
+
+
+def champion_topk_sql(docs_sql: str, terms: list[str], k: int = 10,
+                      c: int = 64, text_expr: str = "text",
+                      id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`champion_topk` (same rank tie-break, same
+    rational weights, same term-ordered sequential sum)."""
+    qs = sorted({t.strip().lower() for t in terms if t.strip()})
+    in_list = ", ".join(f"'{t}'" for t in qs)
+    return f"""
+WITH _ch_tok AS (
+  SELECT {id_expr} AS doc_id, u.term AS term
+  FROM (SELECT {id_expr},
+               CASE WHEN trim(lower({text_expr})) = '' THEN []
+                    ELSE regexp_split_to_array(trim(lower({text_expr})),
+                                               '\\s+') END AS tk
+        FROM ({docs_sql})) d,
+       LATERAL (SELECT unnest(tk) AS term) u
+  WHERE u.term IN ({in_list})
+), _ch_tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM _ch_tok GROUP BY 1, 2
+), _ch_rk AS (
+  SELECT term, doc_id, tf,
+         count(*) OVER (PARTITION BY term) AS df_count,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rnk
+  FROM _ch_tf
+), _ch_n AS (
+  SELECT count(*) AS n_docs FROM ({docs_sql})
+)
+SELECT doc_id, count(*) AS n_terms,
+       list_sum(list((tf * (n_docs + 1)) / df_count ORDER BY term))
+         AS score
+FROM _ch_rk CROSS JOIN _ch_n
+WHERE rnk <= {c}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}"""

@@ -242,3 +242,35 @@ def test_completions_topk_and_ties(spark):
     # terms shorter than the prefix are their own prefix
     assert got[("spa", 1)] == ("spa", 1)
     assert got[("tab", 1)] == ("tab", 1)
+
+
+def test_champion_topk_prunes_and_scores(spark):
+    # term 'x': doc 1 tf=3, doc 2 tf=2, doc 3 tf=1 -> c=2 keeps docs 1,2;
+    # doc 3 only matches via champion term 'y' (its only posting)
+    corpus = {1: "x x x filler", 2: "x x filler", 3: "x y", 4: "filler"}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_terms, r.score)
+           for r in search.champion_topk(df, ["x", "y"], k=10,
+                                         c=2).collect()}
+    # N=4, df(x)=3, df(y)=1; w = tf*(N+1)/df
+    assert got[1] == (1, 3 * 5 / 3)
+    assert got[2] == (1, 2 * 5 / 3)
+    # doc 3's x posting fell off the champion list; y survives
+    assert got[3] == (1, 1 * 5 / 1)
+    assert 4 not in got and len(got) == 3
+
+
+def test_champion_topk_plan_shape(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (search.champion_topk(df, ["a"], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    # exchange 1 carries partially-aggregated (term, doc) rows out of the
+    # token scan; exchange 2 (posting-rows-sized) feeds BOTH windows; the
+    # top-k is not a global sort
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("- Window ") == 2
+    # rank<=c runs as a group-limit inside the window sort (no full rank
+    # materialization) and the top-k is not a global sort
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
