@@ -77,7 +77,11 @@ def kmeans_fit_distributed(vectors: DataFrame, dim: int,
       quality of 4+ passes from the cold "first rows" init — the passes
       are the dominant trainer cost, so this is the wall-time lever.
       Recall vs brute force for exactly this configuration is asserted in
-      tests/test_ann.py::test_ivf_sf1_scale."""
+      tests/test_ann.py::test_ivf_sf1_scale;
+    * ``init="parallel"``: k-means|| (see :func:`_kmeans_parallel_init`)
+      — the init for when even the sample collect is infeasible
+      (n_clusters ~ 10^6 at 10^12 rows); deterministic hash-based
+      sampling, driver sees only the candidate set."""
     import pandas as pd
     from pyspark.sql import types as T
     if n_clusters is None:
@@ -91,6 +95,9 @@ def kmeans_fit_distributed(vectors: DataFrame, dim: int,
         .cast("array<float>").alias("nv"),
         F.col(id_col)).cache()
     centers = None
+    if init == "parallel":
+        centers = _kmeans_parallel_init(nv, dim, n_clusters,
+                                        id_col=id_col, seed=seed)
     if init == "sample":
         n = nv.count()  # materializes the cache (the first pass pays this
         # anyway); gives the exact sample fraction
@@ -237,6 +244,120 @@ def _kmeans_np(sample: np.ndarray, n_clusters: int, iters: int = 10,
         ok = norms > 0
         centers[occupied[ok]] = sums[ok] / norms[ok, None]
     return centers
+
+
+def _kmeans_np_weighted(pts: np.ndarray, w: np.ndarray, n_clusters: int,
+                        iters: int = 10) -> np.ndarray:
+    """Weighted spherical k-means on the k-means|| candidate set: each
+    candidate stands for ``w`` corpus points, so sums weight by ``w``.
+    Deterministic init: the ``n_clusters`` heaviest candidates."""
+    order = np.argsort(-w, kind="stable")[:n_clusters]
+    centers = pts[order].copy()
+    for _ in range(iters):
+        assign = (pts @ centers.T).argmax(axis=1)
+        o = np.argsort(assign, kind="stable")
+        asort = assign[o]
+        starts = np.flatnonzero(np.r_[True, np.diff(asort) > 0])
+        sums = np.add.reduceat(pts[o] * w[o, None], starts, axis=0)
+        occupied = asort[starts]
+        norms = np.linalg.norm(sums, axis=1)
+        ok = norms > 0
+        centers[occupied[ok]] = sums[ok] / norms[ok, None]
+    return centers
+
+
+def _kmeans_parallel_init(nv: DataFrame, dim: int, n_clusters: int,
+                          id_col: str = "vec_id", rounds: int = 4,
+                          oversample: int | None = None,
+                          seed: int = 42) -> np.ndarray | None:
+    """k-means|| init (Bahmani et al., VLDB 2012) — the init for the
+    regime where even a ``20 x n_clusters``-row sample is too big to
+    collect (10^12 rows, n_clusters = sqrt(N) ~ 10^6: the "sample" init
+    would pull 20M rows to the driver; this pulls ~``2k x rounds``
+    CANDIDATES, each round keeping expected ``l = 2k`` new ones).
+
+    Per round: one pass aggregates the total cost (1 - max-cosine to the
+    candidate set — the spherical d²/2), one pass Bernoulli-samples rows
+    with probability ``l * cost / total`` using a DETERMINISTIC
+    pseudo-uniform (xxhash64(id, seed, round) -> [0,1) — reproducible
+    across runs/cluster sizes, unlike rand()).  Candidates are then
+    weighted by the corpus mass they attract (one counting pass) and
+    reduced to ``n_clusters`` centers by driver-side weighted k-means.
+
+    2*rounds+1 distributed passes: locally slower than init="sample"
+    (which is why "sample" stays the bench default); at cluster scale the
+    passes are cheap scans and the driver never sees more than the
+    candidate set.  Returns None (caller falls back) if sampling
+    degenerates below ``n_clusters`` candidates."""
+    import pandas as pd
+
+    seed_row = (nv.select("nv")
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+                .limit(1).collect())
+    if not seed_row:
+        return None
+    cand = np.array([seed_row[0]["nv"]], dtype=np.float64)
+    l = oversample or 2 * n_clusters
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(0)),
+                F.lit(2 ** 53)).cast("double") / F.lit(float(2 ** 53)))
+    cost_schema = T.StructType([T.StructField("cost", T.DoubleType())])
+    samp_schema = T.StructType(
+        [T.StructField("nv", T.ArrayType(T.FloatType()))])
+    for rnd in range(rounds):
+        c32 = cand.astype(np.float32)
+        u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed), F.lit(rnd)),
+                    F.lit(2 ** 53)).cast("double") / F.lit(float(2 ** 53)))
+        base = nv.select("nv", u.alias("u"))
+
+        def costs(batches, _c=c32):
+            for pdf in batches:
+                m = sim.stack_vectors(pdf["nv"], dtype=np.float32)
+                if len(m) == 0:
+                    continue
+                c = np.maximum(1.0 - (m @ _c.T).max(axis=1), 0.0)
+                yield pd.DataFrame({"cost": c.astype(np.float64)})
+
+        total = (base.mapInPandas(costs, cost_schema)
+                 .agg(F.sum("cost")).collect()[0][0])
+        if not total or total <= 0:
+            break  # every point coincides with a candidate
+
+        def sample_rows(batches, _c=c32, _thr=l / total):
+            for pdf in batches:
+                m = sim.stack_vectors(pdf["nv"], dtype=np.float32)
+                if len(m) == 0:
+                    continue
+                c = np.maximum(1.0 - (m @ _c.T).max(axis=1), 0.0)
+                mask = pdf["u"].to_numpy() < _thr * c
+                if mask.any():
+                    yield pd.DataFrame(
+                        {"nv": [row for row in m[mask]]})
+
+        new = base.mapInPandas(sample_rows, samp_schema).collect()
+        if new:
+            cand = np.vstack([cand, np.array([r["nv"] for r in new],
+                                             dtype=np.float64)])
+    if len(cand) < n_clusters:
+        return None
+    c32 = cand.astype(np.float32)
+    wschema = T.StructType([T.StructField("cid", T.IntegerType()),
+                            T.StructField("cnt", T.LongType())])
+
+    def wcounts(batches, _c=c32):
+        for pdf in batches:
+            m = sim.stack_vectors(pdf["nv"], dtype=np.float32)
+            if len(m) == 0:
+                continue
+            a = (m @ _c.T).argmax(axis=1)
+            ids, cnts = np.unique(a, return_counts=True)
+            yield pd.DataFrame({"cid": ids.astype(np.int32),
+                                "cnt": cnts.astype(np.int64)})
+
+    w = np.zeros(len(cand), dtype=np.float64)
+    for r in (nv.mapInPandas(wcounts, wschema)
+              .groupBy("cid").agg(F.sum("cnt").alias("cnt")).collect()):
+        w[r["cid"]] = r["cnt"]
+    return _kmeans_np_weighted(cand, w, n_clusters)
 
 
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8,

@@ -375,3 +375,24 @@ def test_sq_codes_in_range_and_zero_span(spark):
     assert all(enc[i][1] == 0 for i in (1, 2, 3))
     # extremes hit the rails
     assert enc[1][0] == 0 and enc[2][0] == 255
+
+
+def test_ivf_parallel_init(vectors, probes):
+    """init="parallel" (k-means||, Bahmani VLDB'12): distributed
+    oversampled candidates + driver weighted k-means — the init for the
+    regime where even the sample collect is infeasible.  Deterministic
+    (hash-based Bernoulli), unit-norm centers, recall holds with 2
+    polish passes."""
+    centers = ann.kmeans_fit_distributed(vectors, dim=32, n_clusters=12,
+                                         iters=2, init="parallel")
+    assert centers.shape == (12, 32)
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0, atol=1e-9)
+    again = ann.kmeans_fit_distributed(vectors, dim=32, n_clusters=12,
+                                       iters=2, init="parallel")
+    assert np.array_equal(centers, again)          # reproducible init
+    exact = ann.cosine_topk(vectors, probes, k=10)
+    approx = ann.ivf_topk(vectors, probes, k=10, nprobe=4, centers=centers)
+    e = exact.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    a = approx.toPandas().groupby("probe_id")["vec_id"].apply(set).to_dict()
+    recalls = [len(e[p] & a[p]) / 10 for p in e]
+    assert np.mean(recalls) >= 0.7, recalls
