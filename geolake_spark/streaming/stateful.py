@@ -295,3 +295,90 @@ def curate_stream(pages: DataFrame, langs: list[str] | None = None,
             tx.dup_ngram_frac_col(F.col("text"), 3) <= max_dup_trigram)
     return streaming_exact_dedup(out, max_state=max_state,
                                  ttl_minutes=ttl_minutes)
+
+
+# ---------------------------------------------------------------------------
+# Streaming geofence — the batch operators/trips.geofence_events as a
+# stream: fence membership is a STREAM-STATIC broadcast join against the
+# rasterized fence cells (stateless, planned per micro-batch), and the
+# cross-batch "was this entity inside?" bit lives in per-entity group
+# state (one int + one long — constant per entity, the smallest state in
+# this module).  Within a micro-batch events sort by (ts, event_id);
+# across batches the arrival order is the processing order (the standard
+# stateful-streaming contract — a late event that time-travels behind an
+# already-processed one is applied in arrival order, same as
+# streaming_exact_dedup).  When per-entity arrival respects event time,
+# output == the batch operator exactly (tested).
+# ---------------------------------------------------------------------------
+
+GEOFENCE_OUTPUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("fence_id", T.LongType()),
+])
+GEOFENCE_STATE = T.StructType([
+    T.StructField("in_fence", T.IntegerType()),
+    T.StructField("fence_id", T.LongType()),
+])
+
+
+def _geofence_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    import numpy as np
+    prev_in, prev_fence = (state.get if state.exists else (None, None))
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        fid = pdf["fence_id"].to_numpy(dtype="float64", na_value=np.nan)
+        inside = ~np.isnan(fid)
+        # vectorized lag chain seeded from state: prev[i] = inside[i-1]
+        prev = np.empty(len(pdf), dtype="int64")
+        prev[0] = -1 if prev_in is None else prev_in
+        prev[1:] = inside[:-1]
+        # last in-fence id strictly BEFORE each row (exit payload)
+        seed = np.nan if prev_fence is None else float(prev_fence)
+        before = (pd.Series(np.r_[seed, np.where(inside, fid, np.nan)[:-1]])
+                  .ffill().to_numpy())
+        enters = inside & (prev != 1)
+        exits = ~inside & (prev == 1)
+        prev_in = int(inside[-1])
+        if inside.any():
+            prev_fence = int(fid[inside][-1])
+        hit = enters | exits
+        if hit.any():
+            yield pd.DataFrame({
+                "entity": np.full(int(hit.sum()), key[0], dtype="int64"),
+                "ts": pdf["ts"].to_numpy()[hit],
+                "event_id": pdf["event_id"].to_numpy()[hit],
+                "kind": np.where(enters[hit], "enter", "exit"),
+                "fence_id": np.where(enters[hit], fid[hit],
+                                     before[hit]).astype("int64"),
+            })
+    state.update((prev_in, prev_fence))
+
+
+def streaming_geofence(events: DataFrame, fence_cells: DataFrame,
+                       res: int, entity_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       lat_col: str = "lat",
+                       lon_col: str = "lon") -> DataFrame:
+    """Streaming enter/exit transitions; ``fence_cells`` is the STATIC
+    rasterized ``(polygon_id, cell)`` frame (overlaps -> min id, as in
+    batch).  Emits the same rows as
+    :func:`geolake_spark.operators.trips.geofence_events` when events
+    arrive in per-entity time order."""
+    from geolake_spark.functions.geo import grid_cell_col
+    fence = (fence_cells.groupBy("cell")
+             .agg(F.min("polygon_id").alias("fence_id")))
+    ev = events.select(
+        F.col(entity_col).alias("entity"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("cell"))
+    flagged = ev.join(F.broadcast(fence), "cell", "left")
+    return (flagged.groupBy("entity")
+            .applyInPandasWithState(
+                _geofence_fn, GEOFENCE_OUTPUT, GEOFENCE_STATE,
+                "append", GroupStateTimeout.NoTimeout))

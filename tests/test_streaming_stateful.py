@@ -157,3 +157,51 @@ def test_curate_stream_gates_plus_dedup(spark, pages, tmp_path):
     got_rest = got - {base_url, base_url + "#copy"}
     exp_rest = exp - {base_url}
     assert got_rest == exp_rest
+
+
+def test_streaming_geofence_matches_batch(spark, tmp_path):
+    """Per-entity walks split across time-ordered micro-batches: the
+    streaming operator's cross-batch state must reproduce the batch
+    geofence_events output exactly (enter on first in-fence observation,
+    exit carries the fence just left, runs never re-emit)."""
+    import datetime as dt
+
+    from geolake_spark.functions import geo
+    from geolake_spark.operators import trips
+
+    t0 = dt.datetime(2024, 3, 1)
+    cell = spark.range(1).select(
+        geo.grid_cell_col(F.lit(10.0), F.lit(10.0), 4).alias("cell")
+    ).collect()[0].cell
+    fences = spark.createDataFrame([(7, cell)], "polygon_id long, cell long")
+    # 3 users x 8 steps alternating in/out at varying cadence
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for i in range(8):
+            inside = (i // u) % 2 == 1          # different walk per user
+            lat, lon = (10.0, 10.0) if inside else (-50.0, -50.0)
+            rows.append((u, eid, t0 + dt.timedelta(minutes=i), lat, lon))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+        "lat double, lon double")
+    batch = {(r.entity, r.event_id): (r.kind, r.fence_id)
+             for r in trips.geofence_events(ev, fences, res=4).collect()}
+
+    # two time-split files -> two micro-batches; per-entity arrival order
+    # respects event time
+    drop = str(tmp_path / "gdrop")
+    ev.filter("ts < timestamp'2024-03-01 00:04:00'") \
+        .coalesce(1).write.mode("append").parquet(drop)
+    ev.filter("ts >= timestamp'2024-03-01 00:04:00'") \
+        .coalesce(1).write.mode("append").parquet(drop)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    out = stateful.streaming_geofence(stream, fences, res=4)
+    q = (out.writeStream.format("memory").queryName("gfence")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.entity, r.event_id): (r.kind, r.fence_id)
+           for r in spark.sql("select * from gfence").collect()}
+    assert got == batch and len(batch) > 4
