@@ -36,6 +36,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class IcebergishTable:
@@ -307,6 +308,43 @@ class IcebergishTable:
             raise ValueError("no live partitions (empty table or all pruned)")
         paths = [self.partition_path(m["partition"]) for m in manifests]
         df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return df
+
+    def stats_prune(self, col: str, lo=None, hi=None) -> tuple[list, int]:
+        """Data skipping on manifest column stats: (kept manifests,
+        skipped count) for the predicate ``lo <= col <= hi`` (either
+        bound optional).  A partition is skipped only when its recorded
+        [min, max] provably misses the range; missing stats (older
+        manifests, non-numeric columns) keep the partition — pruning is
+        an optimization, never a filter."""
+        kept, skipped = [], 0
+        for m in self.manifests():
+            cs = m.get("column_stats", {}).get(col)
+            if (cs is not None and cs["min"] is not None
+                    and ((hi is not None and cs["min"] > hi)
+                         or (lo is not None and cs["max"] < lo))):
+                skipped += 1
+            else:
+                kept.append(m)
+        return kept, skipped
+
+    def read_where(self, spark: SparkSession, col: str,
+                   lo=None, hi=None) -> DataFrame:
+        """Manifest-stat-pruned range scan: partitions whose column
+        min/max misses ``[lo, hi]`` never reach the reader (the Iceberg
+        data-skipping move, at our partition granularity); the residual
+        row filter still applies on the survivors, pushed down to the
+        parquet scan."""
+        kept, _ = self.stats_prune(col, lo, hi)
+        if not kept:
+            schema = StructType.fromJson(self.table_spec()["schema"])
+            return spark.createDataFrame([], schema)
+        paths = [self.partition_path(m["partition"]) for m in kept]
+        df = spark.read.option("basePath", self.data_dir).parquet(*paths)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
     def stats(self) -> dict:

@@ -34,7 +34,32 @@ def partition_metrics(df: DataFrame, partition_cols: list[str],
         key = tuple(r[c] for c in partition_cols)
         entry = out.setdefault(key, {
             "partition": {c: r[c] for c in partition_cols},
-            "row_count": 0, "cell_histogram": {}})
+            "row_count": 0, "cell_histogram": {}, "column_stats": {}})
         entry["row_count"] += r["cnt"]
         entry["cell_histogram"][str(r["_hcell"])] = r["cnt"]
+
+    # per-column min/max/null-count for numeric columns — the Iceberg-style
+    # data-skipping payload (catalog.read_where prunes partitions whose
+    # [min, max] misses the predicate range without opening a file).  One
+    # extra distributed aggregation per commit, partitions-sized output.
+    # Strings are deliberately excluded: a truncated string max is NOT an
+    # upper bound (Iceberg solves this with truncate+increment; numeric +
+    # epoch-micro predicates carry the pruning value here).
+    from pyspark.sql import types as T
+    num = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+           T.FloatType, T.DoubleType)
+    stat_cols = [f.name for f in df.schema.fields
+                 if isinstance(f.dataType, num)
+                 and f.name not in partition_cols]
+    if stat_cols and out:
+        aggs = []
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"),
+                     F.sum(F.col(c).isNull().cast("long")).alias(f"nl_{c}")]
+        for r in df.groupBy(*partition_cols).agg(*aggs).collect():
+            key = tuple(r[c] for c in partition_cols)
+            if key in out:
+                out[key]["column_stats"] = {
+                    c: {"min": r[f"mn_{c}"], "max": r[f"mx_{c}"],
+                        "nulls": r[f"nl_{c}"]} for c in stat_cols}
     return list(out.values())

@@ -138,3 +138,31 @@ def test_merge_snapshot_partial_delete(spark, table):
     back = table.read(spark)
     assert back.count() == 19
     assert back.filter(F.col("url") == "u3-en").count() == 0
+
+
+def test_column_stats_data_skipping(spark, table):
+    from geolake_spark.catalog import IcebergishTable  # noqa: F401
+    # lat ranges are disjoint per partition: en -30..-11, de 10..29
+    rows = [(f"u{i}", "en", float(-30 + i), 0.0) for i in range(20)]
+    rows += [(f"v{i}", "de", float(10 + i), 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["url", "lang", "lat", "lon"])
+    write_snapshot(df, table, ["lang"])
+    # manifests carry numeric min/max/nulls
+    m = {mm["partition"]["lang"]: mm["column_stats"]
+         for mm in table.manifests()}
+    assert m["en"]["lat"] == {"min": -30.0, "max": -11.0, "nulls": 0}
+    assert m["de"]["lat"] == {"min": 10.0, "max": 29.0, "nulls": 0}
+    # range hits only de -> en partition is skipped without a file read
+    kept, skipped = table.stats_prune("lat", lo=0.0)
+    assert skipped == 1 and [k["partition"]["lang"] for k in kept] == ["de"]
+    out = table.read_where(spark, "lat", lo=0.0, hi=15.0)
+    assert out.count() == 6                       # residual filter applies
+    assert set(r.lang for r in out.select("lang").distinct().collect()) \
+        == {"de"}
+    # no stats for the column -> never prunes
+    kept, skipped = table.stats_prune("nonexistent", lo=0.0)
+    assert skipped == 0 and len(kept) == 2
+    # fully-pruned read returns an empty frame with the table schema
+    empty = table.read_where(spark, "lat", lo=1e9)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"url", "lang", "lat", "lon"}
