@@ -1838,6 +1838,36 @@ def q_geofence(spark, sf_dir):
     return trips.geofence_events(_events_geo(spark, sf_dir), fences, res=6)
 
 
+def q_ohlc(spark, sf_dir):
+    """Hourly OHLC bars per event type (operators/aggregates.ohlc_bars):
+    one map-side-combined groupBy; open/close via struct extrema with a
+    (ts, value) total order so the oracle is value-hash exact."""
+    e = _t(spark, sf_dir, "events")
+    return aggregates.ohlc_bars(e, "ts", "value", ["event_type"])
+
+
+def q_flow_octants(spark, sf_dir):
+    """Per-cell movement-direction histogram (operators/trips.
+    flow_octants): consecutive per-user steps classified into compass
+    octants by pure sign/magnitude comparisons — integer counts, one
+    window + one integer groupBy."""
+    return trips.flow_octants(_events_geo(spark, sf_dir), res=5)
+
+
+def q_polygon_overlap(spark, sf_dir):
+    """Raster-space polygon x polygon overlap join (operators/spatial.
+    polygon_overlap_pairs): shared-res-6-cell counts via the capped
+    bucket-pairs machinery; oracle recomputes by raster self-join."""
+    d = _docs_geo(spark, sf_dir)
+    lat, lon = F.col("lat"), F.col("lon")
+    p1 = F.array(lon, lat + 0.9)
+    p2 = F.array(lon + 0.7, lat - 0.5)
+    p3 = F.array(lon - 0.8, lat - 0.3)
+    polys = d.select(F.col("doc_id").alias("polygon_id"),
+                     F.array(F.array(p1, p2, p3, p1)).alias("rings"))
+    return spatial.polygon_overlap_pairs(polys, res=6, min_cells=2)
+
+
 def q_cell_smooth(spark, sf_dir):
     """Heatmap smoothing (operators/spatial.smooth_cells): the res-5
     event histogram box-blurred over each cell's 3x3 neighborhood —
@@ -2605,6 +2635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "zonal_stats": q_zonal_stats,
         "geofence": q_geofence,
+        "ohlc": q_ohlc,
+        "flow_octants": q_flow_octants,
+        "polygon_overlap": q_polygon_overlap,
         "cooccurrence": q_cooccurrence,
         "idw_grid": q_idw_grid,
         "funnel": q_funnel,
@@ -3120,6 +3153,16 @@ def oracle_sql() -> dict[str, str]:
             + ") r JOIN ("
             + spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=6)
             + ") h ON r.cell = h.cell GROUP BY r.polygon_id"),
+        "ohlc": aggregates.ohlc_bars_sql(
+            "SELECT * FROM events", "ts", "value", ["event_type"]),
+        "flow_octants": trips.flow_octants_sql(
+            "events", geo.geocode_lat_sql("event_id"),
+            geo.geocode_lon_sql("event_id"), res=5),
+        "polygon_overlap": spatial.polygon_overlap_pairs_sql(
+            "SELECT doc_id AS polygon_id, "
+            "[[[lon, lat + 0.9], [lon + 0.7, lat - 0.5], "
+            "[lon - 0.8, lat - 0.3], [lon, lat + 0.9]]] AS rings "
+            f"FROM ({_DOCS_GEO_SQL})", res=6, min_cells=2),
         "geofence": trips.geofence_events_sql(
             _EVENTS_GEO_SQL,
             spatial.polygon_raster_cells_sql(

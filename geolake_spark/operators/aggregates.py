@@ -384,3 +384,43 @@ def lag_features_sql(docs_sql: str, entity_col: str, ts_col: str,
             f"{value_col} AS value, {lag_cols}, "
             f"epoch_us({ts_col}) - epoch_us(lag({ts_col}, 1) {over}) "
             f"AS gap_us FROM ({docs_sql})")
+
+
+def ohlc_bars(df: DataFrame, ts_col: str, value_col: str,
+              group_cols: list[str] | None = None,
+              bucket: str = "hour") -> DataFrame:
+    """Open/high/low/close bars per time bucket (and optional group):
+    the telemetry/finance downsampling staple.  One partial-agg'd
+    groupBy; open/close come from ``min/max(struct(ts, value))`` so ties
+    on ``ts`` break by value — a total order, making the DuckDB oracle
+    value-hash exact (the od_matrix struct-extrema precedent).  At scale
+    this is a plain map-side-combined aggregation on (bucket, groups) —
+    no window, no second shuffle."""
+    gcols = list(group_cols or [])
+    bar = F.date_trunc(bucket, F.col(ts_col).cast("timestamp")).alias("bar")
+    pair = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+    out = (df.groupBy(*gcols, bar)
+           .agg(F.min(pair).alias("_o"), F.max(pair).alias("_c"),
+                F.max(value_col).alias("high"),
+                F.min(value_col).alias("low"),
+                F.count(F.lit(1)).alias("n_obs")))
+    return out.select(*gcols, "bar", F.col("_o.v").alias("open"), "high",
+                      "low", F.col("_c.v").alias("close"), "n_obs")
+
+
+def ohlc_bars_sql(docs_sql: str, ts_col: str, value_col: str,
+                  group_cols: list[str] | None = None,
+                  bucket: str = "hour") -> str:
+    """DuckDB mirror of :func:`ohlc_bars` (struct extrema are
+    lexicographic in both engines)."""
+    gcols = list(group_cols or [])
+    gsel = "".join(f"{c}, " for c in gcols)
+    return f"""
+SELECT {gsel}date_trunc('{bucket}', {ts_col}) AS bar,
+       (min(struct_pack(t := {ts_col}, v := {value_col}))).v AS open,
+       max({value_col}) AS high,
+       min({value_col}) AS low,
+       (max(struct_pack(t := {ts_col}, v := {value_col}))).v AS close,
+       count(*) AS n_obs
+FROM ({docs_sql})
+GROUP BY ALL"""

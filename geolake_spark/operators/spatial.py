@@ -660,3 +660,51 @@ SELECT j.cell, j.n_points, cast(j.w_i AS BIGINT) AS w_i,
                         - cast(j.w_i AS DOUBLE) * cast(j.w_i AS DOUBLE))
                        / cast(g.n - 1 AS DOUBLE))), 9) AS gi_star
 FROM _go_j j, _go_g g"""
+
+
+# ---------------------------------------------------------------------------
+# Polygon-overlap pairs — raster-space polygon x polygon join.  Exact
+# vector intersection needs geometry kernels; at 10^12-page scale the
+# standard first pass is raster overlap: two polygons overlap iff they
+# share a res-cell, and the shared-cell COUNT is the (cell-area-quantized)
+# intersection area.  Reuses the dedup candidate machinery: cells are the
+# buckets, polygon ids the members, dedupe=False turns the HOF pair
+# stream into a multiplicity count — so the pair generation inherits the
+# capped, pre-filtered, one-shuffle shape audited for MinHash (a hot cell
+# shared by k polygons is exactly the mega-bucket problem).
+# ---------------------------------------------------------------------------
+
+
+def polygon_overlap_pairs(polygons: DataFrame, res: int,
+                          min_cells: int = 1,
+                          id_col: str = "polygon_id",
+                          rings_col: str = "rings",
+                          cell_cap: int | None = 4096) -> DataFrame:
+    """``(id_a, id_b, shared_cells)`` for polygon pairs whose res-rasters
+    intersect in at least ``min_cells`` cells (id_a < id_b)."""
+    from geolake_spark.operators.dedup import _bucket_pairs
+    r = (polygon_raster_cells(polygons, res, id_col=id_col,
+                              rings_col=rings_col)
+         .select("cell", F.col("polygon_id").alias("id")))
+    pairs = _bucket_pairs(r, ["cell"], cap=cell_cap, dedupe=False)
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_cells"))
+            .filter(F.col("shared_cells") >= min_cells))
+
+
+def polygon_overlap_pairs_sql(polys_sql: str, res: int,
+                              min_cells: int = 1,
+                              id_expr: str = "polygon_id",
+                              rings_expr: str = "rings") -> str:
+    """DuckDB mirror: raster CTE self-joined on cell (the oracle states
+    the answer by a different algorithm than the HOF pair stream)."""
+    raster = polygon_raster_cells_sql(polys_sql, res, id_expr=id_expr,
+                                      rings_expr=rings_expr)
+    return f"""
+WITH _po_r AS ({raster})
+SELECT a.polygon_id AS id_a, b.polygon_id AS id_b,
+       count(*) AS shared_cells
+FROM _po_r a JOIN _po_r b
+  ON a.cell = b.cell AND a.polygon_id < b.polygon_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_cells}"""

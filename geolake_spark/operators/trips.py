@@ -424,3 +424,86 @@ SELECT entity, ts, event_id,
 FROM _gf_lag
 WHERE (in_fence = 1 AND (prev_in IS NULL OR prev_in = 0))
    OR (in_fence = 0 AND prev_in = 1)"""
+
+
+# ---------------------------------------------------------------------------
+# Flow field — per-cell movement-direction histogram.  The aggregate
+# mobility "vector field" tiles render (commute directionality, crawl-
+# referral geography): every consecutive per-entity event pair becomes a
+# step from its ORIGIN cell, classified into one of 8 compass octants
+# (or 'stay') purely by sign/magnitude comparisons — no trig, no float
+# accumulation, so counts are integer-exact and the DuckDB oracle is a
+# straight replay.  Plan: the same single entity-window shuffle as
+# segment_trips, then one partial-agg'd integer groupBy(cell, octant).
+# ---------------------------------------------------------------------------
+
+
+def _octant(dlat: Column, dlon: Column) -> Column:
+    alat, alon = F.abs(dlat), F.abs(dlon)
+    return (F.when((dlat == 0) & (dlon == 0), "stay")
+            .when(alat > alon, F.when(dlat > 0, "N").otherwise("S"))
+            .when(alon > alat, F.when(dlon > 0, "E").otherwise("W"))
+            .when((dlat > 0) & (dlon > 0), "NE")
+            .when((dlat > 0) & (dlon < 0), "NW")
+            .when((dlat < 0) & (dlon > 0), "SE")
+            .otherwise("SW"))
+
+
+def flow_octants(events: DataFrame, res: int,
+                 entity_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", lat_col: str = "lat",
+                 lon_col: str = "lon") -> DataFrame:
+    """``(cell, octant, n_steps)``: consecutive-event steps counted by
+    compass octant from each step's origin cell."""
+    from pyspark.sql import Window
+
+    from ..functions.geo import grid_cell_col
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col),
+                                               F.col(id_col))
+    stepped = (events.select(
+        F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon"),
+        F.lag(lat_col).over(w).alias("_plat"),
+        F.lag(lon_col).over(w).alias("_plon"))
+        .filter(F.col("_plat").isNotNull()))
+    cell = grid_cell_col(F.col("_plat"), F.col("_plon"), res)
+    oct_ = _octant(F.col("_lat") - F.col("_plat"),
+                   F.col("_lon") - F.col("_plon"))
+    return (stepped.select(cell.alias("cell"), oct_.alias("octant"))
+            .groupBy("cell", "octant")
+            .agg(F.count(F.lit(1)).alias("n_steps")))
+
+
+def flow_octants_sql(table: str, lat_expr: str, lon_expr: str, res: int,
+                     entity_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> str:
+    """DuckDB mirror of :func:`flow_octants` (identical comparison
+    ladder; IEEE subtraction is exact in both engines)."""
+    from .. import cells
+    cell = cells.grid_cell_sql("_plat", "_plon", res)
+    return f"""
+WITH _fo_e AS (
+  SELECT {lat_expr} AS _lat, {lon_expr} AS _lon, {entity_col} AS _ent,
+         {ts_col} AS _ts, {id_col} AS _id
+  FROM {table}
+), _fo_s AS (
+  SELECT _lat, _lon,
+         lag(_lat) OVER w AS _plat, lag(_lon) OVER w AS _plon
+  FROM _fo_e
+  WINDOW w AS (PARTITION BY _ent ORDER BY _ts, _id)
+), _fo_d AS (
+  SELECT {cell} AS cell, _lat - _plat AS dlat, _lon - _plon AS dlon
+  FROM _fo_s WHERE _plat IS NOT NULL
+)
+SELECT cell,
+       CASE WHEN dlat = 0 AND dlon = 0 THEN 'stay'
+            WHEN abs(dlat) > abs(dlon) THEN
+                 CASE WHEN dlat > 0 THEN 'N' ELSE 'S' END
+            WHEN abs(dlon) > abs(dlat) THEN
+                 CASE WHEN dlon > 0 THEN 'E' ELSE 'W' END
+            WHEN dlat > 0 AND dlon > 0 THEN 'NE'
+            WHEN dlat > 0 AND dlon < 0 THEN 'NW'
+            WHEN dlat < 0 AND dlon > 0 THEN 'SE'
+            ELSE 'SW' END AS octant,
+       count(*) AS n_steps
+FROM _fo_d
+GROUP BY 1, 2"""

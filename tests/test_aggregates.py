@@ -175,3 +175,22 @@ def test_lag_features_single_window_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") <= 1
     assert plan.count("Window") == 1
+
+def test_ohlc_bars_hand_checked(spark):
+    import datetime as dt
+
+    from geolake_spark.operators import aggregates
+    t0 = dt.datetime(2024, 1, 1, 9, 10)
+    rows = [("a", t0, 5.0), ("a", t0 + dt.timedelta(minutes=5), 9.0),
+            ("a", t0 + dt.timedelta(minutes=9), 2.0),
+            ("a", t0, 3.0),                       # ts tie: value breaks it
+            ("a", t0 + dt.timedelta(hours=1), 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, "
+                               "value double")
+    got = {(r.event_type, r.bar.hour): (r.open, r.high, r.low, r.close,
+                                        r.n_obs)
+           for r in aggregates.ohlc_bars(df, "ts", "value",
+                                         ["event_type"]).collect()}
+    # 9:00 bar: open = min(struct) = (t0, 3.0); close = (9:19, 2.0)
+    assert got[("a", 9)] == (3.0, 9.0, 2.0, 2.0, 4)
+    assert got[("a", 10)] == (7.0, 7.0, 7.0, 7.0, 1)

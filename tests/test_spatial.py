@@ -317,3 +317,27 @@ def test_getis_ord_hotspot_reference(spark):
     corner = ix_of[(base_ix, base_iy)]
     assert center == max(ix_of.values()) and center > 2.0
     assert corner < 0
+
+
+def test_polygon_overlap_pairs_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from geolake_spark.operators import spatial
+    # two squares sharing a 2-cell strip at res 4 (cells ~5.6 deg wide);
+    # third polygon far away -> no pair with it
+    def sq(w, s, e, n):
+        return [[[w, s], [e, s], [e, n], [w, n], [w, s]]]
+    polys = spark.createDataFrame(
+        [(1, sq(0.0, 0.0, 20.0, 10.0)), (2, sq(15.0, 0.0, 35.0, 10.0)),
+         (3, sq(100.0, 50.0, 110.0, 60.0))],
+        "polygon_id long, rings array<array<array<double>>>")
+    got = {(r.id_a, r.id_b): r.shared_cells
+           for r in spatial.polygon_overlap_pairs(polys, res=4).collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 1
+    # shared count equals the raster intersection size
+    ra = spatial.polygon_raster_cells(polys.filter(F.col("polygon_id") == 1),
+                                      res=4)
+    rb = spatial.polygon_raster_cells(polys.filter(F.col("polygon_id") == 2),
+                                      res=4)
+    inter = ra.select("cell").intersect(rb.select("cell")).count()
+    assert got[(1, 2)] == inter

@@ -197,3 +197,17 @@ def test_geofence_broadcast_single_shuffle(spark):
     # the events path shuffles exactly once (the entity window); the other
     # hash exchange is the fences-sized groupBy(cell) before the broadcast
     assert plan.count("hashpartitioning(entity") == 1
+
+
+def test_flow_octants_hand_checked(spark):
+    # one user walking: N, E, NE(diagonal), stay from the same start cell
+    rows = [(1, 1, T0, 0.0, 0.0),
+            (1, 2, T0 + dt.timedelta(minutes=1), 1.0, 0.0),    # N
+            (1, 3, T0 + dt.timedelta(minutes=2), 1.0, 1.0),    # E
+            (1, 4, T0 + dt.timedelta(minutes=3), 2.0, 2.0),    # NE (equal)
+            (1, 5, T0 + dt.timedelta(minutes=4), 2.0, 2.0)]    # stay
+    out = {}
+    for r in trips.flow_octants(_events(spark, rows), res=2).collect():
+        out.setdefault(r.octant, 0)
+        out[r.octant] += r.n_steps
+    assert out == {"N": 1, "E": 1, "NE": 1, "stay": 1}
