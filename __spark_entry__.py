@@ -1868,6 +1868,53 @@ def q_polygon_overlap(spark, sf_dir):
     return spatial.polygon_overlap_pairs(polys, res=6, min_cells=2)
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Per-host template removal (operators/curation.strip_boilerplate):
+    7 synthetic hosts each stamp a newsletter paragraph on 90% of their
+    pages; the >= 50%-of-host threshold strips it everywhere while the
+    10% unstamped pages prove per-host counting (not global)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    url = F.concat(F.lit("https://"), host, F.lit(".example/p/"),
+                   F.col("doc_id").cast("string"))
+    boiler = F.concat(F.lit("subscribe to "), host,
+                      F.lit(" newsletter today"))
+    text = F.when(F.col("doc_id") % 10 != 9,
+                  F.concat(F.col("text"), F.lit("\n\n"), boiler)) \
+        .otherwise(F.col("text"))
+    df = d.select("doc_id", url.alias("url"), text.alias("text"))
+    return curation.strip_boilerplate(df, min_frac=0.5, min_pages=2) \
+        .select("doc_id", "text")
+
+
+_BOILER_SQL_SRC = (
+    "SELECT doc_id, 'https://h' || cast(doc_id % 7 AS VARCHAR) || "
+    "'.example/p/' || cast(doc_id AS VARCHAR) AS url, "
+    "CASE WHEN doc_id % 10 <> 9 THEN text || chr(10) || chr(10) || "
+    "'subscribe to h' || cast(doc_id % 7 AS VARCHAR) || "
+    "' newsletter today' ELSE text END AS text FROM documents")
+
+
+def q_stay_points(spark, sf_dir):
+    """Cell-dwell stay points (operators/trips.stay_points): each user
+    cycles among 3 home cities (geocode keyed on user_id*16 + event_id%3
+    — shared with the oracle) so same-cell runs exist; dwell >= 10 h
+    keeps multi-event stays and drops lone pings."""
+    e = _t(spark, sf_dir, "events")
+    key = F.col("user_id") * 16 + F.col("event_id") % 3
+    ev = (e.withColumn("lat", geo.geocode_lat_col(key))
+          .withColumn("lon", geo.geocode_lon_col(key)))
+    return trips.stay_points(ev, res=4, min_minutes=600.0)
+
+
+def q_covisit(spark, sf_dir):
+    """Cell co-visitation (operators/trips.covisit_pairs): the bipartite
+    user x cell projection via the capped bucket-pairs machinery —
+    entities are buckets, distinct visited cells the members."""
+    return trips.covisit_pairs(_events_geo(spark, sf_dir), res=2,
+                               min_common=5)
+
+
 def q_cell_smooth(spark, sf_dir):
     """Heatmap smoothing (operators/spatial.smooth_cells): the res-5
     event histogram box-blurred over each cell's 3x3 neighborhood —
@@ -2638,6 +2685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": q_ohlc,
         "flow_octants": q_flow_octants,
         "polygon_overlap": q_polygon_overlap,
+        "stay_points": q_stay_points,
+        "covisit": q_covisit,
+        "strip_boilerplate": q_strip_boilerplate,
         "cooccurrence": q_cooccurrence,
         "idw_grid": q_idw_grid,
         "funnel": q_funnel,
@@ -3153,6 +3203,15 @@ def oracle_sql() -> dict[str, str]:
             + ") r JOIN ("
             + spatial.dense_cells_sql(_EVENTS_GEO_SQL, res=6)
             + ") h ON r.cell = h.cell GROUP BY r.polygon_id"),
+        "stay_points": trips.stay_points_sql(
+            "events", geo.geocode_lat_sql("user_id * 16 + event_id % 3"),
+            geo.geocode_lon_sql("user_id * 16 + event_id % 3"),
+            res=4, min_minutes=600.0),
+        "covisit": trips.covisit_pairs_sql(
+            "events", geo.geocode_lat_sql("event_id"),
+            geo.geocode_lon_sql("event_id"), res=2, min_common=5),
+        "strip_boilerplate": curation.strip_boilerplate_sql(
+            f"({_BOILER_SQL_SRC})", min_frac=0.5, min_pages=2),
         "ohlc": aggregates.ohlc_bars_sql(
             "SELECT * FROM events", "ts", "value", ["event_type"]),
         "flow_octants": trips.flow_octants_sql(

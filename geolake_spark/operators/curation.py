@@ -1038,3 +1038,114 @@ FROM _c4
 WHERE len(_kept) >= {min_lines}
   AND NOT contains(lower(_t), 'lorem ipsum')
   AND NOT contains(_t, '{{')"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate stripping — the template-removal pass between
+# main_content extraction (per-page heuristics) and global paragraph
+# dedup (corpus-wide first-occurrence): a paragraph that repeats across
+# >= min_frac of a HOST's pages is site chrome (nav, footer, cookie
+# banner) and is removed from every page of that host.  This is the
+# pass that de-fangs the templated-page mega-cluster problem UPSTREAM
+# of MinHash (VERDICT r4 "what's wrong" #2): the shared boilerplate
+# that made those pages near-identical is gone before shingling.
+#
+# Scale shape: paragraph fingerprints aggregate on (host, fp) with
+# map-side partials; the boilerplate set is hosts x chrome-paragraphs
+# sized (small) so the removal anti-join broadcasts; reassembly is the
+# same one groupBy(doc) as paragraph_dedup.  Decision threshold is
+# float-free on the comparison side both engines share the exact
+# expression (cast to double, single multiply).
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate(df: DataFrame, min_frac: float = 0.5,
+                      min_pages: int = 2, min_repeats: int = 2,
+                      url_col: str = "url",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      sep: str = "\n\n") -> DataFrame:
+    """Remove paragraphs appearing on >= ``min_frac`` of their host's
+    pages (hosts with >= ``min_pages`` pages).  ``min_repeats`` floors
+    the absolute page count: a paragraph seen on ONE page is never
+    chrome, whatever the ratio says (on a 2-page host, min_frac=0.5
+    would otherwise flag every singleton).  Text is rebuilt in original
+    paragraph order; docs whose every paragraph was chrome disappear
+    (the paragraph_dedup contract)."""
+    host = F.regexp_extract(F.col(url_col), r"https?://([^/]+)/", 1)
+    pid, ppos, ppar = "_bp_id", "_bp_pos", "_bp_para"
+    paras = (df.select(F.col(id_col).alias(pid), host.alias("_bp_host"),
+                       F.posexplode(F.split(F.col(text_col),
+                                            re.escape(sep)))
+                       .alias(ppos, ppar))
+             .filter(F.col(ppar) != "")
+             .withColumn("_bp_fp", F.md5(F.col(ppar))))
+    host_pages = (df.select(host.alias("_bp_host"),
+                            F.col(id_col).alias(pid)).distinct()
+                  .groupBy("_bp_host")
+                  .agg(F.count(F.lit(1)).alias("_bp_n_pages")))
+    hot = (paras.select("_bp_host", "_bp_fp", pid).distinct()
+           .groupBy("_bp_host", "_bp_fp")
+           .agg(F.count(F.lit(1)).alias("_bp_n_docs"))
+           .join(host_pages, "_bp_host")
+           .filter((F.col("_bp_n_pages") >= min_pages)
+                   & (F.col("_bp_n_docs") >= min_repeats)
+                   & (F.col("_bp_n_docs").cast("double")
+                      >= F.lit(min_frac) * F.col("_bp_n_pages")))
+           .select("_bp_host", "_bp_fp"))
+    kept = paras.join(hot, ["_bp_host", "_bp_fp"], "left_anti")
+    rebuilt = (kept.groupBy(pid)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col(ppos), F.col(ppar)))),
+                       lambda s: s[ppar]),
+                   sep).alias(text_col)))
+    return (df.drop(text_col)
+            .join(rebuilt.withColumnRenamed(pid, id_col), id_col, "inner"))
+
+
+def strip_boilerplate_sql(table: str, min_frac: float = 0.5,
+                          min_pages: int = 2, min_repeats: int = 2,
+                          url_expr: str = "url",
+                          text_expr: str = "text", id_col: str = "doc_id",
+                          sep: str = "\n\n",
+                          extra_cols: str = "") -> str:
+    """DuckDB mirror of :func:`strip_boilerplate`."""
+    sep_sql = " || ".join(f"chr({ord(c)})" for c in sep)
+    return f"""
+WITH _bp_parts AS (
+    SELECT {id_col},
+           regexp_extract({url_expr}, 'https?://([^/]+)/', 1) AS host,
+           string_split({text_expr}, {sep_sql}) AS parts
+    FROM {table}
+), _bp_paras AS (
+    SELECT {id_col}, host, u.pos, u.para, md5(u.para) AS fp
+    FROM _bp_parts,
+      LATERAL (SELECT unnest(list_transform(range(1, len(parts) + 1),
+                 i -> {{'pos': i - 1, 'para': parts[i]}}),
+                 recursive := true)) u
+    WHERE u.para <> ''
+), _bp_hp AS (
+    SELECT host, count(DISTINCT {id_col}) AS n_pages
+    FROM _bp_parts GROUP BY host
+), _bp_hot AS (
+    SELECT p.host, p.fp
+    FROM (SELECT host, fp, count(DISTINCT {id_col}) AS n_docs
+          FROM _bp_paras GROUP BY host, fp) p
+    JOIN _bp_hp h ON p.host = h.host
+    WHERE h.n_pages >= {min_pages}
+      AND p.n_docs >= {min_repeats}
+      AND cast(p.n_docs AS DOUBLE) >= {min_frac!r} * h.n_pages
+), _bp_kept AS (
+    SELECT k.{id_col}, k.pos, k.para
+    FROM _bp_paras k
+    ANTI JOIN _bp_hot b ON k.host = b.host AND k.fp = b.fp
+), _bp_built AS (
+    SELECT {id_col},
+           array_to_string(list_transform(
+               list(struct_pack(pos := pos, para := para) ORDER BY pos),
+               s -> s.para), {sep_sql}) AS text
+    FROM _bp_kept GROUP BY {id_col}
+)
+SELECT t.{id_col}, b.text{extra_cols}
+FROM {table} t JOIN _bp_built b ON t.{id_col} = b.{id_col}"""

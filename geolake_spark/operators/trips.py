@@ -507,3 +507,128 @@ SELECT cell,
        count(*) AS n_steps
 FROM _fo_d
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Stay points — cell-dwell runs.  The mobility-mining primitive (Zheng
+# et al.'s stay-point detection, here at cell granularity so it is
+# deterministic and join-free): consecutive same-cell observations of an
+# entity form a RUN; runs dwelling at least ``min_minutes`` are stay
+# points.  Plan: the lag + running-sum run segmentation runs in one
+# entity window (two chained window functions, one shuffle) and the
+# per-run rollup groups on (entity, run) — a superset of the window's
+# hash partitioning, so no second exchange (the trip_stats precedent).
+# Dwell compares in integer microseconds.
+# ---------------------------------------------------------------------------
+
+
+def stay_points(events: DataFrame, res: int, min_minutes: float = 30.0,
+                entity_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", lat_col: str = "lat",
+                lon_col: str = "lon") -> DataFrame:
+    """``(entity, cell, enter_ts, leave_ts, n_events, dwell_us)`` for
+    same-cell runs with dwell >= ``min_minutes``."""
+    from pyspark.sql import Window
+
+    from ..functions.geo import grid_cell_col
+    cell = grid_cell_col(F.col(lat_col), F.col(lon_col), res)
+    base = events.select(
+        F.col(entity_col).alias("entity"), F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"), cell.alias("cell"))
+    w = Window.partitionBy("entity").orderBy(F.col("ts"),
+                                             F.col("event_id"))
+    stepped = base.withColumn(
+        "_new", F.coalesce((F.lag("cell").over(w) != F.col("cell"))
+                           .cast("int"), F.lit(1)))
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = stepped.withColumn("_run", F.sum("_new").over(w2))
+    out = (runs.groupBy("entity", "_run", "cell")
+           .agg(F.min("ts").alias("enter_ts"), F.max("ts").alias("leave_ts"),
+                F.count(F.lit(1)).alias("n_events")))
+    dwell = (_micros("leave_ts") - _micros("enter_ts"))
+    return (out.withColumn("dwell_us", dwell)
+            .filter(F.col("dwell_us") >= int(min_minutes * 60_000_000))
+            .drop("_run"))
+
+
+def stay_points_sql(table: str, lat_expr: str, lon_expr: str, res: int,
+                    min_minutes: float = 30.0,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id") -> str:
+    """DuckDB mirror of :func:`stay_points`.  DuckDB can't nest lag()
+    inside a running-sum window, so the lag and the cumulative sum live
+    in separate CTE stages (the robots.py lesson)."""
+    from .. import cells
+    cell = cells.grid_cell_sql(lat_expr, lon_expr, res)
+    return f"""
+WITH _sp_e AS (
+  SELECT {entity_col} AS entity, {ts_col} AS ts, {id_col} AS event_id,
+         {cell} AS cell
+  FROM {table}
+), _sp_l AS (
+  SELECT entity, ts, event_id, cell,
+         CASE WHEN lag(cell) OVER w IS NULL
+                OR lag(cell) OVER w <> cell THEN 1 ELSE 0 END AS _new
+  FROM _sp_e
+  WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+), _sp_r AS (
+  SELECT entity, ts, cell,
+         sum(_new) OVER (PARTITION BY entity ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS _run
+  FROM _sp_l
+)
+SELECT entity, cell, min(ts) AS enter_ts, max(ts) AS leave_ts,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+FROM _sp_r
+GROUP BY entity, _run, cell
+HAVING epoch_us(max(ts)) - epoch_us(min(ts)) >= {int(min_minutes * 60_000_000)}"""
+
+
+# ---------------------------------------------------------------------------
+# Co-visitation — the bipartite (entity x cell) projection onto cells:
+# how many entities visited BOTH cells (place-similarity / related-
+# places).  Reuses the capped bucket-pairs machinery (entities are the
+# buckets, their DISTINCT visited cells the members, dedupe=False turns
+# the pair stream into per-entity multiplicity 1 -> the groupBy counts
+# entities).  An entity visiting k cells emits k^2/2 pairs — the cap
+# bounds power users exactly like a hot LSH bucket.
+# ---------------------------------------------------------------------------
+
+
+def covisit_pairs(events: DataFrame, res: int, min_common: int = 2,
+                  entity_col: str = "user_id", lat_col: str = "lat",
+                  lon_col: str = "lon",
+                  entity_cap: int | None = 4096) -> DataFrame:
+    """``(cell_a, cell_b, n_entities)`` with cell_a < cell_b: entities
+    that visited both res-cells, for pairs with >= ``min_common``."""
+    from geolake_spark.operators.dedup import _bucket_pairs
+
+    from ..functions.geo import grid_cell_col
+    visits = (events.select(
+        F.col(entity_col).alias("_cv_ent"),
+        grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("id"))
+        .distinct())
+    pairs = _bucket_pairs(visits, ["_cv_ent"], cap=entity_cap,
+                          dedupe=False)
+    return (pairs.groupBy(F.col("id_a").alias("cell_a"),
+                          F.col("id_b").alias("cell_b"))
+            .agg(F.count(F.lit(1)).alias("n_entities"))
+            .filter(F.col("n_entities") >= min_common))
+
+
+def covisit_pairs_sql(table: str, lat_expr: str, lon_expr: str, res: int,
+                      min_common: int = 2,
+                      entity_col: str = "user_id") -> str:
+    """DuckDB mirror (self-join restatement of the pair stream)."""
+    from .. import cells
+    cell = cells.grid_cell_sql(lat_expr, lon_expr, res)
+    return f"""
+WITH _cv_v AS (
+  SELECT DISTINCT {entity_col} AS ent, {cell} AS cell
+  FROM {table}
+)
+SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n_entities
+FROM _cv_v a JOIN _cv_v b ON a.ent = b.ent AND a.cell < b.cell
+GROUP BY 1, 2
+HAVING count(*) >= {min_common}"""

@@ -478,3 +478,25 @@ def test_language_mixture_profiles_mixed_docs(spark):
     assert out[2].main_lang == "de" and out[2].main_frac == 1.0
     assert out[3].main_lang == "und" and out[3].n_langs == 1
     assert out[4].n_paras == 2 and out[4].main_lang == "en"
+
+
+def test_strip_boilerplate_hand_checked(spark):
+    from geolake_spark.operators import curation
+    mk = lambda i, h, *paras: (i, f"https://{h}/p/{i}", "\n\n".join(paras))
+    rows = [
+        mk(1, "a.com", "unique one", "FOOTER"),
+        mk(2, "a.com", "unique two", "FOOTER"),
+        mk(3, "a.com", "unique three"),            # no footer: 2/3 >= 0.5
+        mk(4, "b.com", "FOOTER", "other text"),    # b: 1/2 < 0.5 -> kept
+        mk(5, "b.com", "only content"),
+        mk(6, "c.com", "FOOTER"),                  # single-page host: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.doc_id: r.text
+           for r in curation.strip_boilerplate(df, min_frac=0.5,
+                                               min_pages=2).collect()}
+    assert out[1] == "unique one" and out[2] == "unique two"
+    assert out[3] == "unique three"
+    assert out[4] == "FOOTER\n\nother text"        # below host threshold
+    assert out[6] == "FOOTER"                      # min_pages guard
+    assert len(out) == 6

@@ -211,3 +211,50 @@ def test_flow_octants_hand_checked(spark):
         out.setdefault(r.octant, 0)
         out[r.octant] += r.n_steps
     assert out == {"N": 1, "E": 1, "NE": 1, "stay": 1}
+
+
+def test_stay_points_hand_checked(spark):
+    """Runs segment on cell change; dwell filters; re-entry is a new run."""
+    rows = [
+        (1, 1, T0, 10.0, 10.0),
+        (1, 2, T0 + dt.timedelta(hours=1), 10.1, 10.1),   # same cell
+        (1, 3, T0 + dt.timedelta(hours=2), -50.0, -50.0),  # move away
+        (1, 4, T0 + dt.timedelta(hours=3), 10.0, 10.0),   # back: new run
+        (2, 5, T0, 10.0, 10.0),                            # lone ping
+    ]
+    out = trips.stay_points(_events(spark, rows), res=4,
+                            min_minutes=60.0).collect()
+    assert len(out) == 1
+    sp = out[0]
+    assert sp.entity == 1 and sp.n_events == 2
+    assert sp.dwell_us == 3_600_000_000
+    # run 2 (event 4) and the lone ping have dwell 0 -> filtered
+    allruns = trips.stay_points(_events(spark, rows), res=4,
+                                min_minutes=0.0).collect()
+    assert len(allruns) == 4        # [1-2], [3], [4], [5]
+
+
+def test_stay_points_single_shuffle(spark):
+    rows = [(1, 1, T0, 10.0, 10.0)]
+    plan = (trips.stay_points(_events(spark, rows), res=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # both windows + the (entity, run) rollup share one entity exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_covisit_pairs_hand_checked(spark):
+    from geolake_spark import cells
+    A, B, C = (10.0, 10.0), (40.0, 40.0), (-60.0, 100.0)
+    rows = [(1, 1, T0, *A), (1, 2, T0, *B),            # user 1: A,B
+            (2, 3, T0, *A), (2, 4, T0, *B), (2, 5, T0, *C),  # 2: A,B,C
+            (3, 6, T0, *A), (3, 7, T0, *A)]            # 3: A only (dup)
+    out = {(r.cell_a, r.cell_b): r.n_entities
+           for r in trips.covisit_pairs(_events(spark, rows), res=3,
+                                        min_common=1).collect()}
+    cA = int(cells.grid_cell(*A, 3))
+    cB = int(cells.grid_cell(*B, 3))
+    cC = int(cells.grid_cell(*C, 3))
+    key = lambda x, y: (min(x, y), max(x, y))
+    assert out[key(cA, cB)] == 2                      # users 1 and 2
+    assert out[key(cA, cC)] == 1 and out[key(cB, cC)] == 1
+    assert len(out) == 3
