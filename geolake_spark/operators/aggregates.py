@@ -424,3 +424,26 @@ SELECT {gsel}date_trunc('{bucket}', {ts_col}) AS bar,
        count(*) AS n_obs
 FROM ({docs_sql})
 GROUP BY ALL"""
+
+
+def ohlc_bars_windowed(df: DataFrame, ts_col: str, value_col: str,
+                       group_cols: list[str] | None = None,
+                       window: str = "1 hour",
+                       watermark: str = "1 day") -> DataFrame:
+    """Event-time-windowed :func:`ohlc_bars` — works on batch AND
+    streaming frames (min/max/count and the struct extrema are all
+    incrementally maintainable, so Structured Streaming finalizes each
+    bar at the watermark with O(1) state per open (window, group)).
+    The streaming market-data/telemetry downsampler; same total-order
+    open/close contract as the batch form (tested batch == streaming)."""
+    gcols = list(group_cols or [])
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    pair = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+    out = (src.groupBy(*gcols, F.window(ts_col, window).alias("w"))
+           .agg(F.min(pair).alias("_o"), F.max(pair).alias("_c"),
+                F.max(value_col).alias("high"),
+                F.min(value_col).alias("low"),
+                F.count(F.lit(1)).alias("n_obs")))
+    return out.select(*gcols, F.col("w.start").alias("bar"),
+                      F.col("_o.v").alias("open"), "high", "low",
+                      F.col("_c.v").alias("close"), "n_obs")

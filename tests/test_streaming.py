@@ -125,3 +125,47 @@ def test_streaming_crawl_policies_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("select * from polstream").collect()}
     exp = {tuple(r) for r in links.crawl_policies(batch).collect()}
     assert got == exp and len(exp) == 3
+
+
+def test_streaming_ohlc_equals_batch_finalized(spark, tmp_path):
+    """ohlc_bars_windowed on a stream == the batch call on the same data,
+    restricted to watermark-finalized bars (incremental struct extrema)."""
+    import datetime as dt
+
+    from geolake_spark.operators import aggregates
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=7 * i + (i % 3)),
+             float((i * 37) % 19) - 4.0) for i in range(120)]
+    rows += [("b", t0 + dt.timedelta(minutes=11 * i), float(i % 7))
+             for i in range(60)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, "
+                               "value double")
+    drop = str(tmp_path / "odrop")
+    ev.filter(F.col("ts") < t0 + dt.timedelta(hours=5)) \
+        .coalesce(1).write.mode("append").parquet(drop)
+    ev.filter(F.col("ts") >= t0 + dt.timedelta(hours=5)) \
+        .coalesce(1).write.mode("append").parquet(drop)
+
+    batch = aggregates.ohlc_bars_windowed(ev, "ts", "value",
+                                          ["event_type"], window="1 hour",
+                                          watermark="2 hours")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm = max_ts - dt.timedelta(hours=2)
+    finalized = {((r.event_type, r.bar)): (r.open, r.high, r.low, r.close,
+                                           r.n_obs)
+                 for r in batch.collect()
+                 if r.bar + dt.timedelta(hours=1) <= wm}
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    out = aggregates.ohlc_bars_windowed(stream, "ts", "value",
+                                        ["event_type"], window="1 hour",
+                                        watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sohlc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {((r.event_type, r.bar)): (r.open, r.high, r.low, r.close,
+                                     r.n_obs)
+           for r in spark.sql("select * from sohlc").collect()}
+    assert got == finalized and len(finalized) > 5
