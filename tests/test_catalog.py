@@ -166,3 +166,36 @@ def test_column_stats_data_skipping(spark, table):
     empty = table.read_where(spark, "lat", lo=1e9)
     assert empty.count() == 0
     assert set(empty.columns) == {"url", "lang", "lat", "lon"}
+
+
+def test_merge_upsert_job(spark, tmp_path, monkeypatch):
+    """jobs/merge_upsert.py end-to-end: recrawl replaces, insert lands,
+    tombstone deletes — untouched partition's manifest carries over."""
+    import runpy
+    import sys
+
+    from pyspark.sql import SparkSession
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    table = str(tmp_path / "tbl")
+    write_snapshot(_sample(spark, ["en", "de"]), IcebergishTable(table),
+                   ["lang"])
+    ups = str(tmp_path / "delta.parquet")
+    dels = str(tmp_path / "tombs.parquet")
+    spark.createDataFrame([("u0-en", "en", 77.0, 0.0),
+                           ("fresh-en", "en", 1.0, 1.0)],
+                          ["url", "lang", "lat", "lon"]).write.parquet(ups)
+    spark.createDataFrame([("u1-en", "en")],
+                          ["url", "lang"]).write.parquet(dels)
+    argv = ["merge_upsert.py", "--table", table, "--updates", ups,
+            "--deletes", dels, "--key-cols", "url", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/jobs/merge_upsert.py", run_name="__main__")
+
+    t = IcebergishTable(table)
+    back = t.read(spark)
+    assert back.count() == 40                    # 40 - 1 del + 1 insert
+    assert back.filter(F.col("url") == "u0-en").collect()[0].lat == 77.0
+    assert back.filter(F.col("url") == "u1-en").count() == 0
+    assert back.filter(F.col("url") == "fresh-en").count() == 1
+    assert back.filter(F.col("lang") == "de").count() == 20
