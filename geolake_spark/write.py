@@ -166,7 +166,10 @@ def merge_snapshot(updates: DataFrame, table: IcebergishTable,
 
     Contract: a key's partition values must not change across merges
     (standard CoW-merge constraint — a moved key must be deleted from
-    its old partition explicitly via ``deletes``).
+    its old partition explicitly via ``deletes``).  A key present in
+    BOTH ``updates`` and ``deletes`` resolves update-wins (the old row
+    is removed, the update row lands) — matched-delete-then-insert, the
+    upsert reading of that conflict.
 
     Reference analogue: none — geolake's sink is append/overwrite only
     (executor writes whole products); MERGE extends the lakehouse
