@@ -1838,6 +1838,17 @@ def q_geofence(spark, sf_dir):
     return trips.geofence_events(_events_geo(spark, sf_dir), fences, res=6)
 
 
+def q_catchment(spark, sf_dir):
+    """k-ring catchment aggregation (operators/spatial.catchment_counts,
+    H3 gridDisk pattern): every 13th doc is a POI; event mass within its
+    res-5 Chebyshev-2 disk rolls up via per-cell pre-counts + one hash
+    join — zero-catchment POIs still appear."""
+    pois = (_docs_geo(spark, sf_dir).filter(F.col("doc_id") % 13 == 0)
+            .select(F.col("doc_id").alias("poi_id"), "lat", "lon"))
+    return spatial.catchment_counts(pois, _events_geo(spark, sf_dir),
+                                    res=5, k=2)
+
+
 def q_ohlc(spark, sf_dir):
     """Hourly OHLC bars per event type (operators/aggregates.ohlc_bars):
     one map-side-combined groupBy; open/close via struct extrema with a
@@ -2683,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "geofence": q_geofence,
         "ohlc": q_ohlc,
+        "catchment": q_catchment,
         "flow_octants": q_flow_octants,
         "polygon_overlap": q_polygon_overlap,
         "stay_points": q_stay_points,
@@ -3212,6 +3224,10 @@ def oracle_sql() -> dict[str, str]:
             geo.geocode_lon_sql("event_id"), res=2, min_common=5),
         "strip_boilerplate": curation.strip_boilerplate_sql(
             f"({_BOILER_SQL_SRC})", min_frac=0.5, min_pages=2),
+        "catchment": spatial.catchment_counts_sql(
+            f"SELECT doc_id AS poi_id, lat, lon FROM ({_DOCS_GEO_SQL}) "
+            "WHERE doc_id % 13 = 0",
+            _EVENTS_GEO_SQL, res=5, k=2),
         "ohlc": aggregates.ohlc_bars_sql(
             "SELECT * FROM events", "ts", "value", ["event_type"]),
         "flow_octants": trips.flow_octants_sql(

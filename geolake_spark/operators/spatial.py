@@ -708,3 +708,81 @@ FROM _po_r a JOIN _po_r b
   ON a.cell = b.cell AND a.polygon_id < b.polygon_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_cells}"""
+
+
+# ---------------------------------------------------------------------------
+# k-ring catchment aggregation — "events within k cells of each POI".
+# The H3 gridDisk/k-ring pattern: each POI explodes to its (2k+1)^2
+# Chebyshev disk of cells (arithmetic ids — ix wraps at the
+# antimeridian, iy clamps at the poles, the _neighbor_edges rules), the
+# event table pre-collapses to per-cell counts (bounded by OCCUPIED
+# cells, not events), and one hash join + POI rollup gives the
+# catchment mass.  Antimeridian wrap can alias two offsets onto the
+# same cell when 2k+1 >= nx — the distinct() guard keeps each (poi,
+# cell) once so nothing double-counts.  POI side is pois x (2k+1)^2
+# rows — broadcastable for any real POI set.
+# ---------------------------------------------------------------------------
+
+
+def catchment_counts(pois: DataFrame, events: DataFrame, res: int,
+                     k: int = 1, poi_id_col: str = "poi_id",
+                     lat_col: str = "lat",
+                     lon_col: str = "lon") -> DataFrame:
+    """``(poi_id, n_cells_hit, n_events)``: event mass within the
+    k-ring (Chebyshev disk) of each POI's res-cell.  POIs with an empty
+    catchment still appear (zero counts)."""
+    from geolake_spark.functions.geo import grid_cell_col
+    nx, ny = cells.grid_dims(res)
+    c = grid_cell_col(F.col(lat_col), F.col(lon_col), res)
+    base = pois.select(F.col(poi_id_col).alias("poi_id"), c.alias("cell"))
+    ix = F.col("cell").bitwiseAND(F.lit(_IY_UNIT - 1))
+    iy = F.shiftright(F.col("cell"), 28).bitwiseAND(F.lit(_IY_UNIT - 1))
+    disk = (base
+            .withColumn("dy", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+            .withColumn("dx", F.explode(F.sequence(F.lit(-k), F.lit(k)))))
+    niy = iy + F.col("dy")
+    nix = (ix + F.col("dx") + F.lit(nx)) % F.lit(nx)
+    nbr = (F.lit(res * _RES_UNIT).cast("bigint")
+           + niy * F.lit(_IY_UNIT).cast("bigint") + nix)
+    cover = (disk.filter((niy >= 0) & (niy < ny))
+             .select("poi_id", nbr.alias("cell")).distinct())
+    hist = (events.select(
+        grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    joined = cover.join(hist, "cell", "left")
+    return (joined.groupBy("poi_id")
+            .agg(F.sum(F.when(F.col("n").isNotNull(), 1).otherwise(0))
+                 .alias("n_cells_hit"),
+                 F.coalesce(F.sum("n"), F.lit(0)).alias("n_events")))
+
+
+def catchment_counts_sql(pois_sql: str, events_sql: str, res: int,
+                         k: int = 1, poi_id_expr: str = "poi_id",
+                         lat_expr: str = "lat",
+                         lon_expr: str = "lon") -> str:
+    """DuckDB mirror of :func:`catchment_counts` (same wrap/clamp/alias
+    rules, same left-join rollup)."""
+    nx, ny = cells.grid_dims(res)
+    cell = cells.grid_cell_sql(lat_expr, lon_expr, res)
+    return f"""
+WITH _cc_poi AS (
+  SELECT {poi_id_expr} AS poi_id, {cell} AS cell FROM ({pois_sql})
+), _cc_disk AS (
+  SELECT DISTINCT poi_id,
+         {res} * {_RES_UNIT}
+         + ((cell // {_IY_UNIT}) % {_IY_UNIT} + d.dy) * {_IY_UNIT}
+         + ((cell % {_IY_UNIT}) + d.dx + {nx}) % {nx} AS cell
+  FROM _cc_poi,
+       (SELECT a.dy AS dy, b.dx AS dx
+        FROM (SELECT unnest(range(-{k}, {k} + 1)) AS dy) a,
+             (SELECT unnest(range(-{k}, {k} + 1)) AS dx) b) d
+  WHERE (cell // {_IY_UNIT}) % {_IY_UNIT} + d.dy >= 0
+    AND (cell // {_IY_UNIT}) % {_IY_UNIT} + d.dy < {ny}
+), _cc_hist AS (
+  SELECT {cell} AS cell, count(*) AS n FROM ({events_sql}) GROUP BY 1
+)
+SELECT p.poi_id,
+       sum(CASE WHEN h.n IS NULL THEN 0 ELSE 1 END) AS n_cells_hit,
+       coalesce(sum(h.n), 0) AS n_events
+FROM _cc_disk p LEFT JOIN _cc_hist h ON p.cell = h.cell
+GROUP BY p.poi_id"""

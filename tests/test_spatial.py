@@ -341,3 +341,29 @@ def test_polygon_overlap_pairs_hand_checked(spark):
                                       res=4)
     inter = ra.select("cell").intersect(rb.select("cell")).count()
     assert got[(1, 2)] == inter
+
+
+def test_catchment_counts_hand_checked(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from geolake_spark import cells
+    from geolake_spark.operators import spatial
+    # POI at (0.1, 0.1); events: same cell, one cell east (inside k=1),
+    # far away (outside); empty-catchment POI at the south pole region
+    pois = spark.createDataFrame([(1, 0.1, 0.1), (2, -89.0, 0.0)],
+                                 "poi_id long, lat double, lon double")
+    nx, ny = cells.grid_dims(4)
+    width = 360.0 / nx
+    ev = spark.createDataFrame(
+        [(0.1, 0.1), (0.1, 0.1 + width), (0.1, 0.1), (50.0, 120.0)],
+        "lat double, lon double")
+    got = {r.poi_id: (r.n_cells_hit, r.n_events)
+           for r in spatial.catchment_counts(pois, ev, res=4,
+                                             k=1).collect()}
+    assert got[1] == (2, 3)          # home cell (2 events) + east (1)
+    assert got[2] == (0, 0)          # pole POI: clamped disk, no events
+    # k=0 degenerates to the home cell only
+    got0 = {r.poi_id: (r.n_cells_hit, r.n_events)
+            for r in spatial.catchment_counts(pois, ev, res=4,
+                                              k=0).collect()}
+    assert got0[1] == (1, 2)
