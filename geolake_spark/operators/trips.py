@@ -354,7 +354,8 @@ FROM _rt_c GROUP BY 1, 2"""
 def geofence_events(events: DataFrame, fence_cells: DataFrame, res: int,
                     entity_col: str = "user_id", ts_col: str = "ts",
                     id_col: str = "event_id", lat_col: str = "lat",
-                    lon_col: str = "lon") -> DataFrame:
+                    lon_col: str = "lon",
+                    broadcast_fences: bool = True) -> DataFrame:
     """``(entity, ts, event_id, kind, fence_id)`` enter/exit transitions.
 
     ``fence_cells`` is ``(polygon_id, cell)`` as produced by
@@ -373,7 +374,11 @@ def geofence_events(events: DataFrame, fence_cells: DataFrame, res: int,
         F.col(entity_col).alias("entity"), F.col(ts_col).alias("ts"),
         F.col(id_col).alias("event_id"),
         grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("cell"))
-    flagged = ev.join(F.broadcast(fence), "cell", "left")
+    # broadcast is right for normal fence sets; a continental polygon
+    # rasterized at res 9 is millions of cells — pass
+    # broadcast_fences=False there and let AQE pick the shuffle join
+    flagged = ev.join(F.broadcast(fence) if broadcast_fences else fence,
+                      "cell", "left")
     w = Window.partitionBy("entity").orderBy("ts", "event_id")
     in_f = F.when(F.col("fence_id").isNotNull(), 1).otherwise(0)
     out = (flagged.withColumn("in_fence", in_f)
