@@ -2639,6 +2639,133 @@ def q_ivf_table(spark, sf_dir):
     return ann.ivf_topk_table(v, probes, k=5, nprobe=16, centers=centers)
 
 
+def _docs_sent(spark, sf_dir):
+    """Sentence-structured corpus (documents.text has no punctuation):
+    3-5 sentences per doc by pure int arithmetic, mirrored by
+    ``_DOCS_SENT_SQL`` — exercises multi-terminator runs, question/
+    exclamation splits, and an unterminated tail."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    t = F.concat(
+        F.lit("Topic "), (i % 7).cast("string"),
+        F.lit(" intro. Details follow "), (i % 5).cast("string"),
+        F.lit("! Any questions? Wrap up "), (i % 3).cast("string"),
+        F.lit("."),
+        F.when(i % 4 == 0, F.lit(" Tail thought without terminator"))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 2, F.lit(" Extra exclaim! And more? Yes..."))
+        .otherwise(F.lit("")))
+    return d.select("doc_id", t.alias("text"))
+
+
+_DOCS_SENT_SQL = (
+    "SELECT doc_id, 'Topic ' || cast(doc_id % 7 AS varchar) || "
+    "' intro. Details follow ' || cast(doc_id % 5 AS varchar) || "
+    "'! Any questions? Wrap up ' || cast(doc_id % 3 AS varchar) || '.' "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN ' Tail thought without terminator' "
+    "ELSE '' END) "
+    "|| (CASE WHEN doc_id % 6 = 2 THEN ' Extra exclaim! And more? Yes...' "
+    "ELSE '' END) AS text FROM documents")
+
+
+# encoding-damage snippets planted into the mojibake corpus; the SQL
+# twin rebuilds each one chr-by-chr so both engines append identical
+# code points (pasting multibyte residues into SQL literals risks a
+# silent editor/transcoding divergence)
+_MOJI_SNIPS = {
+    "resid": " cafÃ© said â€™",  # caf+Ã© + â€™
+    "repl": " bad�char",                             # U+FFFD
+    "ctrl": " ctl\x01end",                                # C0 control
+}
+
+
+def _sql_chrs(s: str) -> str:
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+def _docs_moji(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(i % 11 == 3, F.lit(_MOJI_SNIPS["resid"]))
+        .otherwise(F.lit("")),
+        F.when(i % 13 == 5, F.lit(_MOJI_SNIPS["repl"]))
+        .otherwise(F.lit("")),
+        F.when(i % 17 == 2, F.lit(_MOJI_SNIPS["ctrl"]))
+        .otherwise(F.lit("")))
+    return d.select("doc_id", t.alias("text"))
+
+
+_DOCS_MOJI_SQL = (
+    "SELECT doc_id, text "
+    f"|| (CASE WHEN doc_id % 11 = 3 THEN {_sql_chrs(_MOJI_SNIPS['resid'])} "
+    "ELSE '' END) "
+    f"|| (CASE WHEN doc_id % 13 = 5 THEN {_sql_chrs(_MOJI_SNIPS['repl'])} "
+    "ELSE '' END) "
+    f"|| (CASE WHEN doc_id % 17 = 2 THEN {_sql_chrs(_MOJI_SNIPS['ctrl'])} "
+    "ELSE '' END) AS text FROM documents")
+
+
+def q_sentences(spark, sf_dir):
+    """Sentence segmentation + lead-3 extractive baseline
+    (functions/text.sentences_col / lead_sentences_col): terminator-run
+    split, per-sentence trim/strip, first-3 join — all codegen array
+    HOFs, zero Python."""
+    d = _docs_sent(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tx.sentences_col(F.col("text"))).alias("n_sentences"),
+        tx.lead_sentences_col(F.col("text"), 3).alias("lead3"))
+
+
+def q_mojibake(spark, sf_dir):
+    """Encoding-damage gate (functions/text.mojibake_cols): U+FFFD,
+    double-encoding residue bigrams, C0 controls — three regexp_count
+    scans per row, map-only (the corpus-hygiene filter that precedes
+    any web-text training run)."""
+    d = _docs_moji(spark, sf_dir)
+    cols = tx.mojibake_cols(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+_TRI_EDGES_SQL = ("SELECT doc_id % 60 AS src, "
+                  "(doc_id*doc_id*3 + doc_id*17 + 7) % 60 AS dst "
+                  "FROM documents")
+
+
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_counts, Suri
+    & Vassilvitskii WWW'11): degree-ordered orientation kills the
+    last-reducer hub blowup; wedges stream through the two-level
+    posexplode and close against the canonical edge set with one join.
+    Integer-exact."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = d.select((i % 60).alias("src"),
+                     ((i * i * 3 + i * 17 + 7) % 60).alias("dst"))
+    return graph.triangle_counts(edges)
+
+
+def q_transitions(spark, sf_dir):
+    """Clickstream Markov transition matrix
+    (operators/trips.transition_counts): consecutive event-type pairs
+    per user in (ts, id) order, chains cut at 60-min session gaps —
+    one entity window + one pair groupBy."""
+    return trips.transition_counts(_t(spark, sf_dir, "events"),
+                                   gap_minutes=60.0)
+
+
+def q_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution
+    (operators/trips.attribution): per purchase, the min/max
+    struct(epoch_us, id, type) over a RANGE frame of the 120 preceding
+    minutes — deterministic arg-extrema, both models in ONE Window
+    node."""
+    return trips.attribution(_t(spark, sf_dir, "events"),
+                             lookback_minutes=120.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_bbox": q_geo_bbox,
@@ -2782,6 +2909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "kwic": q_kwic,
         "readability": q_readability,
+        "sentences": q_sentences,
+        "mojibake": q_mojibake,
+        "triangles": q_triangles,
+        "transitions": q_transitions,
+        "attribution": q_attribution,
     }
 
 
@@ -3598,6 +3730,18 @@ FROM r GROUP BY id""",
         "readability": ("SELECT doc_id, " + ", ".join(
             f"{v} AS {k}" for k, v in tx.readability_sql("text").items())
             + " FROM documents"),
+        "sentences": (
+            f"SELECT doc_id, len({tx.sentences_sql('text')}) "
+            f"AS n_sentences, {tx.lead_sentences_sql('text', 3)} AS lead3 "
+            f"FROM ({_DOCS_SENT_SQL})"),
+        "mojibake": ("SELECT doc_id, " + ", ".join(
+            f"{v} AS {k}" for k, v in tx.mojibake_sql("text").items())
+            + f" FROM ({_DOCS_MOJI_SQL})"),
+        "triangles": graph.triangle_counts_sql(_TRI_EDGES_SQL),
+        "transitions": trips.transition_counts_sql(
+            "SELECT * FROM events", gap_minutes=60.0),
+        "attribution": trips.attribution_sql(
+            "SELECT * FROM events", lookback_minutes=120.0),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

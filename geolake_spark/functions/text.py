@@ -1083,3 +1083,101 @@ def readability_sql(text_expr: str) -> dict:
              f"- 15.59, 4)")
     return {"n_words": f"len({toks})", "n_sentences": n_sent,
             "n_syllables": n_syl, "fk_grade": grade}
+
+
+# --------------------------------------------------------- sentences
+
+# Sentence boundary = a run of terminal punctuation followed by
+# whitespace.  RE2 has no lookbehind, so the terminator is consumed by
+# the split and each sentence is emitted WITHOUT terminal punctuation
+# (the trailing run before end-of-string is stripped explicitly) — one
+# contract both engines implement verbatim.
+_SENT_SPLIT_RE = r"[.!?]+[ \t\n\r\f]+"
+
+
+def sentences_col(text: Column) -> Column:
+    """``array<string>`` of sentences: split on punctuation+whitespace,
+    trim, strip the trailing terminator run, drop empties."""
+    parts = F.split(text, _SENT_SPLIT_RE)
+    clean = F.transform(
+        parts, lambda s: F.trim(F.regexp_replace(s, r"[.!?]+$", "")))
+    return F.filter(clean, lambda s: s != "")
+
+
+def sentences_sql(text_expr: str) -> str:
+    """DuckDB mirror of :func:`sentences_col`."""
+    return (f"list_filter(list_transform(regexp_split_to_array("
+            f"{text_expr}, '{_SENT_SPLIT_RE}'), "
+            f"s -> trim(regexp_replace(s, '[.!?]+$', ''))), "
+            f"s -> s <> '')")
+
+
+def lead_sentences_col(text: Column, k: int = 3) -> Column:
+    """Lead-``k`` extractive summary: the first ``k`` sentences joined
+    with '. ' and re-terminated — the classic lead-3 news baseline
+    (See et al. 2017 use it as the summarization floor)."""
+    head = F.slice(sentences_col(text), 1, k)
+    return F.when(F.size(head) > 0,
+                  F.concat(F.array_join(head, ". "), F.lit("."))) \
+            .otherwise(F.lit(""))
+
+
+def lead_sentences_sql(text_expr: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`lead_sentences_col`.  NB DuckDB
+    ``array_to_string([])`` is NULL (Spark's is '') — coalesced."""
+    head = f"({sentences_sql(text_expr)})[1:{k}]"
+    return (f"(CASE WHEN len({head}) > 0 THEN "
+            f"coalesce(array_to_string({head}, '. '), '') || '.' "
+            f"ELSE '' END)")
+
+
+# --------------------------------------------------------- mojibake
+
+# Classic UTF-8-read-as-Latin-1/cp1252 residue bigrams/trigrams, ordered
+# longest-first so the leftmost-first alternation (Java and RE2 agree)
+# counts each residue once: curly quotes/dashes decode to "â€¦", Latin-1
+# accents to "Ã?", NBSP/feminine-ordinal to "Â?".
+_MOJIBAKE_MARKERS = [
+    "â€™",  # â€™  (U+2019 right quote)
+    "â€œ",  # â€œ  (U+201C left double quote)
+    "â€“",  # â€“  (U+2013 en dash)
+    "â€",        # â€   (any other U+20xx residue)
+    "Ã©",        # Ã©  (é)
+    "Ã¨",        # Ã¨  (è)
+    "Ã¼",        # Ã¼  (ü)
+    "Ã¶",        # Ã¶  (ö)
+    "Ã±",        # Ã±  (ñ)
+    "Ã§",        # Ã§  (ç)
+    "Â ",        # Â + NBSP (doubled NBSP encode)
+    "Â«",        # Â«
+    "Â»",        # Â»
+]
+_MOJIBAKE_RE = "(" + "|".join(_MOJIBAKE_MARKERS) + ")"
+# C0 controls except \t \n \r: never legitimate in web text
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_REPL_CHAR = "�"
+
+
+def mojibake_cols(text: Column) -> dict:
+    """Encoding-damage profile of a document: ``repl_chars`` (U+FFFD
+    count — a decoder already gave up), ``mojibake_seqs`` (double-
+    encoding residue matches), ``ctrl_chars`` (C0 controls), and the
+    ``is_mojibake`` flag.  Pure codegen regexp counts — the corpus
+    hygiene gate every web-scale text pipeline runs before training."""
+    repl = F.regexp_count(text, F.lit(_REPL_CHAR))
+    seqs = F.regexp_count(text, F.lit(_MOJIBAKE_RE))
+    ctrl = F.regexp_count(text, F.lit(_CTRL_RE))
+    return {"repl_chars": repl, "mojibake_seqs": seqs,
+            "ctrl_chars": ctrl,
+            "is_mojibake": ((repl + seqs + ctrl) > 0).cast("int")}
+
+
+def mojibake_sql(text_expr: str) -> dict:
+    """DuckDB mirrors of :func:`mojibake_cols` (same names)."""
+    repl = f"len(regexp_extract_all({text_expr}, chr(65533)))"
+    seqs = f"len(regexp_extract_all({text_expr}, '{_MOJIBAKE_RE}'))"
+    ctrl = f"len(regexp_extract_all({text_expr}, '{_CTRL_RE}'))"
+    return {"repl_chars": repl, "mojibake_seqs": seqs,
+            "ctrl_chars": ctrl,
+            "is_mojibake": (f"cast(({repl} + {seqs} + {ctrl}) > 0 "
+                            f"AS INTEGER)")}

@@ -295,3 +295,89 @@ FROM _cc_i a JOIN _cc_i b USING (k)
 WHERE a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}"""
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Suri & Vassilvitskii, WWW'11 — the MapReduce algorithm that kills
+    "the curse of the last reducer").  ``(node, degree, triangles)``,
+    one row per node of the undirected simple graph (self-loops and
+    duplicate/reverse edges collapsed first).
+
+    Scale shape: every edge is oriented from its lower-(degree, node)
+    endpoint to the higher one, so each triangle is generated by exactly
+    one wedge at its minimum-order apex and a node's oriented
+    out-degree is O(sqrt(m)) — the hub that would emit deg² wedges
+    under naive wedge generation emits none, because all its edges
+    point AT it.  Wedges stream through the dedup-style two-level
+    posexplode (one groupBy shuffle, no k² array in a single row) and
+    are verified against the canonical edge set with one join.  All
+    counts integer — bit-exact across engines."""
+    a, b = F.col(src), F.col(dst)
+    e0 = (edges.filter(a != b)
+          .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+          .distinct())
+    deg = (e0.select(F.col("a").alias("node"))
+           .unionAll(e0.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    # a < b by construction, so the (degree, node) tie-break on equal
+    # degrees is "keep (a, b)"
+    oe = (e0.join(da, "a").join(db, "b")
+          .select(F.when(F.col("_da") <= F.col("_db"), F.col("a"))
+                  .otherwise(F.col("b")).alias("u"),
+                  F.when(F.col("_da") <= F.col("_db"), F.col("b"))
+                  .otherwise(F.col("a")).alias("v")))
+    adj = (oe.groupBy("u").agg(F.collect_list("v").alias("vs"))
+           .filter(F.size("vs") > 1)
+           .select("u", F.array_sort("vs").alias("vs")))
+    n = F.size("vs")
+    wedges = (adj.select("u", "vs", F.posexplode("vs").alias("i", "x"))
+              .select("u", "x",
+                      F.explode(F.slice("vs", F.col("i") + 2, n)).alias("y"))
+              .filter(F.col("x") < F.col("y")))
+    # wedge (u, x, y) closes iff the unordered edge {x, y} exists; x < y
+    # matches e0's canonical orientation, so one equi-join decides
+    tri = wedges.join(e0, (wedges.x == e0.a) & (wedges.y == e0.b))
+    per_node = (tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    .alias("triangles")))
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`triangle_counts` — same orientation,
+    wedge generation as a self-join (the semantics, not the plan)."""
+    return f"""
+WITH _tc_e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), _tc_deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM _tc_e0 UNION ALL SELECT b AS node FROM _tc_e0
+  ) GROUP BY node
+), _tc_oe AS (
+  SELECT CASE WHEN da.degree <= db.degree THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.degree <= db.degree THEN e.b ELSE e.a END AS v
+  FROM _tc_e0 e
+  JOIN _tc_deg da ON da.node = e.a
+  JOIN _tc_deg db ON db.node = e.b
+), _tc_tri AS (
+  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+  FROM _tc_oe w1
+  JOIN _tc_oe w2 ON w1.u = w2.u AND w1.v < w2.v
+  JOIN _tc_e0 e ON e.a = w1.v AND e.b = w2.v
+), _tc_per AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT u AS node FROM _tc_tri
+    UNION ALL SELECT x FROM _tc_tri
+    UNION ALL SELECT y FROM _tc_tri
+  ) GROUP BY node
+)
+SELECT d.node AS node, d.degree AS degree,
+       coalesce(p.triangles, 0) AS triangles
+FROM _tc_deg d LEFT JOIN _tc_per p ON p.node = d.node"""

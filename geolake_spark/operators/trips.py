@@ -637,3 +637,131 @@ SELECT a.cell AS cell_a, b.cell AS cell_b, count(*) AS n_entities
 FROM _cv_v a JOIN _cv_v b ON a.ent = b.ent AND a.cell < b.cell
 GROUP BY 1, 2
 HAVING count(*) >= {min_common}"""
+
+
+def transition_counts(events: DataFrame, gap_minutes: float | None = None,
+                      entity_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """First-order Markov transition matrix of the clickstream:
+    ``(from_type, to_type, transitions)`` counting consecutive
+    event-type pairs per entity in (ts, id) order — the flow diagram /
+    Markov-chain input every product-analytics stack computes.
+
+    ``gap_minutes`` cuts chains at session boundaries (a pair whose
+    time gap exceeds it is not a transition); ``None`` counts every
+    consecutive pair.  One window shuffle on the entity + one
+    map-side-combined groupBy on the (from, to) pair; counts are
+    integers, bit-exact across engines."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    us = _micros(ts_col)
+    prev_type = F.lag(type_col).over(w)
+    prev_us = F.lag(us).over(w)
+    keep = prev_type.isNotNull()
+    if gap_minutes is not None:
+        gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+        keep = keep & ((us - prev_us) <= F.lit(gap_us))
+    return (events
+            .select(prev_type.alias("from_type"),
+                    F.col(type_col).alias("to_type"),
+                    keep.alias("_keep"))
+            .filter(F.col("_keep"))
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("transitions")))
+
+
+def transition_counts_sql(table: str, gap_minutes: float | None = None,
+                          entity_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          type_col: str = "event_type") -> str:
+    """DuckDB mirror of :func:`transition_counts`."""
+    gap_pred = ""
+    if gap_minutes is not None:
+        gap_us = int(round(gap_minutes * 60.0 * 1_000_000))
+        gap_pred = f" AND (us - prev_us) <= {gap_us}"
+    return f"""
+WITH _tr_l AS (
+  SELECT {type_col} AS to_type,
+         lag({type_col}) OVER w AS from_type,
+         epoch_us({ts_col}) AS us,
+         lag(epoch_us({ts_col})) OVER w AS prev_us
+  FROM ({table})
+  WINDOW w AS (PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col})
+)
+SELECT from_type, to_type, count(*) AS transitions
+FROM _tr_l WHERE from_type IS NOT NULL{gap_pred}
+GROUP BY 1, 2"""
+
+
+def attribution(events: DataFrame, conversion_type: str = "purchase",
+                touch_types: tuple[str, ...] = ("view", "click"),
+                lookback_minutes: float = 10_080.0,
+                entity_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                type_col: str = "event_type") -> DataFrame:
+    """Marketing-style conversion attribution: one row per conversion
+    event with its FIRST-touch and LAST-touch channel inside the
+    lookback window — ``(event_id, user_id, ts, first_touch,
+    last_touch)``, nulls when no touch preceded the conversion.
+
+    Both models come from ONE Window node: min/max over
+    ``struct(epoch_us, event_id, type)`` (a deterministic arg-min/max —
+    ties on identical microseconds break on the unique event id, so the
+    result is total-order exact, unlike ``first``/``last`` whose
+    intra-peer order is unspecified) over a RANGE frame of integer
+    microseconds ``[ts - lookback, ts - 1]`` — the time-bounded frame a
+    rows-based window can't express.  Touches enter the frame as nulls
+    when the row is not a touch type; min/max skip nulls.  The frame is
+    bounded by the lookback, so per-row state is bounded regardless of
+    how long an entity's history is."""
+    us = _micros(ts_col)
+    lb_us = int(round(lookback_minutes * 60.0 * 1_000_000))
+    w = (Window.partitionBy(entity_col).orderBy(us)
+         .rangeBetween(-lb_us, -1))
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch = F.when(is_touch, F.struct(
+        us.alias("us"), F.col(id_col).alias("id"),
+        F.col(type_col).alias("t")))
+    # both extrema in ONE select so CollapseWindow fuses them into a
+    # single Window node (chained withColumn leaves two); either way
+    # the entity hash exchange happens once
+    return (events
+            .select(F.col(id_col), F.col(entity_col), F.col(ts_col),
+                    F.col(type_col),
+                    F.min(touch).over(w).alias("_ft"),
+                    F.max(touch).over(w).alias("_lt"))
+            .filter(F.col(type_col) == conversion_type)
+            .select(F.col(id_col).alias("event_id"),
+                    F.col(entity_col).alias("user_id"),
+                    F.col(ts_col).alias("ts"),
+                    F.col("_ft.t").alias("first_touch"),
+                    F.col("_lt.t").alias("last_touch")))
+
+
+def attribution_sql(table: str, conversion_type: str = "purchase",
+                    touch_types: tuple[str, ...] = ("view", "click"),
+                    lookback_minutes: float = 10_080.0,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    type_col: str = "event_type") -> str:
+    """DuckDB mirror of :func:`attribution` — same struct-extrema
+    RANGE-frame window (DuckDB struct min/max is lexicographic, the
+    paragraph_dedup precedent)."""
+    lb_us = int(round(lookback_minutes * 60.0 * 1_000_000))
+    tlist = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH _at_w AS (
+  SELECT {id_col} AS event_id, {entity_col} AS user_id, {ts_col} AS ts,
+         {type_col} AS etype,
+         min(CASE WHEN {type_col} IN ({tlist}) THEN
+               struct_pack(us := epoch_us({ts_col}), id := {id_col},
+                           t := {type_col}) END) OVER w AS ft,
+         max(CASE WHEN {type_col} IN ({tlist}) THEN
+               struct_pack(us := epoch_us({ts_col}), id := {id_col},
+                           t := {type_col}) END) OVER w AS lt
+  FROM ({table})
+  WINDOW w AS (PARTITION BY {entity_col} ORDER BY epoch_us({ts_col})
+               RANGE BETWEEN {lb_us} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, ft.t AS first_touch, lt.t AS last_touch
+FROM _at_w WHERE etype = '{conversion_type}'"""

@@ -145,3 +145,48 @@ def test_host_report_hand_checked(spark):
            for r in links.host_report(df).collect()}
     # host lowercased: A.com and a.com roll up together
     assert got == {"a.com": (3, 1, 1, 1, 2), "b.com": (1, 0, 1, 0, 1)}
+
+
+# ---------------------------------------------------------------- triangles
+
+def _tri_map(df):
+    return {r.node: (r.degree, r.triangles) for r in df.collect()}
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {0,1,2,3}: every node degree 3, in C(3,2)=3 triangles;
+    # pendant node 4 attached to 0: degree 1, zero triangles
+    e = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 4)]
+    out = _tri_map(graph.triangle_counts(_edges(spark, e)))
+    assert out[4] == (1, 0)
+    assert out[0] == (4, 3)
+    for n in (1, 2, 3):
+        assert out[n] == (3, 3)
+
+
+def test_triangle_counts_dedups_and_drops_loops(spark):
+    # duplicate edges, reverse edges, and self-loops must not
+    # change counts: one triangle {1,2,3}
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)]
+    out = _tri_map(graph.triangle_counts(_edges(spark, e)))
+    assert out == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+def test_triangle_counts_triangle_free(spark):
+    # C5 cycle is triangle-free
+    e = [(i, (i + 1) % 5) for i in range(5)]
+    out = _tri_map(graph.triangle_counts(_edges(spark, e)))
+    assert all(v == (2, 0) for v in out.values())
+
+
+def test_triangle_counts_matches_duckdb(spark):
+    import duckdb
+    e = [(i % 17, (i * i * 3 + i * 7 + 5) % 17) for i in range(80)]
+    out = sorted(map(tuple, graph.triangle_counts(
+        _edges(spark, e)).collect()))
+    sql = graph.triangle_counts_sql(
+        "SELECT (i % 17) AS src, ((i*i*3 + i*7 + 5) % 17) AS dst "
+        "FROM range(80) t(i)")
+    ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert out == ora and len(out) > 5
+    assert sum(t for _, _, t in out) % 3 == 0  # each triangle credited 3x

@@ -277,3 +277,55 @@ def test_readability_hand_checked(spark):
     assert (r.n_words, r.n_sentences, r.n_syllables) == (9, 3, 10)
     exp = round(0.39 * (9 / 3) + 11.8 * (10 / 9) - 15.59, 4)
     assert r.fk_grade == exp
+
+
+# ------------------------------------------------- sentences / mojibake
+
+def test_sentences_and_lead(spark):
+    import duckdb
+    import pandas as pd
+    from geolake_spark.functions import text as tx2
+    rows = [
+        (0, "Hello world. This is fine! Is it? Yes... maybe. End"),
+        (1, "One sentence only"),
+        (2, ""),
+        (3, "A.B no split. Real split!  Double  spaces.   "),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    out = {r.doc_id: (r.n, r.lead2) for r in df.select(
+        "doc_id", F.size(tx2.sentences_col(F.col("text"))).alias("n"),
+        tx2.lead_sentences_col(F.col("text"), 2).alias("lead2")).collect()}
+    assert out[0] == (6, "Hello world. This is fine.")
+    assert out[1] == (1, "One sentence only.")
+    assert out[2] == (0, "")
+    # "A.B" has no whitespace after the period: one sentence
+    assert out[3] == (3, "A.B no split. Real split.")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    ora = {r[0]: (r[1], r[2]) for r in con.sql(
+        f"SELECT doc_id, len({tx2.sentences_sql('text')}), "
+        f"{tx2.lead_sentences_sql('text', 2)} FROM t").fetchall()}
+    assert ora == out
+
+
+def test_mojibake_counts(spark):
+    import pandas as pd
+    from geolake_spark.functions import text as tx2
+    resid = "caf" + "Ã©" + " q" + "â€™"
+    rows = [
+        (0, "clean ascii text."),
+        (1, resid),                       # two residue markers
+        (2, "bad �� here"),     # two replacement chars
+        (3, "ctl \x01\x02 ok\ttab"),      # two C0 (tab excluded)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    cols = tx2.mojibake_cols(F.col("text"))
+    out = {r.doc_id: (r.repl_chars, r.mojibake_seqs, r.ctrl_chars,
+                      r.is_mojibake)
+           for r in spark.createDataFrame(pdf).select(
+               "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    assert out[0] == (0, 0, 0, 0)
+    assert out[1] == (0, 2, 0, 1)
+    assert out[2] == (2, 0, 0, 1)
+    assert out[3] == (0, 0, 2, 1)

@@ -258,3 +258,100 @@ def test_covisit_pairs_hand_checked(spark):
     assert out[key(cA, cB)] == 2                      # users 1 and 2
     assert out[key(cA, cC)] == 1 and out[key(cB, cC)] == 1
     assert len(out) == 3
+
+
+# ------------------------------------------------------- transitions
+
+def _typed_events(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                    "event_type"]))
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_transition_counts_hand_checked(spark):
+    rows = [
+        (1, _ts(0), 1, "view"), (1, _ts(1), 2, "click"),
+        (1, _ts(2), 3, "view"),
+        (2, _ts(0), 4, "view"), (2, _ts(1), 5, "click"),
+    ]
+    out = {(r.from_type, r.to_type): r.transitions
+           for r in trips.transition_counts(
+               _typed_events(spark, rows)).collect()}
+    assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_transition_counts_gap_cut(spark):
+    rows = [
+        (1, _ts(0), 1, "view"), (1, _ts(5), 2, "click"),   # 5 min: kept
+        (1, _ts(20), 3, "view"),                           # 15 min: cut
+    ]
+    out = {(r.from_type, r.to_type): r.transitions
+           for r in trips.transition_counts(
+               _typed_events(spark, rows), gap_minutes=10.0).collect()}
+    assert out == {("view", "click"): 1}
+
+
+def test_transition_counts_ts_tie_breaks_on_id(spark):
+    rows = [(1, _ts(0), 2, "click"), (1, _ts(0), 1, "view")]
+    out = {(r.from_type, r.to_type): r.transitions
+           for r in trips.transition_counts(
+               _typed_events(spark, rows)).collect()}
+    assert out == {("view", "click"): 1}
+
+
+# ------------------------------------------------------- attribution
+
+def test_attribution_first_last_touch(spark):
+    rows = [
+        (1, _ts(0), 1, "view"), (1, _ts(1), 2, "click"),
+        (1, _ts(2), 3, "view"), (1, _ts(3), 4, "purchase"),
+    ]
+    out = trips.attribution(_typed_events(spark, rows),
+                            lookback_minutes=60.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.first_touch, r.last_touch) == ("view", "view")
+    assert r.event_id == 4
+
+
+def test_attribution_lookback_excludes_old_touches(spark):
+    rows = [
+        (1, _ts(0), 1, "click"),            # outside 10-min lookback
+        (1, _ts(5), 2, "view"),             # inside
+        (1, _ts(14), 3, "purchase"),
+    ]
+    out = trips.attribution(_typed_events(spark, rows),
+                            lookback_minutes=10.0).collect()[0]
+    assert (out.first_touch, out.last_touch) == ("view", "view")
+
+
+def test_attribution_no_touch_is_null(spark):
+    rows = [(1, _ts(0), 1, "error"), (1, _ts(1), 2, "purchase")]
+    out = trips.attribution(_typed_events(spark, rows),
+                            lookback_minutes=60.0).collect()[0]
+    assert out.first_touch is None and out.last_touch is None
+
+
+def test_attribution_same_micros_excluded_and_tie_on_id(spark):
+    # touch at the conversion's exact microsecond is NOT in [t-lb, t-1];
+    # two touches at the same earlier microsecond break ties on event_id
+    rows = [
+        (1, _ts(0), 5, "view"), (1, _ts(0), 6, "click"),
+        (1, _ts(1), 7, "click"),   # same micros as conversion: excluded
+        (1, _ts(1), 8, "purchase"),
+    ]
+    out = trips.attribution(_typed_events(spark, rows),
+                            lookback_minutes=60.0).collect()[0]
+    assert (out.first_touch, out.last_touch) == ("view", "click")
+
+
+def test_attribution_single_window_node(spark):
+    rows = [(1, _ts(0), 1, "view"), (1, _ts(1), 2, "purchase")]
+    plan = (trips.attribution(_typed_events(spark, rows))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
