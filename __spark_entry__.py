@@ -29,6 +29,7 @@ from geolake_spark.operators import (aggregates, ann, blooms, curation, dedup, g
                                      joins, links, robots, search, sketches,
                                      spatial, subset, tiles, trips)
 from geolake_spark.pipeline import curate_pages
+from geolake_spark.streaming import ingest as st_ingest
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -2766,6 +2767,47 @@ def q_attribution(spark, sf_dir):
                              lookback_minutes=120.0)
 
 
+_SSSP_EDGES_SQL = (
+    "SELECT doc_id % 80 AS src, (doc_id*13 + 7) % 80 AS dst, "
+    "doc_id % 9 + 1 AS w FROM documents "
+    "UNION ALL SELECT doc_id % 80, (doc_id*29 + 11) % 80, "
+    "doc_id % 5 + 1 FROM documents")
+_SSSP_SEEDS_SQL = "SELECT doc_id AS node FROM documents WHERE doc_id < 2"
+
+
+def q_sssp(spark, sf_dir):
+    """Hop-bounded weighted shortest paths
+    (operators/graph.weighted_sssp): distributed Bellman-Ford, 6
+    relaxation rounds from 2 seeds — join + groupBy-min per round with
+    per-round lineage truncation; integer costs, exact."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = (d.select((i % 80).alias("src"), ((i * 13 + 7) % 80).alias("dst"),
+                      (i % 9 + 1).alias("w"))
+             .unionAll(d.select((i % 80).alias("src"),
+                                ((i * 29 + 11) % 80).alias("dst"),
+                                (i % 5 + 1).alias("w"))))
+    seeds = d.filter(i < 2).select(i.alias("node"))
+    return graph.weighted_sssp(edges, seeds, n_iter=6)
+
+
+def q_imp_click(spark, sf_dir):
+    """Interval join of impressions x clicks
+    (streaming/ingest.impression_click_join): views and clicks of the
+    same user within 30 minutes.  The SAME operator runs as a
+    watermarked stream-stream join (state expired past imp_ts + window;
+    test_streaming_sessions proves availableNow == this batch plan)."""
+    e = _t(spark, sf_dir, "events")
+    imps = (e.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("imp_id"), "user_id",
+                    F.col("ts").alias("imp_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts")))
+    return st_ingest.impression_click_join(imps, clicks,
+                                           attribution_window="30 minutes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_bbox": q_geo_bbox,
@@ -2914,6 +2956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "transitions": q_transitions,
         "attribution": q_attribution,
+        "imp_click_join": q_imp_click,
+        "sssp": q_sssp,
     }
 
 
@@ -3742,6 +3786,14 @@ FROM r GROUP BY id""",
             "SELECT * FROM events", gap_minutes=60.0),
         "attribution": trips.attribution_sql(
             "SELECT * FROM events", lookback_minutes=120.0),
+        "imp_click_join": st_ingest.impression_click_join_sql(
+            "SELECT event_id AS imp_id, user_id, ts AS imp_ts "
+            "FROM events WHERE event_type = 'view'",
+            "SELECT event_id AS click_id, user_id, ts AS click_ts "
+            "FROM events WHERE event_type = 'click'",
+            window_minutes=30),
+        "sssp": graph.weighted_sssp_sql(_SSSP_EDGES_SQL, _SSSP_SEEDS_SQL,
+                                        n_iter=6),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

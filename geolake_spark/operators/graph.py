@@ -381,3 +381,62 @@ WITH _tc_e0 AS (
 SELECT d.node AS node, d.degree AS degree,
        coalesce(p.triangles, 0) AS triangles
 FROM _tc_deg d LEFT JOIN _tc_per p ON p.node = d.node"""
+
+
+def weighted_sssp(edges: DataFrame, seeds: DataFrame, n_iter: int = 8,
+                  src: str = "src", dst: str = "dst", w: str = "w",
+                  directed: bool = True) -> DataFrame:
+    """Hop-bounded single-source (multi-seed) shortest paths by
+    distributed Bellman-Ford relaxation: ``(node, dist)`` = minimum
+    path cost from any seed using at most ``n_iter`` edges.  With
+    ``n_iter`` >= the graph's hop diameter this IS the shortest-path
+    distance; the bound is the contract (and what the unrolled oracle
+    replays).  Weights should be integers for cross-engine exactness.
+
+    Per round: one hash join (frontier -> out-edges) + one
+    groupBy-min — the same shuffle shape as pagerank, with the same
+    per-round ``localCheckpoint`` lineage truncation (without it
+    Catalyst analysis time doubles per iteration).  Unreached nodes
+    are absent from the output (no infinity sentinel)."""
+    e = edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"),
+                     F.col(w).alias("_ew"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("_ed").alias("_es"),
+                                F.col("_es").alias("_ed"), "_ew"))
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node"),
+                        F.lit(0).cast("bigint").alias("dist")) \
+        .groupBy("node").agg(F.min("dist").alias("dist"))
+    for _ in range(n_iter):
+        dist = dist.localCheckpoint(eager=True)
+        relax = (dist.join(e, dist.node == F.col("_es"))
+                 .select(F.col("_ed").alias("node"),
+                         (F.col("dist") + F.col("_ew")).alias("dist")))
+        dist = (dist.unionAll(relax)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist
+
+
+def weighted_sssp_sql(edges_sql: str, seeds_sql: str, n_iter: int = 8,
+                      directed: bool = True) -> str:
+    """DuckDB mirror of :func:`weighted_sssp`: the relaxation unrolled
+    as MATERIALIZED CTEs (default CTE inlining re-evaluates every prior
+    round per reference — exponential; the pagerank lesson)."""
+    und = ("" if directed else
+           " UNION ALL SELECT dst AS src, src AS dst, w FROM _ss_e0")
+    parts = [f"WITH _ss_e0 AS MATERIALIZED (SELECT src, dst, w "
+             f"FROM ({edges_sql})), "
+             f"_ss_e AS MATERIALIZED (SELECT * FROM _ss_e0{und}), "
+             f"_ss_d0 AS MATERIALIZED (SELECT node, "
+             f"cast(0 AS BIGINT) AS dist "
+             f"FROM ({seeds_sql}) GROUP BY node)"]
+    for k in range(n_iter):
+        parts.append(
+            f", _ss_d{k + 1} AS MATERIALIZED ("
+            f"SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM _ss_d{k} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM _ss_d{k} d JOIN _ss_e e ON e.src = d.node"
+            f") GROUP BY node)")
+    parts.append(f" SELECT node, dist FROM _ss_d{n_iter}")
+    return "".join(parts)

@@ -127,3 +127,49 @@ def trending_topk(term_counts: DataFrame, k: int = 10) -> DataFrame:
                                               F.col("token").asc())
     return (term_counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def impression_click_join(impressions: DataFrame, clicks: DataFrame,
+                          attribution_window: str = "30 minutes",
+                          watermark: str = "1 hour",
+                          user_col: str = "user_id") -> DataFrame:
+    """Stream-stream ad attribution: every (impression, click) pair of
+    the same user where the click lands in ``[imp_ts, imp_ts +
+    attribution_window]``.  Expects ``(imp_id, user_id, imp_ts)`` x
+    ``(click_id, user_id, click_ts)``.
+
+    On streams this is Spark's watermarked interval join: the time-bound
+    predicate lets the engine EXPIRE buffered rows once the other side's
+    watermark passes ``imp_ts + window`` — per-key state is bounded by
+    (event rate x window), not by history.  Inner-join matches emit as
+    found (no watermark hold), so an ``availableNow`` run equals the
+    batch result on the same input.  On batch DataFrames the same code
+    is a plain range join (``withWatermark`` is a no-op) — ONE operator,
+    both planners, which is the parity test's whole trick."""
+    i = (impressions.withWatermark("imp_ts", watermark)
+         .select(F.col("imp_id"), F.col(user_col).alias("_iu"),
+                 F.col("imp_ts")))
+    c = (clicks.withWatermark("click_ts", watermark)
+         .select(F.col("click_id"), F.col(user_col).alias("_cu"),
+                 F.col("click_ts")))
+    cond = ((F.col("_iu") == F.col("_cu"))
+            & (F.col("click_ts") >= F.col("imp_ts"))
+            & (F.col("click_ts") <= F.col("imp_ts")
+               + F.expr(f"INTERVAL {attribution_window}")))
+    return (i.join(c, cond)
+            .select("imp_id", "click_id", F.col("_iu").alias(user_col),
+                    "imp_ts", "click_ts"))
+
+
+def impression_click_join_sql(imps_sql: str, clicks_sql: str,
+                              window_minutes: int = 30,
+                              user_col: str = "user_id") -> str:
+    """DuckDB mirror of :func:`impression_click_join` (integer-
+    microsecond bound — exact)."""
+    us = window_minutes * 60 * 1_000_000
+    return f"""
+SELECT i.imp_id, c.click_id, i.{user_col}, i.imp_ts, c.click_ts
+FROM ({imps_sql}) i JOIN ({clicks_sql}) c
+  ON i.{user_col} = c.{user_col}
+ AND epoch_us(c.click_ts) >= epoch_us(i.imp_ts)
+ AND epoch_us(c.click_ts) <= epoch_us(i.imp_ts) + {us}"""

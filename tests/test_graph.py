@@ -190,3 +190,52 @@ def test_triangle_counts_matches_duckdb(spark):
     ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert out == ora and len(out) > 5
     assert sum(t for _, _, t in out) % 3 == 0  # each triangle credited 3x
+
+
+# ---------------------------------------------------------------- sssp
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        pd.DataFrame(triples, columns=["src", "dst", "w"]))
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # direct 1->4 costs 10; 1->2->3->4 costs 3
+    e = [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [1]}))
+    out = {r.node: r.dist for r in graph.weighted_sssp(
+        _wedges(spark, e), seeds, n_iter=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_hop_bound_is_the_contract(spark):
+    e = [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [1]}))
+    out = {r.node: r.dist for r in graph.weighted_sssp(
+        _wedges(spark, e), seeds, n_iter=1).collect()}
+    assert out[4] == 10  # one hop only: the cheap 3-hop path is invisible
+
+
+def test_sssp_undirected_and_multiseed(spark):
+    e = [(1, 2, 5), (3, 2, 1)]
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [1, 3]}))
+    out = {r.node: r.dist for r in graph.weighted_sssp(
+        _wedges(spark, e), seeds, n_iter=3, directed=False).collect()}
+    assert out == {1: 0, 3: 0, 2: 1}
+
+
+def test_sssp_matches_duckdb(spark):
+    import duckdb
+    e = ([(i % 40, (i * 13 + 7) % 40, i % 9 + 1) for i in range(160)]
+         + [(i % 40, (i * 29 + 11) % 40, i % 5 + 1) for i in range(160)])
+    seeds = spark.createDataFrame(pd.DataFrame({"node": [0, 1]}))
+    out = sorted(map(tuple, graph.weighted_sssp(
+        _wedges(spark, e), seeds, n_iter=6).collect()))
+    sql = graph.weighted_sssp_sql(
+        "SELECT (i % 40) AS src, ((i*13 + 7) % 40) AS dst, "
+        "(i % 9 + 1) AS w FROM range(160) t(i) "
+        "UNION ALL SELECT (i % 40), ((i*29 + 11) % 40), (i % 5 + 1) "
+        "FROM range(160) t(i)",
+        "SELECT unnest([0, 1]) AS node", n_iter=6)
+    ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert out == ora and len(out) > 10

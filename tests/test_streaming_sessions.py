@@ -229,3 +229,39 @@ def test_streaming_page_links_stateless(spark, tmp_path):
     cols = ["url", "href", "link_url"]
     assert got.count() == exp.count() == 120
     assert got.join(exp, cols, "left_anti").count() == 0
+
+
+def test_stream_stream_click_join_matches_batch(spark, tmp_path):
+    """impression_click_join: the SAME operator over two file streams
+    (availableNow) emits exactly the batch interval-join rows — inner
+    stream-stream matches emit as found, no watermark hold."""
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev = ev.select("event_id", "user_id", "event_type",
+                   F.col("ts").cast("timestamp").alias("ts"))
+    imps = (ev.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("imp_id"), "user_id",
+                    F.col("ts").alias("imp_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts")))
+    batch = ingest.impression_click_join(imps, clicks, "30 minutes")
+
+    idir, cdir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    imps.repartition(3).write.parquet(idir)
+    clicks.repartition(3).write.parquet(cdir)
+    si = spark.readStream.schema(imps.schema) \
+        .option("maxFilesPerTrigger", 2).parquet(idir)
+    sc = spark.readStream.schema(clicks.schema) \
+        .option("maxFilesPerTrigger", 2).parquet(cdir)
+    out = ingest.impression_click_join(si, sc, "30 minutes")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    cols = ["imp_id", "click_id", "user_id", "imp_ts", "click_ts"]
+    assert got.count() == batch.count() > 0
+    assert got.join(batch, cols, "left_anti").count() == 0
+    assert batch.join(got, cols, "left_anti").count() == 0
