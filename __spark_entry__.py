@@ -2730,9 +2730,15 @@ def q_mojibake(spark, sf_dir):
     return d.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
-_TRI_EDGES_SQL = ("SELECT doc_id % 60 AS src, "
-                  "(doc_id*doc_id*3 + doc_id*17 + 7) % 60 AS dst "
+# double-mod (997/1009 before the node modulus) so the edge pair is
+# NOT a function of doc_id mod 60 — the single-mod form degenerates to
+# <=60 possible edges and a triangle-free graph (a worthless oracle)
+_TRI_EDGES_SQL = ("SELECT (doc_id*doc_id + 3*doc_id) % 997 % 60 AS src, "
+                  "(doc_id*doc_id*5 + doc_id*13 + 7) % 1009 % 60 AS dst "
                   "FROM documents")
+_KCORE_EDGES_SQL = (
+    "SELECT (doc_id*doc_id + 3*doc_id) % 997 % 40 AS src, "
+    "(doc_id*doc_id*5 + doc_id*13 + 7) % 1009 % 40 AS dst FROM documents")
 
 
 def q_triangles(spark, sf_dir):
@@ -2743,9 +2749,21 @@ def q_triangles(spark, sf_dir):
     Integer-exact."""
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
-    edges = d.select((i % 60).alias("src"),
-                     ((i * i * 3 + i * 17 + 7) % 60).alias("dst"))
+    edges = d.select(((i * i + 3 * i) % 997 % 60).alias("src"),
+                     ((i * i * 5 + i * 13 + 7) % 1009 % 60).alias("dst"))
     return graph.triangle_counts(edges)
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (operators/graph.k_core, Seidman 1983):
+    iterative degree peel to the 14-core of the arithmetic graph —
+    partial peel at sf0.01 (26 of 40 nodes survive), converged rounds
+    are no-ops so the 10-round oracle unroll replays it exactly."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = d.select(((i * i + 3 * i) % 997 % 40).alias("src"),
+                     ((i * i * 5 + i * 13 + 7) % 1009 % 40).alias("dst"))
+    return graph.k_core(edges, k=14, n_iter=10)
 
 
 def q_transitions(spark, sf_dir):
@@ -2958,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "imp_click_join": q_imp_click,
         "sssp": q_sssp,
+        "kcore": q_kcore,
     }
 
 
@@ -3794,6 +3813,7 @@ FROM r GROUP BY id""",
             window_minutes=30),
         "sssp": graph.weighted_sssp_sql(_SSSP_EDGES_SQL, _SSSP_SEEDS_SQL,
                                         n_iter=6),
+        "kcore": graph.k_core_sql(_KCORE_EDGES_SQL, k=14, n_iter=10),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

@@ -440,3 +440,58 @@ def weighted_sssp_sql(edges_sql: str, seeds_sql: str, n_iter: int = 8,
             f") GROUP BY node)")
     parts.append(f" SELECT node, dist FROM _ss_d{n_iter}")
     return "".join(parts)
+
+
+def k_core(edges: DataFrame, k: int, n_iter: int = 16,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """The k-core (Seidman 1983): iteratively peel nodes of degree < k
+    until the remaining undirected simple subgraph has min degree >= k;
+    returns ``(node, degree)`` of the surviving core (empty if none).
+
+    ``n_iter`` bounds the peel rounds (the oracle replays exactly that
+    many; converged rounds are no-ops so early convergence is safe —
+    the loop stops when the edge count fixes).  Per round: one
+    map-side-combined degree count + one join against the (shrinking)
+    survivor set, with per-round lineage truncation."""
+    a, b = F.col(src), F.col(dst)
+    und = (edges.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    e = und.select(F.col("a").alias("s"), F.col("b").alias("d")) \
+        .unionAll(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    prev = e.count()
+    for _ in range(n_iter):
+        e = e.localCheckpoint(eager=True)
+        keep = (e.groupBy("s").agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= k).select(F.col("s").alias("node")))
+        e = (e.join(keep, e.s == keep.node).select("s", "d")
+             .join(keep, F.col("d") == keep.node).select("s", "d"))
+        cur = e.count()
+        if cur == prev:
+            break
+        prev = cur
+    return (e.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("s").alias("node"), "degree"))
+
+
+def k_core_sql(edges_sql: str, k: int, n_iter: int = 16) -> str:
+    """DuckDB mirror of :func:`k_core` — peel rounds unrolled as
+    MATERIALIZED CTEs (converged rounds are no-ops)."""
+    parts = [f"""WITH _kc_u AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+), _kc_e0 AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM _kc_u
+  UNION ALL SELECT b AS s, a AS d FROM _kc_u
+)"""]
+    for r in range(n_iter):
+        parts.append(f""", _kc_k{r} AS MATERIALIZED (
+  SELECT s AS node FROM _kc_e{r} GROUP BY s HAVING count(*) >= {k}
+), _kc_e{r + 1} AS MATERIALIZED (
+  SELECT e.s, e.d FROM _kc_e{r} e
+  JOIN _kc_k{r} x ON x.node = e.s
+  JOIN _kc_k{r} y ON y.node = e.d
+)""")
+    parts.append(f"""
+SELECT s AS node, count(*) AS degree FROM _kc_e{n_iter} GROUP BY s""")
+    return "".join(parts)

@@ -181,15 +181,20 @@ def test_triangle_counts_triangle_free(spark):
 
 def test_triangle_counts_matches_duckdb(spark):
     import duckdb
-    e = [(i % 17, (i * i * 3 + i * 7 + 5) % 17) for i in range(80)]
+    # double-mod: pairs must not be a function of i mod 17, or the
+    # graph degenerates to <=17 edges (and possibly zero triangles)
+    e = [((i * i + 3 * i) % 997 % 17, (i * i * 5 + i * 7 + 5) % 1009 % 17)
+         for i in range(80)]
     out = sorted(map(tuple, graph.triangle_counts(
         _edges(spark, e)).collect()))
     sql = graph.triangle_counts_sql(
-        "SELECT (i % 17) AS src, ((i*i*3 + i*7 + 5) % 17) AS dst "
+        "SELECT (i*i + 3*i) % 997 % 17 AS src, "
+        "((i*i*5 + i*7 + 5) % 1009) % 17 AS dst "
         "FROM range(80) t(i)")
     ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert out == ora and len(out) > 5
-    assert sum(t for _, _, t in out) % 3 == 0  # each triangle credited 3x
+    credits = sum(t for _, _, t in out)
+    assert credits > 0 and credits % 3 == 0  # each triangle credited 3x
 
 
 # ---------------------------------------------------------------- sssp
@@ -239,3 +244,47 @@ def test_sssp_matches_duckdb(spark):
         "SELECT unnest([0, 1]) AS node", n_iter=6)
     ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert out == ora and len(out) > 10
+
+
+# ---------------------------------------------------------------- k-core
+
+def test_k_core_clique_with_tail(spark):
+    # K5 plus a pendant chain: the 3-core is exactly the clique
+    e = [(a, b) for a in range(5) for b in range(a + 1, 5)] + \
+        [(4, 10), (10, 11), (11, 12)]
+    out = {r.node: r.degree for r in graph.k_core(
+        _edges(spark, e), k=3).collect()}
+    assert out == {n: 4 for n in range(5)}
+
+
+def test_k_core_cycle_and_tree(spark):
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    out = {r.node: r.degree for r in graph.k_core(
+        _edges(spark, cyc), k=2).collect()}
+    assert out == {n: 2 for n in range(6)}
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4)]
+    assert graph.k_core(_edges(spark, tree), k=2).count() == 0
+
+
+def test_k_core_cascading_peel(spark):
+    # chain into a triangle: peeling the chain takes several rounds
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    out = sorted(r.node for r in graph.k_core(
+        _edges(spark, e), k=2).collect())
+    assert out == [4, 5, 6]
+
+
+def test_k_core_matches_duckdb(spark):
+    import duckdb
+    # double-mod so edge pairs aren't a function of i mod 30 (that
+    # degenerates to <=30 possible edges); k=6 partially peels
+    e = [((i * i + 3 * i) % 997 % 30, (i * i * 5 + i * 13 + 7) % 1009 % 30)
+         for i in range(150)]
+    out = sorted(map(tuple, graph.k_core(
+        _edges(spark, e), k=6, n_iter=8).collect()))
+    sql = graph.k_core_sql(
+        "SELECT (i*i + 3*i) % 997 % 30 AS src, "
+        "((i*i*5 + i*13 + 7) % 1009) % 30 AS dst "
+        "FROM range(150) t(i)", k=6, n_iter=8)
+    ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert out == ora and 0 < len(out) < 30  # nonempty AND peeled
