@@ -2809,6 +2809,69 @@ def q_sssp(spark, sf_dir):
     return graph.weighted_sssp(edges, seeds, n_iter=6)
 
 
+# WKT corpora: coordinates are INTEGERS + dyadic decimal suffixes
+# formatted identically by both engines (never format a computed
+# double into text — engine float-to-string rules differ); every 19th
+# doc is a non-POINT / non-POLYGON line to exercise the garbage path
+_DOCS_WKT_POINTS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 19 = 4 "
+    "THEN 'LINESTRING (0 0, 1 1)' "
+    "ELSE 'POINT (' || cast(doc_id % 340 - 170 AS varchar) || '.25 ' "
+    "|| cast((doc_id * 7) % 140 - 70 AS varchar) || '.5)' END AS wkt "
+    "FROM documents")
+
+_DOCS_WKT_POLYS_SQL = (
+    "SELECT doc_id AS polygon_id, "
+    "'POLYGON ((' "
+    "|| cast(doc_id % 300 - 150 AS varchar) || '.0 ' "
+    "|| cast((doc_id * 3) % 120 - 60 AS varchar) || '.0, ' "
+    "|| cast(doc_id % 300 - 148 AS varchar) || '.0 ' "
+    "|| cast((doc_id * 3) % 120 - 60 AS varchar) || '.0, ' "
+    "|| cast(doc_id % 300 - 148 AS varchar) || '.0 ' "
+    "|| cast((doc_id * 3) % 120 - 58 AS varchar) || '.0, ' "
+    "|| cast(doc_id % 300 - 150 AS varchar) || '.0 ' "
+    "|| cast((doc_id * 3) % 120 - 58 AS varchar) || '.0))' AS wkt "
+    "FROM documents")
+
+
+def q_wkt_points(spark, sf_dir):
+    """WKT POINT ingestion (functions/geo.wkt_point_col): regexp parse
+    + try_cast (garbage rows -> NULLs, never a job failure under ANSI
+    mode) + grid-cell assignment — the text-format read side of the
+    GeoJSON sink."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    wkt = F.when(i % 19 == 4, F.lit("LINESTRING (0 0, 1 1)")).otherwise(
+        F.concat(F.lit("POINT ("), (i % 340 - 170).cast("string"),
+                 F.lit(".25 "), ((i * 7) % 140 - 70).cast("string"),
+                 F.lit(".5)")))
+    lon, lat = geo.wkt_point_col(wkt)
+    return d.select("doc_id", lon.alias("lon"), lat.alias("lat"),
+                    geo.grid_cell_col(lat, lon, 5).alias("cell"))
+
+
+def q_wkt_raster(spark, sf_dir):
+    """WKT POLYGON -> raster chain (geo.wkt_polygon_rings_col feeding
+    spatial.polygon_raster_cells): innermost-paren ring extraction and
+    coordinate parse entirely in codegen HOFs, then the audited
+    even-odd rasterizer — proving external vector text drops straight
+    into the grid machinery."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    x0 = (i % 300 - 150).cast("string")
+    x1 = (i % 300 - 148).cast("string")
+    y0 = ((i * 3) % 120 - 60).cast("string")
+    y1 = ((i * 3) % 120 - 58).cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("), x0, F.lit(".0 "), y0, F.lit(".0, "),
+        x1, F.lit(".0 "), y0, F.lit(".0, "),
+        x1, F.lit(".0 "), y1, F.lit(".0, "),
+        x0, F.lit(".0 "), y1, F.lit(".0))"))
+    polys = d.select(F.col("doc_id").alias("polygon_id"),
+                     geo.wkt_polygon_rings_col(wkt).alias("rings"))
+    return spatial.polygon_raster_cells(polys, res=6)
+
+
 def q_imp_click(spark, sf_dir):
     """Interval join of impressions x clicks
     (streaming/ingest.impression_click_join): views and clicks of the
@@ -2977,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imp_click_join": q_imp_click,
         "sssp": q_sssp,
         "kcore": q_kcore,
+        "wkt_points": q_wkt_points,
+        "wkt_raster": q_wkt_raster,
     }
 
 
@@ -3814,6 +3879,17 @@ FROM r GROUP BY id""",
         "sssp": graph.weighted_sssp_sql(_SSSP_EDGES_SQL, _SSSP_SEEDS_SQL,
                                         n_iter=6),
         "kcore": graph.k_core_sql(_KCORE_EDGES_SQL, k=14, n_iter=10),
+        "wkt_points": (
+            "SELECT doc_id, "
+            f"{geo.wkt_point_sql('wkt')[0]} AS lon, "
+            f"{geo.wkt_point_sql('wkt')[1]} AS lat, "
+            + cells.grid_cell_sql(geo.wkt_point_sql('wkt')[1],
+                                  geo.wkt_point_sql('wkt')[0], 5)
+            + f" AS cell FROM ({_DOCS_WKT_POINTS_SQL})"),
+        "wkt_raster": spatial.polygon_raster_cells_sql(
+            "SELECT polygon_id, "
+            + geo.wkt_polygon_rings_sql("wkt")
+            + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})", res=6),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

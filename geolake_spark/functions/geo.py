@@ -184,3 +184,63 @@ def with_geo_columns(df, lat_col: str = "lat", lon_col: str = "lon",
             .withColumn("tile_z", F.lit(zoom))
             .withColumn("tile_x", tile_x_col(lon, zoom))
             .withColumn("tile_y", tile_y_col(lat, zoom)))
+
+
+# --------------------------------------------------------------- WKT
+
+# WKT ingestion (the interchange text format every GIS stack emits;
+# reference's GeoJSON sink is the write side, this is the read side).
+# Pure regexp/HOF parsing — no Python in the scan.  The coordinate
+# number parse is the engines' correctly-rounded strtod, identical on
+# both sides.
+_WKT_NUM = r"([-+0-9.eE]+)"
+_WKT_POINT_RE = (r"(?is)^\s*POINT\s*\(\s*" + _WKT_NUM + r"\s+"
+                 + _WKT_NUM + r"\s*\)\s*$")
+# ring bodies are exactly the innermost parenthesis groups
+_WKT_RING_RE = r"\(([^()]+)\)"
+
+
+def wkt_point_col(s: Column) -> tuple[Column, Column]:
+    """``(lon, lat)`` doubles from a WKT POINT (x=lon first, the WKT
+    axis order); (NULL, NULL) when the string is not a POINT."""
+    # try_cast: ANSI mode is on (Spark 4 default) — garbage must give
+    # NULL, not a runtime error (TRY_CAST on the DuckDB side)
+    lon = F.regexp_extract(s, _WKT_POINT_RE, 1)
+    lat = F.regexp_extract(s, _WKT_POINT_RE, 2)
+    return lon.try_cast("double"), lat.try_cast("double")
+
+
+def wkt_point_sql(s_expr: str) -> tuple[str, str]:
+    """DuckDB mirror of :func:`wkt_point_col`."""
+    pat = _WKT_POINT_RE.replace("'", "''")
+    lon = f"TRY_CAST(regexp_extract({s_expr}, '{pat}', 1) AS DOUBLE)"
+    lat = f"TRY_CAST(regexp_extract({s_expr}, '{pat}', 2) AS DOUBLE)"
+    return lon, lat
+
+
+def wkt_polygon_rings_col(s: Column) -> Column:
+    """``array<array<array<double>>>`` of [lon, lat] rings from a WKT
+    POLYGON (outer ring + holes) — the input shape of
+    spatial.polygon_raster_cells / joins.pip_join.  Each innermost
+    paren group is one ring; points split on commas, coordinates on
+    blanks.  Empty/garbage input yields an empty rings array."""
+    bodies = F.regexp_extract_all(s, F.lit(_WKT_RING_RE), F.lit(1))
+    return F.transform(
+        bodies,
+        lambda b: F.transform(
+            F.split(b, ","),
+            lambda pt: F.transform(
+                F.slice(F.filter(F.split(F.trim(pt), r"[ \t]+"),
+                                 lambda c: c != ""), 1, 2),
+                lambda c: c.try_cast("double"))))
+
+
+def wkt_polygon_rings_sql(s_expr: str) -> str:
+    """DuckDB mirror of :func:`wkt_polygon_rings_col`."""
+    return (f"list_transform(regexp_extract_all({s_expr}, "
+            f"'{_WKT_RING_RE}', 1), "
+            f"b -> list_transform(string_split(b, ','), "
+            f"pt -> list_transform("
+            f"list_filter(string_split_regex(trim(pt), '[ \\t]+'), "
+            f"c -> c <> '')[1:2], "
+            f"c -> TRY_CAST(c AS DOUBLE))))")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from geolake_spark import cells
 from geolake_spark.operators import spatial
 
@@ -367,3 +369,55 @@ def test_catchment_counts_hand_checked(spark):
             for r in spatial.catchment_counts(pois, ev, res=4,
                                               k=0).collect()}
     assert got0[1] == (1, 2)
+
+
+# ----------------------------------------------------------------- WKT
+
+def test_wkt_point_parse(spark):
+    from geolake_spark.functions import geo as g
+    rows = [(0, "POINT (12.5 -45.25)"), (1, "point(0 0)"),
+            (2, "  POINT ( -1.5e1   2.5 ) "), (3, "LINESTRING (0 0, 1 1)"),
+            (4, "not wkt at all"), (5, "POINT (1)")]
+    df = spark.createDataFrame(rows, "doc_id long, wkt string")
+    lon, lat = g.wkt_point_col(F.col("wkt"))
+    out = {r.doc_id: (r.lon, r.lat) for r in
+           df.select("doc_id", lon.alias("lon"), lat.alias("lat")).collect()}
+    assert out[0] == (12.5, -45.25)
+    assert out[1] == (0.0, 0.0)          # case-insensitive, no space
+    assert out[2] == (-15.0, 2.5)        # scientific notation + padding
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+
+
+def test_wkt_polygon_rings_parse_and_duckdb(spark):
+    import duckdb
+    from geolake_spark.functions import geo as g
+    w = ("POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0), "
+         "(1.0 1.0, 3.0 1.0, 2.0 3.0))")
+    df = spark.createDataFrame([(0, w)], "doc_id long, wkt string")
+    rings = df.select(
+        g.wkt_polygon_rings_col(F.col("wkt")).alias("r")).first().r
+    assert len(rings) == 2
+    assert rings[0][1] == [4.0, 0.0] and rings[1][2] == [2.0, 3.0]
+    ora = duckdb.sql(
+        f"SELECT {g.wkt_polygon_rings_sql('wkt')} AS r FROM "
+        f"(SELECT '{w}' AS wkt)").fetchone()[0]
+    assert ora == rings
+
+
+def test_wkt_raster_hole_excluded(spark):
+    """a square with a triangular hole: hole cells drop out (even-odd)"""
+    from geolake_spark.functions import geo as g
+    from geolake_spark.operators import spatial as sp
+    solid = "POLYGON ((0.0 0.0, 40.0 0.0, 40.0 40.0, 0.0 40.0))"
+    holed = ("POLYGON ((0.0 0.0, 40.0 0.0, 40.0 40.0, 0.0 40.0), "
+             "(5.0 5.0, 35.0 5.0, 20.0 35.0))")
+    df = spark.createDataFrame([(1, solid), (2, holed)],
+                               "polygon_id long, wkt string")
+    polys = df.select("polygon_id",
+                      g.wkt_polygon_rings_col(F.col("wkt")).alias("rings"))
+    out = sp.polygon_raster_cells(polys, res=4)
+    n = {r.polygon_id: r.n for r in
+         out.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n[1] > n[2] > 0
