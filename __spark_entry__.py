@@ -2872,6 +2872,19 @@ def q_wkt_raster(spark, sf_dir):
     return spatial.polygon_raster_cells(polys, res=6)
 
 
+def q_quadkey_rollup(spark, sf_dir):
+    """Bing quadkey histogram (functions/geo.quadkey_col): loop-free
+    Morton shift-OR chain + one base-4 conv, grouped at zoom 6 with the
+    zoom-3 ancestor as a string PREFIX — the property that makes
+    quadkeys the sort/partition key of choice for tile pyramids
+    (prefix range scan = subtree read)."""
+    e = _events_geo(spark, sf_dir)
+    qk = geo.quadkey_col(F.col("lat"), F.col("lon"), 6)
+    return (e.select(qk.alias("qk"))
+            .groupBy("qk").agg(F.count(F.lit(1)).alias("n"))
+            .select("qk", F.substring("qk", 1, 3).alias("parent"), "n"))
+
+
 def q_imp_click(spark, sf_dir):
     """Interval join of impressions x clicks
     (streaming/ingest.impression_click_join): views and clicks of the
@@ -3042,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "wkt_points": q_wkt_points,
         "wkt_raster": q_wkt_raster,
+        "quadkey_rollup": q_quadkey_rollup,
     }
 
 
@@ -3890,6 +3904,15 @@ FROM r GROUP BY id""",
             "SELECT polygon_id, "
             + geo.wkt_polygon_rings_sql("wkt")
             + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})", res=6),
+        "quadkey_rollup": (
+            f"WITH _qk_b AS (SELECT {cells.tile_x_sql('lon', 6)} AS tx, "
+            f"{cells.tile_y_sql('lat', 6)} AS ty "
+            f"FROM ({_EVENTS_GEO_SQL})), "
+            f"_qk AS (SELECT "
+            f"{cells.quadkey_from_xy_sql('tx', 'ty', 6)} AS qk "
+            f"FROM _qk_b) "
+            f"SELECT qk, substr(qk, 1, 3) AS parent, count(*) AS n "
+            f"FROM _qk GROUP BY 1, 2"),
         "cocitation": graph.cocitation_pairs_sql(
             "SELECT src, dst FROM ("
             + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")

@@ -627,3 +627,20 @@ def s2_parent(cell_id, level: int) -> np.ndarray:
     c = np.asarray(cell_id, dtype=np.uint64)
     lsb = np.uint64(1) << np.uint64(2 * (_S2_MAX_LEVEL - level))
     return ((c & ~(lsb - np.uint64(1))) | lsb).astype(np.int64)
+
+
+def quadkey_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
+    """DuckDB/SparkSQL mirror of ``geo.quadkey_col``.  NB the tile
+    exprs are inlined per bit — wrap precomputed tx/ty columns when
+    composing by hand (``quadkey_from_xy_sql``)."""
+    return quadkey_from_xy_sql(tile_x_sql(lon_expr, zoom),
+                               tile_y_sql(lat_expr, zoom), zoom)
+
+
+def quadkey_from_xy_sql(x_expr: str, y_expr: str, zoom: int) -> str:
+    terms = []
+    for j in range(zoom):
+        terms.append(f"((({x_expr}) >> {j}) & 1) << {2 * j}")
+        terms.append(f"((({y_expr}) >> {j}) & 1) << {2 * j + 1}")
+    morton = " | ".join(f"({t})" for t in terms)
+    return f"lpad(to_base({morton}, 4), {zoom}, '0')"

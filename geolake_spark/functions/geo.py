@@ -244,3 +244,23 @@ def wkt_polygon_rings_sql(s_expr: str) -> str:
             f"list_filter(string_split_regex(trim(pt), '[ \\t]+'), "
             f"c -> c <> '')[1:2], "
             f"c -> TRY_CAST(c AS DOUBLE))))")
+
+
+def quadkey_col(lat: Column, lon: Column, zoom: int) -> Column:
+    """Bing-maps quadkey of the slippy tile at ``zoom`` (Schwartz,
+    "Bing Maps Tile System", public docs): digit k (MSB-first) =
+    2*y_bit + x_bit of the tile coordinates' bit ``zoom-1-k``.  The
+    interleave is the base-4 representation of morton(x, y), so the
+    whole encode is an unrolled shift-OR chain + one ``conv`` to base 4
+    + lpad — loop-free whole-stage codegen, same shape as the geohash
+    encoder.  Prefix truncation = zoom-out: ``substr(qk, 1, z')`` is
+    the ancestor tile (what makes the string form worth having)."""
+    x = tile_x_col(lon, zoom)
+    y = tile_y_col(lat, zoom)
+    m = F.lit(0).cast("long")
+    for j in range(zoom):
+        m = m.bitwiseOR(F.shiftleft(
+            F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j))
+        m = m.bitwiseOR(F.shiftleft(
+            F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1))
+    return F.lpad(F.conv(m.cast("string"), 10, 4), zoom, "0")

@@ -122,3 +122,57 @@ def test_s2_locality_and_distinctness():
 def test_s2_ids_well_distributed():
     ids = cells.s2_cell_id(LAT, LON, 12)
     assert len(np.unique(ids)) > 480  # near-unique for 500 random points
+
+
+# ------------------------------------------------------------- quadkey
+
+def _ref_quadkey(lat, lon, zoom):
+    """independent loop implementation of the Bing algorithm"""
+    import math
+    lat = max(min(lat, cells.MERCATOR_MAX_LAT), -cells.MERCATOR_MAX_LAT)
+    n = 1 << zoom
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    lr = math.radians(lat)
+    y = min(max(int(math.floor(
+        (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr))
+         / math.pi) / 2.0 * n)), 0), n - 1)
+    digits = []
+    for k in range(zoom - 1, -1, -1):
+        digits.append(str(((y >> k) & 1) * 2 + ((x >> k) & 1)))
+    return "".join(digits)
+
+
+def test_quadkey_matches_reference_loop(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from geolake_spark.functions import geo as g
+    pts = [(40.0, -105.0), (0.0, 0.0), (-33.9, 151.2), (85.5, 179.9),
+           (-89.0, -179.9), (47.61, -122.33)]
+    df = spark.createDataFrame([(i, a, b) for i, (a, b) in enumerate(pts)],
+                               "i long, lat double, lon double")
+    for zoom in (1, 3, 7):
+        got = {r.i: r.qk for r in df.select(
+            "i", g.quadkey_col(F.col("lat"), F.col("lon"),
+                               zoom).alias("qk")).collect()}
+        exp = {i: _ref_quadkey(a, b, zoom) for i, (a, b) in enumerate(pts)}
+        assert got == exp
+        vals = ", ".join(f"({i}, {a!r}, {b!r})"
+                         for i, (a, b) in enumerate(pts))
+        ora = dict(duckdb.sql(
+            f"SELECT i, {cells.quadkey_sql('lat', 'lon', zoom)} "
+            f"FROM (VALUES {vals}) t(i, lat, lon)").fetchall())
+        assert ora == exp
+
+
+def test_quadkey_prefix_is_parent_tile(spark):
+    from pyspark.sql import functions as F
+
+    from geolake_spark.functions import geo as g
+    df = spark.createDataFrame([(40.0, -105.0), (-3.0, 12.0)],
+                               "lat double, lon double")
+    out = df.select(
+        g.quadkey_col(F.col("lat"), F.col("lon"), 8).alias("q8"),
+        g.quadkey_col(F.col("lat"), F.col("lon"), 3).alias("q3")).collect()
+    for r in out:
+        assert r.q8[:3] == r.q3 and len(r.q8) == 8
