@@ -2872,6 +2872,42 @@ def q_wkt_raster(spark, sf_dir):
     return spatial.polygon_raster_cells(polys, res=6)
 
 
+# local-walk corpus for track simplification: points jitter +-0.1 deg
+# around the user's home geocode, with a 20-deg excursion every 17th
+# event — small moves get thinned, jumps always survive
+_EVENTS_WALK_SQL = (
+    "SELECT event_id, ts, user_id, "
+    f"{geo.geocode_lat_sql('user_id')} "
+    "+ ((event_id * 37) % 200 - 100) / 1000.0 "
+    "+ (CASE WHEN event_id % 17 = 0 THEN 20.0 ELSE 0.0 END) AS lat, "
+    f"{geo.geocode_lon_sql('user_id')} "
+    "+ ((event_id * 53) % 200 - 100) / 1000.0 AS lon "
+    "FROM events")
+
+
+def _events_walk(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    lat = (geo.geocode_lat_col(F.col("user_id"))
+           + ((i * 37) % 200 - 100) / F.lit(1000.0)
+           + F.when(i % 17 == 0, F.lit(20.0)).otherwise(F.lit(0.0)))
+    lon = (geo.geocode_lon_col(F.col("user_id"))
+           + ((i * 53) % 200 - 100) / F.lit(1000.0))
+    return e.select("event_id", "ts", "user_id", lat.alias("lat"),
+                    lon.alias("lon"))
+
+
+def q_simplify_track(spark, sf_dir):
+    """Radial-distance track simplification
+    (operators/trips.simplify_track): per-entity sorted fold keeping
+    points >= 0.05 deg (squared integer microdegrees) from the last
+    kept one, first/last always kept — one groupBy shuffle, all-JVM
+    sequential aggregate; the oracle replays the walk with a recursive
+    CTE."""
+    return trips.simplify_track(_events_walk(spark, sf_dir),
+                                eps_microdeg=50_000)
+
+
 def q_quadkey_rollup(spark, sf_dir):
     """Bing quadkey histogram (functions/geo.quadkey_col): loop-free
     Morton shift-OR chain + one base-4 conv, grouped at zoom 6 with the
@@ -3056,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_points": q_wkt_points,
         "wkt_raster": q_wkt_raster,
         "quadkey_rollup": q_quadkey_rollup,
+        "simplify_track": q_simplify_track,
     }
 
 
@@ -3904,6 +3941,8 @@ FROM r GROUP BY id""",
             "SELECT polygon_id, "
             + geo.wkt_polygon_rings_sql("wkt")
             + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})", res=6),
+        "simplify_track": trips.simplify_track_sql(
+            _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "quadkey_rollup": (
             f"WITH _qk_b AS (SELECT {cells.tile_x_sql('lon', 6)} AS tx, "
             f"{cells.tile_y_sql('lat', 6)} AS ty "

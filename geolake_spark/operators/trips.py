@@ -765,3 +765,107 @@ WITH _at_w AS (
 )
 SELECT event_id, user_id, ts, ft.t AS first_touch, lt.t AS last_touch
 FROM _at_w WHERE etype = '{conversion_type}'"""
+
+
+def simplify_track(events: DataFrame, eps_microdeg: int,
+                   entity_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", lat_col: str = "lat",
+                   lon_col: str = "lon") -> DataFrame:
+    """Radial-distance polyline simplification (the standard cheap
+    pre-pass of every trajectory pipeline, e.g. before Douglas-Peucker):
+    walk each entity's points in (ts, id) order, keep a point iff its
+    planar distance from the LAST KEPT point reaches ``eps_microdeg``
+    (integer microdegrees), always keep the first and last point.
+    Returns ``(entity, event_id, ts_us, ilat, ilon)`` of kept points.
+
+    The keep decision depends on the last KEPT point — inherently
+    sequential — so the operator is a per-entity sorted fold: ONE
+    groupBy(entity) shuffle, then an F.aggregate over the sorted struct
+    array, all JVM codegen (no Python).  Distances compare squared
+    integer-microdegree deltas — bit-exact, no trig — which the DuckDB
+    oracle replays point-by-point with a recursive CTE.  Per-entity
+    state is the entity's own track; segment with ``segment_trips``
+    first when single entities span millions of points (stated)."""
+    eps2 = int(eps_microdeg) * int(eps_microdeg)
+    us = _micros(ts_col)
+    ila = F.round(F.col(lat_col) * 1e6, 0).cast("bigint")
+    ilo = F.round(F.col(lon_col) * 1e6, 0).cast("bigint")
+    pt = F.struct(us.alias("us"),
+                  F.col(id_col).cast("bigint").alias("id"),
+                  ila.alias("la"), ilo.alias("lo"))
+    g = (events.groupBy(F.col(entity_col).alias("entity"))
+         .agg(F.array_sort(F.collect_list(pt)).alias("pts")))
+    pt_t = "struct<us:bigint,id:bigint,la:bigint,lo:bigint>"
+    acc_t = (f"struct<la:bigint,lo:bigint,last:{pt_t},"
+             f"lastkept:boolean,kept:array<{pt_t}>>")
+
+    def _mk(la, lo, last, lastkept, kept):
+        return F.struct(la.alias("la"), lo.alias("lo"),
+                        last.alias("last"), lastkept.alias("lastkept"),
+                        kept.alias("kept"))
+
+    def merge(acc, x):
+        dla = x["la"] - acc["la"]
+        dlo = x["lo"] - acc["lo"]
+        far = (dla * dla + dlo * dlo) >= F.lit(eps2)
+        return (F.when(acc.isNull(),
+                       _mk(x["la"], x["lo"], x, F.lit(True), F.array(x)))
+                .when(far,
+                      _mk(x["la"], x["lo"], x, F.lit(True),
+                          F.concat(acc["kept"], F.array(x))))
+                .otherwise(
+                    _mk(acc["la"], acc["lo"], x, F.lit(False),
+                        acc["kept"])))
+
+    kept = F.aggregate(
+        F.col("pts"), F.lit(None).cast(acc_t), merge,
+        lambda acc: F.when(acc["lastkept"], acc["kept"])
+        .otherwise(F.concat(acc["kept"], F.array(acc["last"]))))
+    return (g.select("entity", F.explode(kept).alias("p"))
+            .select("entity", F.col("p.id").alias("event_id"),
+                    F.col("p.us").alias("ts_us"),
+                    F.col("p.la").alias("ilat"),
+                    F.col("p.lo").alias("ilon")))
+
+
+def simplify_track_sql(table: str, eps_microdeg: int,
+                       lat_expr: str = "lat", lon_expr: str = "lon",
+                       entity_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id") -> str:
+    """DuckDB mirror of :func:`simplify_track`: the fold replayed as a
+    recursive CTE stepping one position per entity per round (rounds =
+    longest track; fine at oracle scale)."""
+    eps2 = int(eps_microdeg) * int(eps_microdeg)
+    return f"""
+WITH RECURSIVE _st_p AS (
+  SELECT {entity_col} AS entity, epoch_us({ts_col}) AS us,
+         cast({id_col} AS BIGINT) AS id,
+         cast(round(({lat_expr}) * 1000000) AS BIGINT) AS la,
+         cast(round(({lon_expr}) * 1000000) AS BIGINT) AS lo,
+         row_number() OVER (PARTITION BY {entity_col}
+                            ORDER BY {ts_col}, {id_col}) AS pos
+  FROM ({table})
+), _st_r AS (
+  SELECT entity, pos, us, id, la, lo,
+         la AS kla, lo AS klo, true AS kept
+  FROM _st_p WHERE pos = 1
+  UNION ALL
+  SELECT p.entity, p.pos, p.us, p.id, p.la, p.lo,
+         CASE WHEN (p.la - r.kla) * (p.la - r.kla)
+                 + (p.lo - r.klo) * (p.lo - r.klo) >= {eps2}
+              THEN p.la ELSE r.kla END,
+         CASE WHEN (p.la - r.kla) * (p.la - r.kla)
+                 + (p.lo - r.klo) * (p.lo - r.klo) >= {eps2}
+              THEN p.lo ELSE r.klo END,
+         (p.la - r.kla) * (p.la - r.kla)
+           + (p.lo - r.klo) * (p.lo - r.klo) >= {eps2}
+  FROM _st_r r JOIN _st_p p ON p.entity = r.entity AND p.pos = r.pos + 1
+), _st_last AS (
+  SELECT entity, max(pos) AS pos FROM _st_p GROUP BY entity
+)
+SELECT entity, id AS event_id, us AS ts_us, la AS ilat, lo AS ilon
+FROM _st_r WHERE kept
+UNION ALL
+SELECT r.entity, r.id, r.us, r.la, r.lo
+FROM _st_r r JOIN _st_last l ON l.entity = r.entity AND l.pos = r.pos
+WHERE NOT r.kept"""

@@ -355,3 +355,45 @@ def test_attribution_single_window_node(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------ simplify_track
+
+def _track(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                    "lat", "lon"]))
+
+
+def test_simplify_track_hand_checked(spark):
+    # eps = 100000 microdeg = 0.1 deg; squared-distance keep rule
+    rows = [
+        (1, _ts(0), 1, 0.00, 0.0),   # first: kept
+        (1, _ts(1), 2, 0.05, 0.0),   # 0.05 < 0.1: dropped
+        (1, _ts(2), 3, 0.20, 0.0),   # 0.20 from (0,0): kept
+        (1, _ts(3), 4, 0.24, 0.0),   # 0.04 from last kept: dropped
+        (1, _ts(4), 5, 0.26, 0.0),   # 0.06 from (0.20): dropped, but LAST
+    ]
+    out = sorted(r.event_id for r in trips.simplify_track(
+        _track(spark, rows), eps_microdeg=100_000).collect())
+    assert out == [1, 3, 5]          # last point force-kept
+
+
+def test_simplify_track_exact_eps_is_kept(spark):
+    rows = [(1, _ts(0), 1, 0.0, 0.0), (1, _ts(1), 2, 0.1, 0.0),
+            (1, _ts(2), 3, 0.1, 0.0)]
+    out = sorted(r.event_id for r in trips.simplify_track(
+        _track(spark, rows), eps_microdeg=100_000).collect())
+    assert out == [1, 2, 3]          # >= eps kept; id 3 is the last
+
+
+def test_simplify_track_single_point_and_shuffle(spark):
+    rows = [(7, _ts(0), 42, 1.0, 2.0)]
+    df = trips.simplify_track(_track(spark, rows), eps_microdeg=1000)
+    # read the plan BEFORE collect: post-AQE the string repeats the
+    # tree (Final Plan + Initial Plan) and every node counts twice
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    got = df.collect()
+    assert len(got) == 1 and got[0].event_id == 42
