@@ -2908,6 +2908,32 @@ def q_simplify_track(spark, sf_dir):
                                 eps_microdeg=50_000)
 
 
+# keyword corpus: the base vocabulary is ~27 words present in most
+# docs (df-filtered out at max_df 0.5); two planted tags per doc give
+# a rare high-scorer (tf 1, df ~5) and a commoner runner-up (tf 2,
+# df ~38) so the tf/df ranking and tie-breaks are actually exercised
+_DOCS_KW_SQL = (
+    "SELECT doc_id, text || ' tag' || cast(doc_id % 97 AS varchar) "
+    "|| ' tag' || cast(doc_id % 13 AS varchar) "
+    "|| 'b tag' || cast(doc_id % 13 AS varchar) || 'b' AS text "
+    "FROM documents")
+
+
+def q_keywords(spark, sf_dir):
+    """Per-doc keyword extraction (operators/search.keywords_topk):
+    tf/df rational ranking (no libm log), df from a window over the
+    aggregated postings, stopwords dropped by corpus statistics,
+    rank<=k as WindowGroupLimit."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text = F.concat(F.col("text"),
+                    F.lit(" tag"), (i % 97).cast("string"),
+                    F.lit(" tag"), (i % 13).cast("string"), F.lit("b"),
+                    F.lit(" tag"), (i % 13).cast("string"), F.lit("b"))
+    return search.keywords_topk(d.select("doc_id", text.alias("text")),
+                                k=2)
+
+
 def q_quadkey_rollup(spark, sf_dir):
     """Bing quadkey histogram (functions/geo.quadkey_col): loop-free
     Morton shift-OR chain + one base-4 conv, grouped at zoom 6 with the
@@ -3093,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_raster": q_wkt_raster,
         "quadkey_rollup": q_quadkey_rollup,
         "simplify_track": q_simplify_track,
+        "keywords": q_keywords,
     }
 
 
@@ -3943,6 +3970,7 @@ FROM r GROUP BY id""",
             + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})", res=6),
         "simplify_track": trips.simplify_track_sql(
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
+        "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
         "quadkey_rollup": (
             f"WITH _qk_b AS (SELECT {cells.tile_x_sql('lon', 6)} AS tx, "
             f"{cells.tile_y_sql('lat', 6)} AS ty "

@@ -14,6 +14,8 @@ arithmetic for the value-hash oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -573,3 +575,69 @@ WHERE rnk <= {c}
 GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {k}"""
+
+
+def keywords_topk(docs: DataFrame, k: int = 3, min_df: int = 1,
+                  max_df_frac: float = 0.5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` distinguishing keywords per document ranked by the
+    rational tf-idf surrogate ``tf / df`` (monotone in tf·idf for
+    ranking — no libm log, so both engines compute the identical
+    double) with the (score DESC, term ASC) tie-break.  Terms in more
+    than ``max_df_frac`` of the corpus are dropped as stopwords-by-
+    statistics; returns ``(doc_id, rank, term, tf, df_count)``.
+
+    Plan: one (term, doc) groupBy, df as a window over the AGGREGATED
+    rows (the build_postings trick — postings-sized, never re-reads
+    text), then a per-doc rank whose ``rank <= k`` filter executes as
+    WindowGroupLimit (no full per-doc sort materializes)."""
+    from pyspark.sql import Window
+    n_docs = docs.count()
+    max_df = int(math.floor(n_docs * max_df_frac))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_toks(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    scored = (tf.withColumn(
+        "df_count", F.count("*").over(Window.partitionBy("term")))
+        .filter((F.col("df_count") >= min_df)
+                & (F.col("df_count") <= max_df))
+        .withColumn("score", F.col("tf").cast("double")
+                    / F.col("df_count").cast("double")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "tf", "df_count"))
+
+
+def keywords_topk_sql(docs_sql: str, k: int = 3, min_df: int = 1,
+                      max_df_frac: float = 0.5, text_expr: str = "text",
+                      id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`keywords_topk`."""
+    return f"""
+WITH _kw_d AS (
+  SELECT {id_expr} AS doc_id,
+         CASE WHEN trim(lower({text_expr})) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower({text_expr})), '\\s+')
+         END AS tk
+  FROM ({docs_sql})
+), _kw_n AS (
+  SELECT cast(floor(count(*) * {max_df_frac!r}) AS BIGINT) AS max_df FROM _kw_d
+), _kw_tf AS (
+  SELECT doc_id, u.term AS term, count(*) AS tf
+  FROM _kw_d, LATERAL (SELECT unnest(tk)) u(term)
+  GROUP BY 1, 2
+), _kw_s AS (
+  SELECT doc_id, term, tf,
+         count(*) OVER (PARTITION BY term) AS df_count
+  FROM _kw_tf
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cast(tf AS DOUBLE) / cast(df_count AS DOUBLE) DESC,
+                                   term ASC) AS rank,
+       term, tf, df_count
+FROM _kw_s, _kw_n
+WHERE df_count >= {min_df} AND df_count <= max_df
+QUALIFY rank <= {k}"""

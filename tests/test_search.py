@@ -274,3 +274,42 @@ def test_champion_topk_plan_shape(spark):
     # materialization) and the top-k is not a global sort
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------------- keywords
+
+def test_keywords_topk_ranking(spark):
+    from geolake_spark.operators import search as se
+    docs = [
+        (1, "common common rare1 mid mid"),
+        (2, "common rare2 mid"),
+        (3, "common mid"),
+        (4, "common zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # 'common' in 4/4 docs -> dropped at max_df_frac 0.5 (max_df=2)
+    out = {(r.doc_id, r.rank): (r.term, r.tf, r.df_count)
+           for r in se.keywords_topk(df, k=2, max_df_frac=0.5).collect()}
+    assert out[(1, 1)] == ("rare1", 1, 1)      # tf/df = 1.0
+    assert out[(2, 1)] == ("rare2", 1, 1)
+    assert out[(4, 1)] == ("zzz", 1, 1)
+    assert (3, 1) not in out or out[(3, 1)][0] != "common"
+
+
+def test_keywords_tie_breaks_on_term(spark):
+    from geolake_spark.operators import search as se
+    df = spark.createDataFrame([(1, "beta alpha"), (2, "x")],
+                               "doc_id long, text string")
+    out = [(r.rank, r.term) for r in se.keywords_topk(
+        df, k=2, max_df_frac=1.0).collect() if r.doc_id == 1]
+    # equal scores (tf 1, df 1): alphabetical order decides
+    assert sorted(out) == [(1, "alpha"), (2, "beta")]
+
+
+def test_keywords_window_group_limit(spark):
+    from geolake_spark.operators import search as se
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    plan = se.keywords_topk(df, k=2, max_df_frac=1.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
