@@ -2934,6 +2934,16 @@ def q_keywords(spark, sf_dir):
                                 k=2)
 
 
+def q_coverage_gaps(spark, sf_dir):
+    """Facility dead zones (operators/spatial.coverage_gaps): res-4
+    cells with >=2 events and no facility (every 5th doc geocode)
+    within Chebyshev 1 — per-cell pre-collapse, then ONE anti-join of
+    occupied cells vs the exploded POI disks (never events x POIs)."""
+    ev = _events_geo(spark, sf_dir)
+    pois = _docs_geo(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return spatial.coverage_gaps(ev, pois, res=4, k=1, min_pts=2)
+
+
 def q_quadkey_rollup(spark, sf_dir):
     """Bing quadkey histogram (functions/geo.quadkey_col): loop-free
     Morton shift-OR chain + one base-4 conv, grouped at zoom 6 with the
@@ -3120,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_rollup": q_quadkey_rollup,
         "simplify_track": q_simplify_track,
         "keywords": q_keywords,
+        "coverage_gaps": q_coverage_gaps,
     }
 
 
@@ -3971,6 +3982,10 @@ FROM r GROUP BY id""",
         "simplify_track": trips.simplify_track_sql(
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
+        "coverage_gaps": spatial.coverage_gaps_sql(
+            _EVENTS_GEO_SQL,
+            f"SELECT * FROM ({_DOCS_GEO_SQL}) WHERE doc_id % 5 = 0",
+            res=4, k=1, min_pts=2),
         "quadkey_rollup": (
             f"WITH _qk_b AS (SELECT {cells.tile_x_sql('lon', 6)} AS tx, "
             f"{cells.tile_y_sql('lat', 6)} AS ty "

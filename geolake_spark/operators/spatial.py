@@ -786,3 +786,64 @@ SELECT p.poi_id,
        coalesce(sum(h.n), 0) AS n_events
 FROM _cc_disk p LEFT JOIN _cc_hist h ON p.cell = h.cell
 GROUP BY p.poi_id"""
+
+
+def coverage_gaps(events: DataFrame, pois: DataFrame, res: int,
+                  k: int = 1, min_pts: int = 1,
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Demand cells a facility network does NOT serve: ``(cell,
+    n_events)`` for every res-cell with >= ``min_pts`` events and no
+    POI within Chebyshev distance ``k`` — the site-planning /
+    dead-zone query (where do users cluster that nothing covers?).
+
+    Scale shape: events collapse to per-cell counts FIRST (the only
+    events-sized shuffle); each POI explodes to its (2k+1)² disk with
+    the same wrap/clamp arithmetic as catchment_counts, and the gap
+    test is ONE anti-join of occupied cells against the (POIs x disk)-
+    sized cover — never events x POIs."""
+    from geolake_spark.functions.geo import grid_cell_col
+    nx, ny = cells.grid_dims(res)
+    hist = (events.select(
+        grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= min_pts))
+    c = grid_cell_col(F.col(lat_col), F.col(lon_col), res)
+    base = pois.select(c.alias("cell"))
+    ix = F.col("cell").bitwiseAND(F.lit(_IY_UNIT - 1))
+    iy = F.shiftright(F.col("cell"), 28).bitwiseAND(F.lit(_IY_UNIT - 1))
+    disk = (base
+            .withColumn("dy", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+            .withColumn("dx", F.explode(F.sequence(F.lit(-k), F.lit(k)))))
+    niy = iy + F.col("dy")
+    nix = (ix + F.col("dx") + F.lit(nx)) % F.lit(nx)
+    nbr = (F.lit(res * _RES_UNIT).cast("bigint")
+           + niy * F.lit(_IY_UNIT).cast("bigint") + nix)
+    cover = (disk.filter((niy >= 0) & (niy < ny))
+             .select(nbr.alias("cell")).distinct())
+    return hist.join(cover, "cell", "left_anti")
+
+
+def coverage_gaps_sql(events_sql: str, pois_sql: str, res: int,
+                      k: int = 1, min_pts: int = 1,
+                      lat_expr: str = "lat", lon_expr: str = "lon") -> str:
+    """DuckDB mirror of :func:`coverage_gaps`."""
+    nx, ny = cells.grid_dims(res)
+    cell = cells.grid_cell_sql(lat_expr, lon_expr, res)
+    return f"""
+WITH _cg_hist AS (
+  SELECT {cell} AS cell, count(*) AS n_events
+  FROM ({events_sql}) GROUP BY 1 HAVING count(*) >= {min_pts}
+), _cg_cover AS (
+  SELECT DISTINCT
+         {res} * {_RES_UNIT}
+         + ((cell // {_IY_UNIT}) % {_IY_UNIT} + d.dy) * {_IY_UNIT}
+         + ((cell % {_IY_UNIT}) + d.dx + {nx}) % {nx} AS cell
+  FROM (SELECT {cell} AS cell FROM ({pois_sql})) p,
+       (SELECT a.dy AS dy, b.dx AS dx
+        FROM (SELECT unnest(range(-{k}, {k} + 1)) AS dy) a,
+             (SELECT unnest(range(-{k}, {k} + 1)) AS dx) b) d
+  WHERE (cell // {_IY_UNIT}) % {_IY_UNIT} + d.dy >= 0
+    AND (cell // {_IY_UNIT}) % {_IY_UNIT} + d.dy < {ny}
+)
+SELECT h.cell, h.n_events
+FROM _cg_hist h ANTI JOIN _cg_cover c ON h.cell = c.cell"""

@@ -421,3 +421,27 @@ def test_wkt_raster_hole_excluded(spark):
     n = {r.polygon_id: r.n for r in
          out.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert n[1] > n[2] > 0
+
+
+# --------------------------------------------------------- coverage gaps
+
+def test_coverage_gaps_hand_checked(spark):
+    # res 4: nx=128, cells are 2.8125 deg. events at three spots;
+    # one POI covers the first spot's cell (k=1 disk)
+    ev = _pts(spark, [(0.1, 0.1)] * 3 + [(0.1, 20.0)] * 2 + [(50.0, 50.0)])
+    pois = _pts(spark, [(0.1, 1.0)])   # same or adjacent cell as (0.1, 0.1)
+    out = {r.cell: r.n_events for r in spatial.coverage_gaps(
+        ev, pois, res=4, k=1, min_pts=2).collect()}
+    gap_cell = int(cells.grid_cell(0.1, 20.0, 4))
+    covered = int(cells.grid_cell(0.1, 0.1, 4))
+    lone = int(cells.grid_cell(50.0, 50.0, 4))
+    assert out == {gap_cell: 2}        # covered cell gone; lone < min_pts
+    assert covered not in out and lone not in out
+
+
+def test_coverage_gaps_k_widens_cover(spark):
+    ev = _pts(spark, [(0.1, 6.0)] * 2)     # ~2 cells east of the POI
+    pois = _pts(spark, [(0.1, 0.1)])
+    gap1 = spatial.coverage_gaps(ev, pois, res=4, k=1).count()
+    gap2 = spatial.coverage_gaps(ev, pois, res=4, k=2).count()
+    assert gap1 == 1 and gap2 == 0
