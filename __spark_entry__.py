@@ -2934,6 +2934,22 @@ def q_keywords(spark, sf_dir):
                                 k=2)
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Content-defined chunk dedup (operators/dedup.duplicate_chunks):
+    md5-bucket chunk boundaries depend only on local tokens, so the
+    boilerplate footer planted on every 3rd doc chunks identically
+    regardless of position and surfaces as corpus-duplicated chunks.
+    One doc-keyed window shuffle (chunk rollup extends its key) + one
+    chunk-hash groupBy."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 3 == 0,
+                        F.lit(" " + _SD_BOILER)).otherwise(F.lit("")))
+        .alias("text"))
+    return dedup.duplicate_chunks(d, avg_tokens=8, min_docs=2)
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Facility dead zones (operators/spatial.coverage_gaps): res-4
     cells with >=2 events and no facility (every 5th doc geocode)
@@ -3131,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_track": q_simplify_track,
         "keywords": q_keywords,
         "coverage_gaps": q_coverage_gaps,
+        "chunk_dedup": q_chunk_dedup,
     }
 
 
@@ -3982,6 +3999,10 @@ FROM r GROUP BY id""",
         "simplify_track": trips.simplify_track_sql(
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
+        "chunk_dedup": dedup.duplicate_chunks_sql(
+            "SELECT doc_id, text || (CASE WHEN doc_id % 3 = 0 THEN "
+            f"' {_SD_BOILER}' ELSE '' END) AS text FROM documents",
+            avg_tokens=8, min_docs=2),
         "coverage_gaps": spatial.coverage_gaps_sql(
             _EVENTS_GEO_SQL,
             f"SELECT * FROM ({_DOCS_GEO_SQL}) WHERE doc_id % 5 = 0",

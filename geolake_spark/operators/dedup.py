@@ -814,3 +814,80 @@ SELECT id_a, id_b, levenshtein(s_a, s_b) AS dist
 FROM _fz_c
 WHERE shared >= greatest(1, greatest(dn_a, dn_b) - {max_dist} * {q})
   AND levenshtein(s_a, s_b) <= {max_dist}"""
+
+
+def duplicate_chunks(docs: DataFrame, avg_tokens: int = 8, min_docs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunk dedup (the FastCDC/rsync idea at token
+    granularity, as used for boilerplate mining in web-corpus
+    curation): a token STARTS a new chunk when its 60-bit md5 bucket
+    hits ``hash(tok) % avg_tokens == 0`` — boundaries depend only on
+    LOCAL content, so a shared passage chunks identically no matter
+    where it sits in each document (the property fixed-width shingles
+    lack).  Returns ``(chunk_fp, n_docs, n_occ, chunk_tokens)`` for
+    chunks appearing in >= ``min_docs`` distinct docs.
+
+    Plan: posexplode tokens -> boundary flag (pure codegen md5 bucket)
+    -> per-doc running-sum window (ONE doc-keyed shuffle) -> chunk
+    rollup on (doc, chunk_idx), which EXTENDS the window's partition
+    key (no second exchange, the trip_stats pattern) -> one final
+    groupBy(chunk md5).  Chunk text reassembles via sorted collect —
+    bounded by the chunk length, ~avg_tokens."""
+    from pyspark.sql import Window
+    from ..functions.text import bow_tokens_col, token_bucket_col
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(bow_tokens_col(F.col(text_col))).alias("pos", "tok"))
+    bnd = (token_bucket_col(F.col("tok"), avg_tokens) == 0).cast("bigint")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunked = toks.select("doc_id", "pos", "tok",
+                          F.sum(bnd).over(w).alias("chunk_idx"))
+    chunks = (chunked.groupBy("doc_id", "chunk_idx")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("pos"), F.col("tok")))),
+                      lambda s: s["tok"]), " ").alias("chunk"),
+                  F.count(F.lit(1)).alias("chunk_tokens")))
+    return (chunks.groupBy(F.md5("chunk").alias("chunk_fp"),
+                           F.col("chunk_tokens"))
+            .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("chunk_fp", "n_docs", "n_occ", "chunk_tokens"))
+
+
+def duplicate_chunks_sql(docs_sql: str, avg_tokens: int = 8,
+                         min_docs: int = 2, text_expr: str = "text",
+                         id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`duplicate_chunks`."""
+    from ..functions.text import bow_tokens_sql, token_bucket_sql
+    return f"""
+WITH _dc_d AS (
+  SELECT {id_expr} AS doc_id, {bow_tokens_sql(text_expr)} AS tk
+  FROM ({docs_sql})
+), _dc_t AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM _dc_d, LATERAL (SELECT unnest(list_transform(range(1, len(tk) + 1),
+         i -> {{'pos': i - 1, 'tok': tk[i]}}), recursive := true)) u
+), _dc_c AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN {token_bucket_sql('tok', avg_tokens)} = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS chunk_idx
+  FROM _dc_t
+), _dc_k AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(list_transform(
+             list_sort(list({{'pos': pos, 'tok': tok}})),
+             s -> s.tok), ' ') AS chunk,
+         count(*) AS chunk_tokens
+  FROM _dc_c GROUP BY 1, 2
+)
+SELECT md5(chunk) AS chunk_fp, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ, chunk_tokens
+FROM _dc_k GROUP BY chunk_fp, chunk_tokens
+HAVING count(DISTINCT doc_id) >= {min_docs}"""

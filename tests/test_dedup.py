@@ -669,3 +669,55 @@ def test_winnow_bucket_cap_drops_template_fingerprint(spark):
     assert stats["dropped_buckets"] >= 1 and stats["dropped_rows"] >= 11
     # capped run emits far fewer than the 30*29/2 all-pairs blowup
     assert n < 30 * 29 // 2
+
+
+# ------------------------------------------------------ duplicate_chunks
+
+def test_duplicate_chunks_position_invariant(spark):
+    """the same passage at DIFFERENT offsets chunks identically —
+    the content-defined property fixed shingle grids lack"""
+    from geolake_spark.operators import dedup as dd
+    # 'bravo'/'charlie'/'india' have md5-bucket 0 at g=4 (chunk
+    # starters); the passage therefore contains complete interior
+    # chunks [bravo..] and [charlie..] no matter what surrounds it
+    shared = ("bravo alpha delta echo charlie golf hotel juliet "
+              "india kilo lima mike")
+    rows = [(1, "foxtrot foxtrot " + shared + " tail one"),
+            (2, shared + " other tail"),
+            (3, "totally different content with no repeats at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.duplicate_chunks(df, avg_tokens=4, min_docs=2).collect()
+    # interior chunks 'bravo alpha delta echo' and
+    # 'charlie golf hotel juliet' are shared; the india-chunk absorbs
+    # each doc's distinct tail and must NOT match
+    assert {r.chunk_tokens for r in out} == {4}
+    assert len(out) == 2
+    for r in out:
+        assert r.n_docs == 2 and r.n_occ == 2    # docs 1+2 only
+
+
+def test_duplicate_chunks_single_shuffle_then_rollup(spark):
+    from geolake_spark.operators import dedup as dd
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = dd.duplicate_chunks(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # window shuffle + final chunk groupBy; the (doc, chunk) rollup
+    # must reuse the window's hash partitioning
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_duplicate_chunks_matches_duckdb(spark):
+    import duckdb
+    from geolake_spark.operators import dedup as dd
+    rows = [(i, " ".join(
+        f"w{(i * 17 + j * j) % 23}" for j in range(30))
+        + (" common tail phrase here" if i % 2 == 0 else ""))
+        for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, dd.duplicate_chunks(
+        df, avg_tokens=4).collect()))
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    ora = sorted(map(tuple, duckdb.sql(dd.duplicate_chunks_sql(
+        f"SELECT * FROM (VALUES {vals}) t(doc_id, text)",
+        avg_tokens=4)).fetchall()))
+    assert out == ora and len(out) > 0
