@@ -2950,6 +2950,31 @@ def q_chunk_dedup(spark, sf_dir):
     return dedup.duplicate_chunks(d, avg_tokens=8, min_docs=2)
 
 
+_SEGS_SQL = (
+    "SELECT doc_id AS seg_id, "
+    f"{geo.geocode_lon_sql('doc_id')} AS x1, "
+    f"{geo.geocode_lat_sql('doc_id')} AS y1, "
+    f"{geo.geocode_lon_sql('doc_id')} + ((doc_id % 7) - 3) * 0.3 AS x2, "
+    f"{geo.geocode_lat_sql('doc_id')} + ((doc_id % 5) - 2) * 0.3 AS y2 "
+    "FROM documents")
+
+
+def q_nearest_segment(spark, sf_dir):
+    """Map-matching snap (operators/spatial.nearest_segment): every
+    event point to its nearest road segment — segments rasterize their
+    bbox + one-cell halo, the join is cell-local, distance is the
+    clamped-projection formula in one fixed float op sequence, argmin
+    via struct min."""
+    segs = _docs_geo(spark, sf_dir).select(
+        F.col("doc_id").alias("seg_id"),
+        F.col("lon").alias("x1"), F.col("lat").alias("y1"),
+        (F.col("lon") + ((F.col("doc_id") % 7) - 3) * 0.3).alias("x2"),
+        (F.col("lat") + ((F.col("doc_id") % 5) - 2) * 0.3).alias("y2"))
+    pts = _events_geo(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lat", "lon")
+    return spatial.nearest_segment(pts, segs, res=4)
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Facility dead zones (operators/spatial.coverage_gaps): res-4
     cells with >=2 events and no facility (every 5th doc geocode)
@@ -3148,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords": q_keywords,
         "coverage_gaps": q_coverage_gaps,
         "chunk_dedup": q_chunk_dedup,
+        "nearest_segment": q_nearest_segment,
     }
 
 
@@ -3999,6 +4025,9 @@ FROM r GROUP BY id""",
         "simplify_track": trips.simplify_track_sql(
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
+        "nearest_segment": spatial.nearest_segment_sql(
+            f"SELECT event_id AS point_id, lat, lon "
+            f"FROM ({_EVENTS_GEO_SQL})", _SEGS_SQL, res=4),
         "chunk_dedup": dedup.duplicate_chunks_sql(
             "SELECT doc_id, text || (CASE WHEN doc_id % 3 = 0 THEN "
             f"' {_SD_BOILER}' ELSE '' END) AS text FROM documents",

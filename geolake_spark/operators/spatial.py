@@ -847,3 +847,108 @@ WITH _cg_hist AS (
 )
 SELECT h.cell, h.n_events
 FROM _cg_hist h ANTI JOIN _cg_cover c ON h.cell = c.cell"""
+
+
+def nearest_segment(points: DataFrame, segments: DataFrame, res: int,
+                    id_col: str = "point_id", lat_col: str = "lat",
+                    lon_col: str = "lon",
+                    seg_id_col: str = "seg_id") -> DataFrame:
+    """Snap each point to its nearest line segment — the map-matching
+    primitive (GPS point -> road edge).  Segments carry planar degree
+    endpoints ``(x1, y1, x2, y2)``; candidates are generated by
+    rasterizing each segment's bbox to res-cells PLUS a one-cell halo
+    and equi-joining on the point's cell, so the join is
+    points x local-candidates, never points x segments.  Returns
+    ``(point_id, seg_id, d2)`` with ``d2`` the squared planar degree
+    distance to the clamped projection; per-point argmin is a
+    deterministic ``min(struct(d2, seg_id))``.  Points with no
+    candidate in their cell are absent (the halo guarantees a match
+    whenever the true nearest segment is within one cell; antimeridian-
+    crossing segments are out of contract — split them upstream).
+
+    Floats: the projection parameter, clamp, and distance are ONE fixed
+    op sequence evaluated identically by both engines (the PQ/idw
+    contract), so the DuckDB oracle is value-hash exact."""
+    from geolake_spark.functions.geo import grid_cell_col
+    nx, ny = cells.grid_dims(res)
+    x1, y1 = F.col("x1"), F.col("y1")
+    x2, y2 = F.col("x2"), F.col("y2")
+    ix0 = (F.floor((F.least(x1, x2) + 180.0) / 360.0 * nx)
+           .cast("bigint") - 1)
+    ix1 = (F.floor((F.greatest(x1, x2) + 180.0) / 360.0 * nx)
+           .cast("bigint") + 1)
+    iy0 = (F.floor((F.lit(90.0) - F.greatest(y1, y2)) / 180.0 * ny)
+           .cast("bigint") - 1)
+    iy1 = (F.floor((F.lit(90.0) - F.least(y1, y2)) / 180.0 * ny)
+           .cast("bigint") + 1)
+    clampx = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(nx - 1))
+    clampy = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(ny - 1))
+    cov = (segments
+           .withColumn("iy", F.explode(F.sequence(clampy(iy0), clampy(iy1))))
+           .withColumn("ix", F.explode(F.sequence(clampx(ix0), clampx(ix1))))
+           .select(F.col(seg_id_col).alias("seg_id"), "x1", "y1", "x2", "y2",
+                   (F.lit(res * _RES_UNIT).cast("bigint")
+                    + F.col("iy") * F.lit(_IY_UNIT).cast("bigint")
+                    + F.col("ix")).alias("cell")))
+    pts = points.select(
+        F.col(id_col).alias("point_id"),
+        F.col(lat_col).alias("py"), F.col(lon_col).alias("px"),
+        grid_cell_col(F.col(lat_col), F.col(lon_col), res).alias("cell"))
+    j = pts.join(cov, "cell")
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    l2 = dx * dx + dy * dy
+    tn = (F.col("px") - F.col("x1")) * dx + (F.col("py") - F.col("y1")) * dy
+    t = F.when(l2 == 0.0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(tn / l2, F.lit(0.0)), F.lit(1.0)))
+    qx = F.col("x1") + t * dx
+    qy = F.col("y1") + t * dy
+    d2 = ((F.col("px") - qx) * (F.col("px") - qx)
+          + (F.col("py") - qy) * (F.col("py") - qy))
+    best = (j.select("point_id",
+                     F.struct(d2.alias("d2"),
+                              F.col("seg_id").alias("seg_id")).alias("c"))
+            .groupBy("point_id").agg(F.min("c").alias("b")))
+    return best.select("point_id", F.col("b.seg_id").alias("seg_id"),
+                       F.round(F.col("b.d2"), 9).alias("d2"))
+
+
+def nearest_segment_sql(points_sql: str, segments_sql: str, res: int,
+                        id_expr: str = "point_id", lat_expr: str = "lat",
+                        lon_expr: str = "lon") -> str:
+    """DuckDB mirror of :func:`nearest_segment`."""
+    nx, ny = cells.grid_dims(res)
+    cell = cells.grid_cell_sql(lat_expr, lon_expr, res)
+    return f"""
+WITH _ns_cov AS (
+  SELECT seg_id, x1, y1, x2, y2,
+         {res} * {_RES_UNIT} + u1.iy * {_IY_UNIT} + u2.ix AS cell
+  FROM ({segments_sql}) s,
+    unnest(range(
+      least(greatest(cast(floor((90.0 - greatest(y1, y2)) / 180.0 * {ny}) as bigint) - 1, 0), {ny - 1}),
+      least(greatest(cast(floor((90.0 - least(y1, y2)) / 180.0 * {ny}) as bigint) + 1, 0), {ny - 1}) + 1)) u1(iy),
+    unnest(range(
+      least(greatest(cast(floor((least(x1, x2) + 180.0) / 360.0 * {nx}) as bigint) - 1, 0), {nx - 1}),
+      least(greatest(cast(floor((greatest(x1, x2) + 180.0) / 360.0 * {nx}) as bigint) + 1, 0), {nx - 1}) + 1)) u2(ix)
+), _ns_p AS (
+  SELECT {id_expr} AS point_id, {lat_expr} AS py, {lon_expr} AS px,
+         {cell} AS cell
+  FROM ({points_sql})
+), _ns_d AS (
+  SELECT point_id, seg_id,
+         CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) = 0.0 THEN 0.0
+              ELSE least(greatest(
+                ((px-x1)*(x2-x1) + (py-y1)*(y2-y1))
+                  / ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)), 0.0), 1.0)
+         END AS t,
+         px, py, x1, y1, x2, y2
+  FROM _ns_p JOIN _ns_cov USING (cell)
+), _ns_q AS (
+  SELECT point_id, seg_id,
+         (px - (x1 + t*(x2-x1))) * (px - (x1 + t*(x2-x1)))
+         + (py - (y1 + t*(y2-y1))) * (py - (y1 + t*(y2-y1))) AS d2
+  FROM _ns_d
+)
+SELECT point_id,
+       (min(struct_pack(d2 := d2, seg_id := seg_id))).seg_id AS seg_id,
+       round((min(struct_pack(d2 := d2, seg_id := seg_id))).d2, 9) AS d2
+FROM _ns_q GROUP BY point_id"""

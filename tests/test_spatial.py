@@ -445,3 +445,38 @@ def test_coverage_gaps_k_widens_cover(spark):
     gap1 = spatial.coverage_gaps(ev, pois, res=4, k=1).count()
     gap2 = spatial.coverage_gaps(ev, pois, res=4, k=2).count()
     assert gap1 == 1 and gap2 == 0
+
+
+# ------------------------------------------------------ nearest_segment
+
+def test_nearest_segment_projection_and_clamp(spark):
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 0.0),     # horizontal segment on equator
+         (2, 0.0, 5.0, 10.0, 5.0)],    # parallel, 5 deg north
+        "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    pts = spark.createDataFrame(
+        [(100, 1.0, 5.0),    # above seg1 interior: d2 = 1
+         (101, 0.5, 12.0),   # beyond seg1 east end: clamps to (10,0)
+         (102, 4.5, 3.0)],   # closer to seg2
+        "point_id long, lat double, lon double")
+    out = {r.point_id: (r.seg_id, r.d2) for r in spatial.nearest_segment(
+        pts, segs, res=4).collect()}
+    assert out[100] == (1, 1.0)
+    assert out[101] == (1, 2.0 * 2.0 + 0.5 * 0.5)
+    assert out[102][0] == 2 and abs(out[102][1] - 0.25) < 1e-12
+
+
+def test_nearest_segment_degenerate_and_tie(spark):
+    # zero-length segment = point distance; exact tie -> lower seg_id
+    segs = spark.createDataFrame(
+        [(7, 2.0, 2.0, 2.0, 2.0), (3, 0.0, 1.0, 4.0, 1.0),
+         (9, 0.0, 3.0, 4.0, 3.0)],
+        "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    pts = spark.createDataFrame([(1, 2.0, 2.0)],
+                                "point_id long, lat double, lon double")
+    out = spatial.nearest_segment(pts, segs, res=4).collect()[0]
+    assert out.seg_id == 7 and out.d2 == 0.0
+    pts2 = spark.createDataFrame([(2, 2.0, 0.0)],
+                                 "point_id long, lat double, lon double")
+    out2 = spatial.nearest_segment(pts2, segs, res=4).collect()[0]
+    assert out2.seg_id == 3 and out2.d2 == 1.0  # tie with 9: id wins
