@@ -268,10 +268,6 @@ def _typed_events(spark, rows):
                                     "event_type"]))
 
 
-def _ts(minute, second=0):
-    return dt.datetime(2024, 1, 1, 0, minute, second)
-
-
 def test_transition_counts_hand_checked(spark):
     rows = [
         (1, _ts(0), 1, "view"), (1, _ts(1), 2, "click"),
