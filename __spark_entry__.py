@@ -2975,6 +2975,26 @@ def q_nearest_segment(spark, sf_dir):
     return spatial.nearest_segment(pts, segs, res=4)
 
 
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B z-scores (operators/aggregates.ab_zscores):
+    per event-type conversion by user-id-parity variants — distinct-
+    entity rollups joined at metrics-size; the z formula is a fixed op
+    sequence whose only transcendental is IEEE-exact sqrt."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B")))
+    return aggregates.ab_zscores(e)
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Hamilton largest-remainder crawl-slot allocation
+    (operators/links.crawl_budget): integer-exact proportional split
+    of 1000 slots across hosts — floor shares via `div` (never double
+    division), leftover slots by remainder rank; sums to exactly the
+    budget."""
+    return links.crawl_budget(_docs_links(spark, sf_dir), 1000)
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Facility dead zones (operators/spatial.coverage_gaps): res-4
     cells with >=2 events and no facility (every 5th doc geocode)
@@ -3174,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_gaps": q_coverage_gaps,
         "chunk_dedup": q_chunk_dedup,
         "nearest_segment": q_nearest_segment,
+        "ab_test": q_ab_test,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -4025,6 +4047,10 @@ FROM r GROUP BY id""",
         "simplify_track": trips.simplify_track_sql(
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
+        "ab_test": aggregates.ab_zscores_sql(
+            "SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END "
+            "AS variant FROM events"),
+        "crawl_budget": links.crawl_budget_sql(_DOCS_LINKS_SQL, 1000),
         "nearest_segment": spatial.nearest_segment_sql(
             f"SELECT event_id AS point_id, lat, lon "
             f"FROM ({_EVENTS_GEO_SQL})", _SEGS_SQL, res=4),

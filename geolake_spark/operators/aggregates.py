@@ -447,3 +447,77 @@ def ohlc_bars_windowed(df: DataFrame, ts_col: str, value_col: str,
     return out.select(*gcols, F.col("w.start").alias("bar"),
                       F.col("_o.v").alias("open"), "high", "low",
                       F.col("_c.v").alias("close"), "n_obs")
+
+
+def ab_zscores(events: DataFrame, metric_col: str = "event_type",
+               variant_col: str = "variant", entity_col: str = "user_id",
+               ) -> DataFrame:
+    """Two-proportion A/B test per metric: an entity "converts" on a
+    metric if it emitted >= 1 such event; denominators are ALL entities
+    of the variant (not just converters).  Returns ``(metric, n_a, x_a,
+    n_b, x_b, z)`` with the pooled two-proportion z-score rounded to
+    6 dp — IEEE sqrt is correctly rounded, so the fixed op sequence is
+    bit-identical across engines (the one spot trig/log would not be).
+
+    Plan: one distinct-entities-per-variant rollup + one
+    (metric, variant) distinct-converter rollup, both partial-agg'd,
+    joined at metrics-size.  Zero-denominator guards yield NULL z."""
+    tot = (events.groupBy(variant_col)
+           .agg(F.count_distinct(F.col(entity_col)).alias("n")))
+    n_a = F.max(F.when(F.col(variant_col) == "A", F.col("n"))).alias("n_a")
+    n_b = F.max(F.when(F.col(variant_col) == "B", F.col("n"))).alias("n_b")
+    totals = tot.agg(n_a, n_b)
+    conv = (events.groupBy(metric_col, variant_col)
+            .agg(F.count_distinct(F.col(entity_col)).alias("x"))
+            .groupBy(F.col(metric_col).alias("metric"))
+            .agg(F.coalesce(F.max(F.when(F.col(variant_col) == "A",
+                                         F.col("x"))), F.lit(0)).alias("x_a"),
+                 F.coalesce(F.max(F.when(F.col(variant_col) == "B",
+                                         F.col("x"))), F.lit(0)).alias("x_b")))
+    j = conv.crossJoin(F.broadcast(totals))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    p = (xa + xb) / (na + nb)
+    se = F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0.0),
+               F.round((xa / na - xb / nb) / se, 6))
+    return j.select("metric", "n_a", "x_a", "n_b", "x_b", z.alias("z"))
+
+
+def ab_zscores_sql(events_sql: str, metric_expr: str = "event_type",
+                   variant_expr: str = "variant",
+                   entity_expr: str = "user_id") -> str:
+    """DuckDB mirror of :func:`ab_zscores` (same op sequence)."""
+    return f"""
+WITH _ab_tot AS (
+  SELECT max(CASE WHEN v = 'A' THEN n END) AS n_a,
+         max(CASE WHEN v = 'B' THEN n END) AS n_b
+  FROM (SELECT {variant_expr} AS v, count(DISTINCT {entity_expr}) AS n
+        FROM ({events_sql}) GROUP BY 1)
+), _ab_conv AS (
+  SELECT m AS metric,
+         coalesce(max(CASE WHEN v = 'A' THEN x END), 0) AS x_a,
+         coalesce(max(CASE WHEN v = 'B' THEN x END), 0) AS x_b
+  FROM (SELECT {metric_expr} AS m, {variant_expr} AS v,
+               count(DISTINCT {entity_expr}) AS x
+        FROM ({events_sql}) GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT metric, n_a, x_a, n_b, x_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+                 sqrt(((cast(x_a AS DOUBLE) + cast(x_b AS DOUBLE))
+                       / (cast(n_a AS DOUBLE) + cast(n_b AS DOUBLE)))
+                      * (1.0 - (cast(x_a AS DOUBLE) + cast(x_b AS DOUBLE))
+                         / (cast(n_a AS DOUBLE) + cast(n_b AS DOUBLE)))
+                      * (1.0 / cast(n_a AS DOUBLE)
+                         + 1.0 / cast(n_b AS DOUBLE))) > 0.0
+       THEN round((cast(x_a AS DOUBLE) / cast(n_a AS DOUBLE)
+                   - cast(x_b AS DOUBLE) / cast(n_b AS DOUBLE))
+                  / sqrt(((cast(x_a AS DOUBLE) + cast(x_b AS DOUBLE))
+                          / (cast(n_a AS DOUBLE) + cast(n_b AS DOUBLE)))
+                         * (1.0 - (cast(x_a AS DOUBLE) + cast(x_b AS DOUBLE))
+                            / (cast(n_a AS DOUBLE) + cast(n_b AS DOUBLE)))
+                         * (1.0 / cast(n_a AS DOUBLE)
+                            + 1.0 / cast(n_b AS DOUBLE))), 6)
+       END AS z
+FROM _ab_conv, _ab_tot"""

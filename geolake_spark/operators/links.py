@@ -393,3 +393,69 @@ SELECT coalesce(o.url, n.url) AS url,
              WHEN o.fp = n.fp THEN 'unchanged'
              ELSE 'changed' END) AS status
 FROM _cd_o o FULL OUTER JOIN _cd_n n ON o.url = n.url"""
+
+
+def crawl_budget(pages: DataFrame, total_slots: int,
+                 url_col: str = "url") -> DataFrame:
+    """Proportional crawl-slot allocation across hosts by the largest-
+    remainder (Hamilton) method: host i with ``w_i`` pages gets
+    ``floor(total * w_i / W)`` slots plus one of the leftover slots in
+    descending ``(total * w_i) mod W`` order (host asc breaks ties).
+    All integer arithmetic — exact, and the allocation sums to exactly
+    ``total_slots`` (the property naive rounding lacks).  Returns
+    ``(host, n_pages, slots)``.
+
+    Plan: one page->host rollup (the only pages-sized shuffle); the
+    remainder ranking is a global window over the HOSTS-sized rollup
+    (single-task by design — a rollup output, not the page table)."""
+    from pyspark.sql import Window
+    from ..functions.text import url_host_col
+    t = int(total_slots)
+    hosts = (pages.select(url_host_col(F.col(url_col)).alias("host"))
+             .filter(F.col("host") != "")
+             .groupBy("host").agg(F.count(F.lit(1)).alias("n_pages")))
+    w_tot = hosts.agg(F.sum("n_pages").alias("W"))
+    j = hosts.crossJoin(F.broadcast(w_tot))
+    # integer floor division (`div`), NOT `/`: double division loses
+    # exactness once total*n_pages passes 2^53 (pack_sequences
+    # precedent: Spark `div` == DuckDB `//`)
+    base_i = F.expr(f"({t} * n_pages) div W")
+    rem = F.expr(f"({t} * n_pages) % W")
+    wr = Window.orderBy(F.col("rem").desc(), F.col("host").asc())
+    ranked = (j.select("host", "n_pages", base_i.alias("base"),
+                       rem.alias("rem"))
+              .withColumn("rk", F.row_number().over(wr)))
+    extra = (ranked.agg(
+        (F.lit(int(total_slots)) - F.sum("base")).alias("e")))
+    out = ranked.crossJoin(F.broadcast(extra))
+    return out.select(
+        "host", "n_pages",
+        (F.col("base") + F.when(F.col("rk") <= F.col("e"), 1)
+         .otherwise(0)).alias("slots"))
+
+
+def crawl_budget_sql(pages_sql: str, total_slots: int,
+                     url_expr: str = "url") -> str:
+    """DuckDB mirror of :func:`crawl_budget`."""
+    from ..functions.text import url_host_sql
+    t = int(total_slots)
+    return f"""
+WITH _cb_h AS (
+  SELECT host, count(*) AS n_pages FROM (
+    SELECT {url_host_sql(url_expr)} AS host FROM ({pages_sql})
+  ) WHERE host <> '' GROUP BY 1
+), _cb_w AS (
+  SELECT sum(n_pages) AS W FROM _cb_h
+), _cb_r AS (
+  SELECT host, n_pages,
+         ({t} * n_pages) // W AS base,
+         ({t} * n_pages) % W AS rem,
+         row_number() OVER (ORDER BY ({t} * n_pages) % W DESC,
+                            host ASC) AS rk
+  FROM _cb_h, _cb_w
+), _cb_e AS (
+  SELECT {t} - sum(base) AS e FROM _cb_r
+)
+SELECT host, n_pages,
+       base + (CASE WHEN rk <= e THEN 1 ELSE 0 END) AS slots
+FROM _cb_r, _cb_e"""

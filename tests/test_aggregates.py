@@ -194,3 +194,36 @@ def test_ohlc_bars_hand_checked(spark):
     # 9:00 bar: open = min(struct) = (t0, 3.0); close = (9:19, 2.0)
     assert got[("a", 9)] == (3.0, 9.0, 2.0, 2.0, 4)
     assert got[("a", 10)] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+# ------------------------------------------------------------ ab_zscores
+
+def test_ab_zscores_hand_checked(spark):
+    from geolake_spark.operators import aggregates as ag
+    # variant A: users 1,2 (u1 converts on 'buy'); variant B: users 3,4
+    # (both convert on 'buy')
+    rows = [
+        (1, "A", "buy"), (1, "A", "buy"),      # repeat events: still 1 conv
+        (2, "A", "view"),
+        (3, "B", "buy"), (4, "B", "buy"), (4, "B", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, variant string, "
+                               "event_type string")
+    out = {r.metric: r for r in ag.ab_zscores(df).collect()}
+    buy = out["buy"]
+    assert (buy.n_a, buy.x_a, buy.n_b, buy.x_b) == (2, 1, 2, 2)
+    import math
+    p = 3 / 4
+    z = (1 / 2 - 2 / 2) / math.sqrt(p * (1 - p) * (1 / 2 + 1 / 2))
+    assert buy.z == round(z, 6)
+    view = out["view"]
+    assert (view.x_a, view.x_b) == (1, 1) and view.z == 0.0
+
+
+def test_ab_zscores_one_sided_variant(spark):
+    from geolake_spark.operators import aggregates as ag
+    df = spark.createDataFrame([(1, "A", "buy")],
+                               "user_id long, variant string, "
+                               "event_type string")
+    out = ag.ab_zscores(df).collect()[0]
+    assert out.n_b is None and out.z is None   # no B variant: z undefined

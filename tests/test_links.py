@@ -306,3 +306,28 @@ def test_crawl_diff_statuses(spark):
         "https://a.com/dup": "unchanged",
         "https://a.com/4": "added",
     }
+
+
+# ----------------------------------------------------------- crawl_budget
+
+def test_crawl_budget_sums_exactly_and_is_proportional(spark):
+    from geolake_spark.operators import links as lk
+    # host a: 5 pages, b: 3, c: 1 -> 10 slots: exact shares 5.55/3.33/1.11
+    pages = ([(f"https://a.com/{i}",) for i in range(5)]
+             + [(f"https://b.com/{i}",) for i in range(3)]
+             + [("https://c.com/0",)])
+    df = spark.createDataFrame(pages, "url string")
+    out = {r.host: r.slots for r in lk.crawl_budget(df, 10).collect()}
+    assert sum(out.values()) == 10
+    # bases 5/3/1 = 9; remainders .55/.33/.11 -> the extra goes to a.com
+    assert out == {"a.com": 6, "b.com": 3, "c.com": 1}
+
+
+def test_crawl_budget_fewer_slots_than_hosts(spark):
+    from geolake_spark.operators import links as lk
+    pages = [(f"https://h{i}.com/x",) for i in range(7)]
+    df = spark.createDataFrame(pages, "url string")
+    out = {r.host: r.slots for r in lk.crawl_budget(df, 3).collect()}
+    assert sum(out.values()) == 3 and set(out.values()) == {0, 1}
+    # equal weights: remainder ties break host-ascending
+    assert out["h0.com"] == 1 and out["h1.com"] == 1 and out["h2.com"] == 1
