@@ -2995,6 +2995,45 @@ def q_crawl_budget(spark, sf_dir):
     return links.crawl_budget(_docs_links(spark, sf_dir), 1000)
 
 
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation (operators/trips.rfm_scores):
+    recency/frequency/monetary quantile tiles — per-entity rollup sums
+    integer CENTS (no float-order hazard), ntile over total orders
+    (entity tie-break)."""
+    return trips.rfm_scores(_t(spark, sf_dir, "events"), n_tiles=5)
+
+
+_DELAYS_SQL = (
+    "SELECT DISTINCT 'www.site' || cast(doc_id % 23 AS varchar) "
+    "|| '.example' || cast(doc_id % 5 AS varchar) || '.com' AS host, "
+    "(doc_id % 23 + doc_id % 5) % 4 + 1 AS crawl_delay FROM documents")
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness scheduler (operators/robots.fetch_schedule): per-host
+    URL serialization crawl_delay seconds apart, hosts parallel — one
+    host-partitioned window + broadcast delay lookup; integer-exact
+    fetch_at_us."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    delays = d.select(
+        F.concat(F.lit("www.site"), (i % 23).cast("string"),
+                 F.lit(".example"), (i % 5).cast("string"),
+                 F.lit(".com")).alias("host"),
+        ((i % 23 + i % 5) % 4 + 1).alias("crawl_delay")).distinct()
+    return robots.fetch_schedule(_docs_links(spark, sf_dir), delays,
+                                 default_delay_s=2)
+
+
+def q_rendezvous(spark, sf_dir):
+    """Rendezvous-hash shard routing (operators/dedup.rendezvous_shards,
+    Thaler-Ravishankar HRW): argmax over per-shard md5 weights in one
+    map-side HOF fold — growing the ring moves only ~1/(n+1) of keys
+    (invariant-tested)."""
+    return dedup.rendezvous_shards(_t(spark, sf_dir, "documents"),
+                                   n_shards=7)
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Facility dead zones (operators/spatial.coverage_gaps): res-4
     cells with >=2 events and no facility (every 5th doc geocode)
@@ -3196,6 +3235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_segment": q_nearest_segment,
         "ab_test": q_ab_test,
         "crawl_budget": q_crawl_budget,
+        "rfm": q_rfm,
+        "fetch_schedule": q_fetch_schedule,
+        "rendezvous": q_rendezvous,
     }
 
 
@@ -4047,6 +4089,11 @@ FROM r GROUP BY id""",
         "simplify_track": trips.simplify_track_sql(
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
+        "rfm": trips.rfm_scores_sql("SELECT * FROM events", n_tiles=5),
+        "fetch_schedule": robots.fetch_schedule_sql(
+            _DOCS_LINKS_SQL, _DELAYS_SQL, default_delay_s=2),
+        "rendezvous": dedup.rendezvous_shards_sql(
+            "SELECT * FROM documents", n_shards=7),
         "ab_test": aggregates.ab_zscores_sql(
             "SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END "
             "AS variant FROM events"),

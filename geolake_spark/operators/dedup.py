@@ -891,3 +891,47 @@ SELECT md5(chunk) AS chunk_fp, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_occ, chunk_tokens
 FROM _dc_k GROUP BY chunk_fp, chunk_tokens
 HAVING count(DISTINCT doc_id) >= {min_docs}"""
+
+
+def rendezvous_shards(docs: DataFrame, n_shards: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing (Thaler &
+    Ravishankar 1996): each key goes to the shard with the maximal
+    ``hash(key, shard)`` — when the shard count grows from n to n+1,
+    ONLY the keys whose new shard wins move (~1/(n+1) of them), unlike
+    modulo sharding which reshuffles nearly everything.  Returns
+    ``(id, shard)``; pure map-side codegen (an aggregate over the
+    shard-id array literal with the md5-bucket hash both engines
+    share)."""
+    shards = F.array([F.lit(s) for s in range(int(n_shards))])
+    key = F.col(id_col).cast("string")
+
+    def weight(s):
+        return F.conv(F.substring(
+            F.md5(F.concat(key, F.lit("\x1f"), s.cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+
+    best = F.aggregate(
+        shards,
+        F.lit(None).cast("struct<w:bigint,s:int>"),
+        lambda acc, s: F.when(
+            acc.isNull() | (F.struct(weight(s).alias("w"), s.alias("s"))
+                            > acc),
+            F.struct(weight(s).alias("w"), s.alias("s"))).otherwise(acc))
+    return docs.select(F.col(id_col).alias("id"),
+                       best["s"].alias("shard"))
+
+
+def rendezvous_shards_sql(docs_sql: str, n_shards: int,
+                          id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`rendezvous_shards`."""
+    n = int(n_shards)
+    return f"""
+SELECT {id_expr} AS id,
+       (list_reduce(list_transform(range(0, {n}), s -> struct_pack(
+            w := ('0x' || substr(md5(cast({id_expr} AS VARCHAR)
+                                 || chr(31) || cast(s AS VARCHAR)),
+                                 1, 15))::BIGINT,
+            s := s)),
+          (a, b) -> CASE WHEN b > a THEN b ELSE a END)).s AS shard
+FROM ({docs_sql})"""

@@ -392,3 +392,55 @@ FROM _rb_g g JOIN _rb_a a ON g.host = a.host AND g.grp = a.grp
 WHERE dir = 'crawl-delay' AND g.grp >= 1
   AND TRY_CAST(val AS DOUBLE) IS NOT NULL
 GROUP BY g.host"""
+
+
+def fetch_schedule(frontier: DataFrame, delays: DataFrame,
+                   default_delay_s: int = 1, start_us: int = 0,
+                   url_col: str = "url",
+                   host_col: str = "host") -> DataFrame:
+    """Politeness-aware fetch plan: URLs of one host are serialized
+    ``crawl_delay`` seconds apart (RFC 9309 Crawl-delay, per-host
+    lookup with a default), hosts run in parallel.  Returns ``(url,
+    host, slot, fetch_at_us)`` with ``slot`` the 0-based per-host
+    position in URL order and ``fetch_at_us = start + slot*delay`` —
+    the integer-exact schedule a distributed fetcher shards by host.
+
+    One window over the frontier (partition host, order url) + a
+    hosts-sized broadcast join.  Per-host state is a row_number — no
+    driver loops, no Python."""
+    from pyspark.sql import Window
+    from ..functions.text import url_host_col
+    f = frontier.select(F.col(url_col).alias("url"),
+                        url_host_col(F.col(url_col)).alias("host"))
+    d = delays.select(F.col(host_col).alias("host"),
+                      F.col("crawl_delay").cast("bigint").alias("_d"))
+    j = f.join(F.broadcast(d), "host", "left")
+    delay_us = (F.coalesce(F.col("_d"), F.lit(int(default_delay_s)))
+                * F.lit(1_000_000))
+    slot = F.row_number().over(
+        Window.partitionBy("host").orderBy("url")) - 1
+    return (j.select("url", "host", slot.alias("slot"), delay_us.alias("_dus"))
+            .select("url", "host", "slot",
+                    (F.lit(int(start_us)) + F.col("slot") * F.col("_dus"))
+                    .alias("fetch_at_us")))
+
+
+def fetch_schedule_sql(frontier_sql: str, delays_sql: str,
+                       default_delay_s: int = 1, start_us: int = 0,
+                       url_expr: str = "url") -> str:
+    """DuckDB mirror of :func:`fetch_schedule`."""
+    from ..functions.text import url_host_sql
+    return f"""
+WITH _fs_f AS (
+  SELECT url, {url_host_sql('url')} AS host
+  FROM (SELECT {url_expr} AS url FROM ({frontier_sql}))
+), _fs_j AS (
+  SELECT f.url, f.host,
+         coalesce(d.crawl_delay, {int(default_delay_s)}) * 1000000
+           AS dus,
+         row_number() OVER (PARTITION BY f.host ORDER BY f.url) - 1
+           AS slot
+  FROM _fs_f f LEFT JOIN ({delays_sql}) d ON d.host = f.host
+)
+SELECT url, host, slot, {int(start_us)} + slot * dus AS fetch_at_us
+FROM _fs_j"""

@@ -869,3 +869,66 @@ UNION ALL
 SELECT r.entity, r.id, r.us, r.la, r.lo
 FROM _st_r r JOIN _st_last l ON l.entity = r.entity AND l.pos = r.pos
 WHERE NOT r.kept"""
+
+
+def rfm_scores(events: DataFrame, n_tiles: int = 5,
+               entity_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               value_col: str = "value") -> DataFrame:
+    """RFM customer scoring (recency / frequency / monetary, the
+    classic CRM segmentation): per entity, last-activity micros, event
+    count, and value sum, each bucketed into ``n_tiles`` quantile tiles
+    (1 = worst, n = best; recency reversed so most-recent scores
+    highest).  Returns ``(entity, r, f, m, rfm)`` with ``rfm`` the
+    concatenated digit code.
+
+    Determinism: ntile over a TOTAL order — each ORDER BY ends with the
+    entity id, so equal metrics tie-break identically in both engines.
+    The monetary sum is a float sum ORDERED by a sorted fold?  No: it
+    feeds only an ORDER BY, and the per-entity sum is over that
+    entity's own rows (DuckDB sums the same handful of doubles in list
+    order after a sort — instead we make it exact by summing CENTS:
+    ``round(value*100)`` per event, integer-summed)."""
+    from pyspark.sql import Window
+    us = _micros(ts_col)
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("bigint")
+    per = (events.groupBy(F.col(entity_col).alias("entity"))
+           .agg(F.max(us).alias("last_us"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(cents).alias("cents")))
+    r = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("last_us").asc(), F.col("entity").asc()))
+    f = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("n_events").asc(), F.col("entity").asc()))
+    m = F.ntile(n_tiles).over(
+        Window.orderBy(F.col("cents").asc(), F.col("entity").asc()))
+    out = per.select("entity", r.alias("r"), f.alias("f"), m.alias("m"))
+    return out.select(
+        "entity", "r", "f", "m",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")).alias("rfm"))
+
+
+def rfm_scores_sql(table: str, n_tiles: int = 5,
+                   entity_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id",
+                   value_col: str = "value") -> str:
+    """DuckDB mirror of :func:`rfm_scores`."""
+    return f"""
+WITH _rfm_p AS (
+  SELECT {entity_col} AS entity,
+         max(epoch_us({ts_col})) AS last_us,
+         count(*) AS n_events,
+         sum(cast(round({value_col} * 100.0) AS BIGINT)) AS cents
+  FROM ({table}) GROUP BY 1
+), _rfm_t AS (
+  SELECT entity,
+         ntile({n_tiles}) OVER (ORDER BY last_us ASC, entity ASC) AS r,
+         ntile({n_tiles}) OVER (ORDER BY n_events ASC, entity ASC) AS f,
+         ntile({n_tiles}) OVER (ORDER BY cents ASC, entity ASC) AS m
+  FROM _rfm_p
+)
+SELECT entity, r, f, m,
+       cast(r AS VARCHAR) || cast(f AS VARCHAR) || cast(m AS VARCHAR)
+         AS rfm
+FROM _rfm_t"""

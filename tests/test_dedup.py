@@ -721,3 +721,19 @@ def test_duplicate_chunks_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {vals}) t(doc_id, text)",
         avg_tokens=4)).fetchall()))
     assert out == ora and len(out) > 0
+
+
+# ------------------------------------------------------ rendezvous_shards
+
+def test_rendezvous_minimal_movement(spark):
+    """HRW property: n -> n+1 shards relocates ONLY keys won by the new
+    shard (~1/(n+1)); every move targets the new shard."""
+    from geolake_spark.operators import dedup as dd
+    df = spark.range(0, 600).withColumnRenamed("id", "doc_id")
+    a = {r.id: r.shard for r in dd.rendezvous_shards(df, 5).collect()}
+    b = {r.id: r.shard for r in dd.rendezvous_shards(df, 6).collect()}
+    moved = [k for k in a if a[k] != b[k]]
+    assert all(b[k] == 5 for k in moved)       # moves only to shard 5
+    assert 0 < len(moved) < 600 * 2 // 6       # ~100 expected, < 200
+    # balance sanity: every shard owns something
+    assert set(b.values()) == set(range(6))

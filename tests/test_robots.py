@@ -177,3 +177,22 @@ def test_sitemaps_and_crawl_delays(spark):
     bot = {r.host: r.crawl_delay
            for r in robots.robots_crawl_delays(rdf, agent="BOT").collect()}
     assert bot == {"s.com": 2.0}         # specific group shadows '*'
+
+
+# ------------------------------------------------------- fetch_schedule
+
+def test_fetch_schedule_serializes_per_host(spark):
+    from geolake_spark.operators import robots as rb
+    frontier = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/3",),
+         ("https://b.com/x",), ("https://b.com/y",)], "url string")
+    delays = spark.createDataFrame([("a.com", 10)],
+                                   "host string, crawl_delay long")
+    out = {r.url: (r.slot, r.fetch_at_us) for r in rb.fetch_schedule(
+        frontier, delays, default_delay_s=2, start_us=100).collect()}
+    assert out["https://a.com/1"] == (0, 100)
+    assert out["https://a.com/2"] == (1, 100 + 10_000_000)
+    assert out["https://a.com/3"] == (2, 100 + 20_000_000)
+    # b.com missing from delays: default 2 s
+    assert out["https://b.com/x"] == (0, 100)
+    assert out["https://b.com/y"] == (1, 100 + 2_000_000)
