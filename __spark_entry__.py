@@ -3034,6 +3034,40 @@ def q_rendezvous(spark, sf_dir):
                                    n_shards=7)
 
 
+# link corpus whose targets RESOLVE to member pages (the _docs_links
+# corpus never self-references: www/port/params make every page an
+# orphan, which would leave the anti-join untested)
+_DOCS_LINKS_PLAIN_SQL = (
+    "SELECT doc_id, "
+    "'https://s' || cast(doc_id % 23 AS varchar) || '.example.com/p/' "
+    "|| cast(doc_id AS varchar) AS url, "
+    "'<p>x</p><a href=\"https://s' "
+    "|| cast(((doc_id*7+1) % 1000) % 23 AS varchar) "
+    "|| '.example.com/p/' || cast((doc_id*7+1) % 1000 AS varchar) "
+    "|| '\">next</a>' AS html FROM documents")
+
+
+def _docs_links_plain(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    t = (i * 7 + 1) % 1000
+    url = F.concat(F.lit("https://s"), (i % 23).cast("string"),
+                   F.lit(".example.com/p/"), i.cast("string"))
+    html = F.concat(F.lit('<p>x</p><a href="https://s'),
+                    (t % 23).cast("string"), F.lit(".example.com/p/"),
+                    t.cast("string"), F.lit('">next</a>'))
+    return d.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def q_orphan_pages(spark, sf_dir):
+    """Unreachable crawl tail (operators/links.orphan_pages): canonical
+    pages with zero in-links — one anti-join against the distinct
+    url-grain link-target set (bloom-prunable at crawl scale).  On the
+    self-referencing corpus roughly half the pages ARE targets, so the
+    anti-join genuinely discriminates."""
+    return links.orphan_pages(_docs_links_plain(spark, sf_dir))
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Facility dead zones (operators/spatial.coverage_gaps): res-4
     cells with >=2 events and no facility (every 5th doc geocode)
@@ -3238,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm": q_rfm,
         "fetch_schedule": q_fetch_schedule,
         "rendezvous": q_rendezvous,
+        "orphan_pages": q_orphan_pages,
     }
 
 
@@ -4090,6 +4125,7 @@ FROM r GROUP BY id""",
             _EVENTS_WALK_SQL, eps_microdeg=50_000),
         "keywords": search.keywords_topk_sql(_DOCS_KW_SQL, k=2),
         "rfm": trips.rfm_scores_sql("SELECT * FROM events", n_tiles=5),
+        "orphan_pages": links.orphan_pages_sql(_DOCS_LINKS_PLAIN_SQL),
         "fetch_schedule": robots.fetch_schedule_sql(
             _DOCS_LINKS_SQL, _DELAYS_SQL, default_delay_s=2),
         "rendezvous": dedup.rendezvous_shards_sql(

@@ -459,3 +459,31 @@ WITH _cb_h AS (
 SELECT host, n_pages,
        base + (CASE WHEN rk <= e THEN 1 ELSE 0 END) AS slots
 FROM _cb_r, _cb_e"""
+
+
+def orphan_pages(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Pages no crawled page links to — the unreachable tail a
+    link-following recrawl would drop (and a freshness-audit staple).
+    ``(url,)`` canonical URLs that never appear as a url-grain link
+    target.  One anti-join of the canonical page set against the
+    distinct in-link target set (bloom-prunable at crawl scale)."""
+    from ..functions import text as tx2
+    own = (pages.select(
+        tx2.url_canonical_col(F.col(url_col)).alias("url")).distinct())
+    tgt = (link_graph(pages, url_col, html_col, grain="url")
+           .select(F.col("dst").alias("url")).distinct())
+    return own.join(tgt, "url", "left_anti")
+
+
+def orphan_pages_sql(pages_sql: str) -> str:
+    """DuckDB mirror of :func:`orphan_pages`."""
+    from ..functions import text as tx2
+    canon = tx2.url_canonical_sql("url")
+    return f"""
+WITH _op_own AS (
+  SELECT DISTINCT {canon} AS url FROM ({pages_sql})
+), _op_tgt AS (
+  SELECT DISTINCT dst AS url FROM ({link_graph_sql(pages_sql, grain="url")})
+)
+SELECT url FROM _op_own ANTI JOIN _op_tgt USING (url)"""
