@@ -3003,6 +3003,46 @@ def q_rfm(spark, sf_dir):
     return trips.rfm_scores(_t(spark, sf_dir, "events"), n_tiles=5)
 
 
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM change-point detection per user
+    (operators/aggregates.cusum_alarms): the reflected-walk identity
+    (prefix sum minus running min) turns the sequential fold into two
+    cumulative windows — one shuffle, exact integer cents."""
+    return aggregates.cusum_alarms(_t(spark, sf_dir, "events"),
+                                   target_cents=1000, slack_cents=200,
+                                   threshold_cents=5000)
+
+
+# clustered-walk corpus for track similarity: users share one of 8
+# neighborhood homes (user_id % 8) so grid blocking finds candidate
+# pairs; per-event jitter keeps tracks distinct but comparable
+_EVENTS_CLUSTERED_SQL = (
+    "SELECT event_id, ts, user_id, "
+    f"{geo.geocode_lat_sql('(user_id % 8)')} "
+    "+ ((event_id * 37) % 200 - 100) / 1000.0 AS lat, "
+    f"{geo.geocode_lon_sql('(user_id % 8)')} "
+    "+ ((event_id * 53) % 200 - 100) / 1000.0 AS lon "
+    "FROM events")
+
+
+def _events_clustered(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    grp = F.col("user_id") % 8
+    lat = geo.geocode_lat_col(grp) + ((i * 37) % 200 - 100) / F.lit(1000.0)
+    lon = geo.geocode_lon_col(grp) + ((i * 53) % 200 - 100) / F.lit(1000.0)
+    return e.select("event_id", "ts", "user_id", lat.alias("lat"),
+                    lon.alias("lon"))
+
+
+def q_track_hausdorff(spark, sf_dir):
+    """Trajectory-similarity join (operators/trips.track_hausdorff):
+    grid-blocked candidate pairs, then symmetric discrete Hausdorff
+    over integer-microdegree tracks in one codegen HOF."""
+    return trips.track_hausdorff(_events_clustered(spark, sf_dir),
+                                 res=6, min_common=2, max_points=64)
+
+
 _DELAYS_SQL = (
     "SELECT DISTINCT 'www.site' || cast(doc_id % 23 AS varchar) "
     "|| '.example' || cast(doc_id % 5 AS varchar) || '.com' AS host, "
@@ -3273,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "rendezvous": q_rendezvous,
         "orphan_pages": q_orphan_pages,
+        "cusum": q_cusum,
+        "track_hausdorff": q_track_hausdorff,
     }
 
 
@@ -4166,4 +4208,10 @@ FROM r GROUP BY id""",
                 + links.link_graph_sql(_DOCS_LINKS_SQL, grain="domain")
                 + ")", n_iter=6)
             + ")"),
+        "cusum": aggregates.cusum_alarms_sql(
+            "SELECT * FROM events", target_cents=1000, slack_cents=200,
+            threshold_cents=5000),
+        "track_hausdorff": trips.track_hausdorff_sql(
+            _EVENTS_CLUSTERED_SQL, "lat", "lon", res=6, min_common=2,
+            max_points=64),
     }

@@ -521,3 +521,93 @@ SELECT metric, n_a, x_a, n_b, x_b,
                             + 1.0 / cast(n_b AS DOUBLE))), 6)
        END AS z
 FROM _ab_conv, _ab_tot"""
+
+
+def cusum_alarms(events: DataFrame, target_cents: int, slack_cents: int,
+                 threshold_cents: int, entity_col: str = "user_id",
+                 ts_col: str = "ts", id_col: str = "event_id",
+                 value_col: str = "value") -> DataFrame:
+    """Two-sided CUSUM change-point detection per entity (Page 1954):
+    the classic sequential drift detector for per-user metric shifts
+    (spend creep, latency regressions, sensor drift).  High side folds
+    ``s = max(0, s + (x - target - slack))``, low side symmetric; an
+    alarm fires when either statistic exceeds ``threshold_cents``.
+    Values are fixed-point integer cents (``round(value*100)``) so
+    every step is exact int64 arithmetic.  Returns per entity:
+    ``(entity, n_obs, max_hi, max_lo, n_alarms, first_alarm_id)``
+    (first alarm by (ts, id) order; NULL when no alarm).
+
+    The sequential fold is NOT computed as a fold: the reflected walk
+    ``s_i = max(0, s_{i-1} + d_i)`` equals ``P_i - min(0, min_{j<=i}
+    P_j)`` where ``P`` is the plain prefix sum of ``d`` — so two
+    cumulative windows per side (sum, then running min) give the exact
+    CUSUM trajectory with ONE hash-partition shuffle on the entity and
+    zero per-row Python, and — unlike collect_list folds — a
+    million-point entity streams through the window operator without
+    materializing its track in a single agg buffer.  Reference analogue:
+    none (geolake has no sequential stats); public-algorithm citation:
+    E.S. Page, Biometrika 41 (1954)."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    d_hi = cents - F.lit(int(target_cents) + int(slack_cents))
+    d_lo = F.lit(int(target_cents) - int(slack_cents)) - cents
+    w = (Window.partitionBy("entity").orderBy("_cu_t", "_cu_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p = (events.select(F.col(entity_col).alias("entity"),
+                       F.col(ts_col).alias("_cu_t"),
+                       F.col(id_col).alias("_cu_id"),
+                       d_hi.alias("_cu_dh"), d_lo.alias("_cu_dl"))
+         .select("entity", "_cu_t", "_cu_id",
+                 F.sum("_cu_dh").over(w).alias("_cu_ph"),
+                 F.sum("_cu_dl").over(w).alias("_cu_pl")))
+    s_hi = F.col("_cu_ph") - F.least(F.lit(0), F.min("_cu_ph").over(w))
+    s_lo = F.col("_cu_pl") - F.least(F.lit(0), F.min("_cu_pl").over(w))
+    s = p.select("entity", "_cu_t", "_cu_id",
+                 s_hi.alias("_cu_sh"), s_lo.alias("_cu_sl"))
+    alarm = (F.col("_cu_sh") > threshold_cents) | \
+            (F.col("_cu_sl") > threshold_cents)
+    first = F.min(F.when(alarm, F.struct(F.col("_cu_t").alias("t"),
+                                         F.col("_cu_id").alias("i"))))
+    return (s.groupBy("entity")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.max("_cu_sh").alias("max_hi"),
+                 F.max("_cu_sl").alias("max_lo"),
+                 F.sum(alarm.cast("int")).alias("n_alarms"),
+                 first["i"].alias("first_alarm_id")))
+
+
+def cusum_alarms_sql(events_sql: str, target_cents: int, slack_cents: int,
+                     threshold_cents: int, entity_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value") -> str:
+    """DuckDB mirror of :func:`cusum_alarms` (same prefix-sum /
+    running-min restatement; all-integer, so value-hash exact)."""
+    hi = int(target_cents) + int(slack_cents)
+    lo = int(target_cents) - int(slack_cents)
+    h = int(threshold_cents)
+    return f"""
+WITH _cu_d AS (
+  SELECT {entity_col} AS entity, {ts_col} AS t, {id_col} AS rid,
+         cast(round(({value_col}) * 100) AS BIGINT) AS cents
+  FROM ({events_sql})
+), _cu_p AS (
+  SELECT entity, t, rid,
+         sum(cents - {hi}) OVER w AS ph,
+         sum({lo} - cents) OVER w AS pl
+  FROM _cu_d
+  WINDOW w AS (PARTITION BY entity ORDER BY t, rid
+               ROWS UNBOUNDED PRECEDING)
+), _cu_s AS (
+  SELECT entity, t, rid,
+         ph - least(0, min(ph) OVER w) AS sh,
+         pl - least(0, min(pl) OVER w) AS sl
+  FROM _cu_p
+  WINDOW w AS (PARTITION BY entity ORDER BY t, rid
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT entity, count(*) AS n_obs, max(sh) AS max_hi, max(sl) AS max_lo,
+       coalesce(sum(CASE WHEN sh > {h} OR sl > {h} THEN 1 ELSE 0 END), 0)
+         AS n_alarms,
+       (min(CASE WHEN sh > {h} OR sl > {h}
+                 THEN struct_pack(t := t, i := rid) END)).i
+         AS first_alarm_id
+FROM _cu_s GROUP BY 1"""

@@ -932,3 +932,112 @@ SELECT entity, r, f, m,
        cast(r AS VARCHAR) || cast(f AS VARCHAR) || cast(m AS VARCHAR)
          AS rfm
 FROM _rfm_t"""
+
+
+def track_hausdorff(events: DataFrame, res: int, min_common: int = 1,
+                    max_points: int = 256, cell_cap: int | None = 1024,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", lat_col: str = "lat",
+                    lon_col: str = "lon") -> DataFrame:
+    """Discrete symmetric Hausdorff distance between entity tracks —
+    the trajectory-similarity join (commute twins, convoy detection,
+    GPS-trace dedup).  Candidate pairs are entities sharing >=
+    ``min_common`` res-cells (grid blocking — never all-pairs); for each
+    candidate, H = max(h(A,B), h(B,A)) with h the max-over-A of
+    min-over-B squared integer-microdegree distance.  Returns
+    ``(ent_a, ent_b, n_common, hausdorff_d2)``.
+
+    Scale shape: blocking is ONE distinct + one bucket-pair shuffle
+    (``cell_cap`` kills degenerate mega-cells — a stadium cell with k
+    entities is k^2/2 candidates; stated recall trade, same contract as
+    covisit_pairs).  Tracks are collected once per entity, truncated to
+    the first ``max_points`` in (ts, id) order so per-pair work is
+    bounded by max_points^2 inside ONE whole-stage-codegen HOF — all
+    int64, no trig, no Python.  Entities with million-point tracks
+    should be pre-thinned with :func:`simplify_track` (stated).
+    Reference analogue: none (geolake joins points to polygons, not
+    tracks to tracks); the grid-blocked candidate shape mirrors its
+    kNN ring expansion (operators/joins.py kNN docstring)."""
+    from geolake_spark.operators.dedup import _bucket_pairs
+
+    from ..functions.geo import grid_cell_col
+
+    us = _micros(ts_col)
+    pt = F.struct(us.alias("us"),
+                  F.col(id_col).cast("bigint").alias("rid"),
+                  F.round(F.col(lat_col) * 1e6, 0).cast("bigint").alias("la"),
+                  F.round(F.col(lon_col) * 1e6, 0).cast("bigint").alias("lo"))
+    src = events.select(F.col(entity_col).alias("ent"), pt.alias("p"),
+                        grid_cell_col(F.col(lat_col), F.col(lon_col),
+                                      res).alias("cell"))
+    tracks = (src.groupBy("ent")
+              .agg(F.transform(
+                  F.slice(F.array_sort(F.collect_list("p")), 1, max_points),
+                  lambda s: F.struct(s["la"].alias("la"),
+                                     s["lo"].alias("lo"))).alias("pts")))
+    visits = src.select("cell", F.col("ent").alias("id")).distinct()
+    cand = (_bucket_pairs(visits, ["cell"], cap=cell_cap, dedupe=False)
+            .groupBy(F.col("id_a").alias("ent_a"),
+                     F.col("id_b").alias("ent_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
+
+    def _directed(pa, pb):
+        return F.array_max(F.transform(pa, lambda a: F.array_min(
+            F.transform(pb, lambda b: (a["la"] - b["la"])
+                        * (a["la"] - b["la"])
+                        + (a["lo"] - b["lo"]) * (a["lo"] - b["lo"])))))
+
+    j = (cand
+         .join(tracks.select(F.col("ent").alias("ent_a"),
+                             F.col("pts").alias("_pa")), "ent_a")
+         .join(tracks.select(F.col("ent").alias("ent_b"),
+                             F.col("pts").alias("_pb")), "ent_b"))
+    h = F.greatest(_directed(F.col("_pa"), F.col("_pb")),
+                   _directed(F.col("_pb"), F.col("_pa")))
+    return j.select("ent_a", "ent_b", "n_common",
+                    h.alias("hausdorff_d2"))
+
+
+def track_hausdorff_sql(table: str, lat_expr: str, lon_expr: str, res: int,
+                        min_common: int = 1, max_points: int = 256,
+                        entity_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id") -> str:
+    """DuckDB mirror of :func:`track_hausdorff` (self-join restatement
+    of the pair stream; no cell cap — size the oracle corpus below it,
+    the covisit_pairs contract)."""
+    from .. import cells
+    cell = cells.grid_cell_sql(lat_expr, lon_expr, res)
+    d2 = ("(a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo)")
+    return f"""
+WITH _th_p AS (
+  SELECT {entity_col} AS ent, epoch_us({ts_col}) AS us,
+         cast({id_col} AS BIGINT) AS rid,
+         cast(round(({lat_expr}) * 1000000) AS BIGINT) AS la,
+         cast(round(({lon_expr}) * 1000000) AS BIGINT) AS lo,
+         {cell} AS cell
+  FROM ({table})
+), _th_tr AS (
+  SELECT ent,
+         list_transform(
+           (list(struct_pack(us := us, rid := rid, la := la, lo := lo)
+                 ORDER BY us, rid))[1:{max_points}],
+           s -> struct_pack(la := s.la, lo := s.lo)) AS pts
+  FROM _th_p GROUP BY 1
+), _th_v AS (
+  SELECT DISTINCT cell, ent FROM _th_p
+), _th_c AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_common
+  FROM _th_v a JOIN _th_v b ON a.cell = b.cell AND a.ent < b.ent
+  GROUP BY 1, 2 HAVING count(*) >= {min_common}
+)
+SELECT c.ent_a, c.ent_b, c.n_common,
+       greatest(
+         list_max(list_transform(ta.pts, a ->
+           list_min(list_transform(tb.pts, b -> {d2})))),
+         list_max(list_transform(tb.pts, a ->
+           list_min(list_transform(ta.pts, b -> {d2}))))
+       ) AS hausdorff_d2
+FROM _th_c c
+JOIN _th_tr ta ON ta.ent = c.ent_a
+JOIN _th_tr tb ON tb.ent = c.ent_b"""

@@ -227,3 +227,56 @@ def test_ab_zscores_one_sided_variant(spark):
                                "event_type string")
     out = ag.ab_zscores(df).collect()[0]
     assert out.n_b is None and out.z is None   # no B variant: z undefined
+
+
+def test_cusum_hand_checked(spark):
+    import datetime as dt
+
+    from geolake_spark.operators import aggregates
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate([1.00, 1.00, 3.00, 1.00])]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, value double")
+    out = aggregates.cusum_alarms(df, target_cents=100, slack_cents=0,
+                                  threshold_cents=150).collect()
+    assert len(out) == 1
+    r = out[0]
+    # d_hi = 0,0,200,0 -> s_hi = 0,0,200,200: alarms at rows 2 and 3
+    assert (r.n_obs, r.max_hi, r.max_lo, r.n_alarms,
+            r.first_alarm_id) == (4, 200, 0, 2, 2)
+
+
+def test_cusum_matches_direct_recursion(spark):
+    """The window form (prefix sum - running min) must equal the
+    textbook fold s = max(0, s + d) on an arbitrary seeded series."""
+    import datetime as dt
+    import random
+
+    from geolake_spark.operators import aggregates
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1)
+    target, slack, h = 500, 100, 900
+    rows, expect = [], {}
+    for ent in range(5):
+        vals = [rng.randint(0, 1200) for _ in range(40)]
+        sh = sl = mh = ml = na = 0
+        first = None
+        for i, c in enumerate(vals):
+            sh = max(0, sh + c - (target + slack))
+            sl = max(0, sl + (target - slack) - c)
+            mh, ml = max(mh, sh), max(ml, sl)
+            if sh > h or sl > h:
+                na += 1
+                if first is None:
+                    first = i
+            rows.append((ent, i, t0 + dt.timedelta(minutes=i), c / 100.0))
+        expect[ent] = (len(vals), mh, ml, na, first)
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, value double")
+    got = {r.entity: (r.n_obs, r.max_hi, r.max_lo, r.n_alarms,
+                      r.first_alarm_id)
+           for r in aggregates.cusum_alarms(
+               df, target_cents=target, slack_cents=slack,
+               threshold_cents=h).collect()}
+    assert got == expect

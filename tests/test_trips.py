@@ -393,3 +393,50 @@ def test_simplify_track_single_point_and_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     got = df.collect()
     assert len(got) == 1 and got[0].event_id == 42
+
+
+def test_track_hausdorff_hand_checked(spark):
+    # users 1 and 2 share a cell; user 3 is far away (no candidate pair)
+    rows = [
+        (1, 1, _ts(0), 0.0, 0.0),
+        (1, 2, _ts(1), 0.0, 0.000003),
+        (2, 3, _ts(0), 0.0, 0.000001),
+        (2, 4, _ts(1), 0.0, 0.000010),
+        (3, 5, _ts(0), 50.0, 50.0),
+    ]
+    out = trips.track_hausdorff(_events(spark, rows), res=6,
+                                min_common=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # h(A,B)=4 (point (0,3) -> nearest (0,1)); h(B,A)=49 ((0,10)->(0,3))
+    assert (r.ent_a, r.ent_b, r.n_common, r.hausdorff_d2) == (1, 2, 1, 49)
+
+
+def test_track_hausdorff_max_points_truncates(spark):
+    # user 2's third point (far away) is beyond max_points=2 in ts
+    # order, so it must not contribute to the distance
+    rows = [
+        (1, 1, _ts(0), 0.0, 0.0),
+        (2, 2, _ts(0), 0.0, 0.000001),
+        (2, 3, _ts(1), 0.0, 0.000002),
+        (2, 4, _ts(2), 0.0, 0.020000),   # truncated away
+    ]
+    out = trips.track_hausdorff(_events(spark, rows), res=6,
+                                min_common=1, max_points=2).collect()
+    assert len(out) == 1
+    assert out[0].hausdorff_d2 == 4    # (0,0) vs {(0,1),(0,2)} -> 4
+    full = trips.track_hausdorff(_events(spark, rows), res=6,
+                                 min_common=1, max_points=16).collect()
+    assert full[0].hausdorff_d2 == 20000 * 20000
+
+
+def test_track_hausdorff_cell_cap_drops_hot_cell(spark):
+    # 4 entities in one cell: cap 3 kills the bucket -> no pairs
+    rows = [(u, u, _ts(0), 0.0, 0.0) for u in range(4)]
+    out = trips.track_hausdorff(_events(spark, rows), res=6,
+                                min_common=1, cell_cap=3).collect()
+    assert out == []
+    uncapped = trips.track_hausdorff(_events(spark, rows), res=6,
+                                     min_common=1, cell_cap=None).collect()
+    assert len(uncapped) == 6          # all C(4,2) pairs, distance 0
+    assert {r.hausdorff_d2 for r in uncapped} == {0}
