@@ -196,3 +196,51 @@ def test_fetch_schedule_serializes_per_host(spark):
     # b.com missing from delays: default 2 s
     assert out["https://b.com/x"] == (0, 100)
     assert out["https://b.com/y"] == (1, 100 + 2_000_000)
+
+
+def test_frontier_job(spark, tmp_path, monkeypatch):
+    """jobs/frontier.py end-to-end: sitemap parse -> canonical dedup ->
+    seen anti-join -> robots gate -> crawl-delay schedule; resume skips
+    committed buckets."""
+    import runpy
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    xml = ("<urlset>"
+           "<url><loc> https://a.com/new1 </loc></url>"
+           "<url><loc>https://a.com/new2</loc></url>"
+           "<url><loc>https://a.com/tmp/x</loc></url>"
+           "<url><loc>HTTPS://A.COM:443/seen</loc></url>"
+           "<url><loc>https://b.com/solo</loc></url>"
+           "</urlset>")
+    sin = str(tmp_path / "sitemaps.parquet")
+    pin = str(tmp_path / "pages.parquet")
+    rin = str(tmp_path / "robots.parquet")
+    spark.createDataFrame([(xml,)], "xml string").write.parquet(sin)
+    spark.createDataFrame([("https://a.com/seen",)], "url string") \
+        .write.parquet(pin)
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 3\n")],
+        "host string, robots_txt string").write.parquet(rin)
+    table = str(tmp_path / "frontier")
+    argv = ["frontier.py", "--sitemaps", sin, "--pages", pin,
+            "--robots", rin, "--table", table, "--buckets", "2",
+            "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/jobs/frontier.py", run_name="__main__")
+    got = {r.url: (r.host, r.slot, r.fetch_at_us)
+           for r in spark.read.parquet(table + "/data").collect()}
+    # /tmp/x robots-dropped, /seen anti-joined away; a.com serialized
+    # 3 s apart (Crawl-delay), b.com default delay with its own clock
+    assert got == {
+        "https://a.com/new1": ("a.com", 0, 0),
+        "https://a.com/new2": ("a.com", 1, 3_000_000),
+        "https://b.com/solo": ("b.com", 0, 0),
+    }
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    runpy.run_path("/root/repo/jobs/frontier.py", run_name="__main__")
+    assert {r.url for r in spark.read.parquet(table + "/data").collect()} \
+        == set(got)
