@@ -1340,6 +1340,17 @@ def q_postings(spark, sf_dir):
     return search.build_postings(d, min_df=2)
 
 
+def q_index_search(spark, sf_dir):
+    """Top-k retrieval over MATERIALIZED postings rows
+    (operators/search.index_topk): query-time cost is index-shaped —
+    no tokenization, no df window; tf/df were paid once at build time
+    (jobs/text_index.py, bucket-pruned by read_index_for_terms).  Here
+    the index is built inline so the oracle can replay it."""
+    d = _t(spark, sf_dir, "documents")
+    idx = search.build_postings(d, min_df=2)
+    return search.index_topk(idx, _BM25_TERMS, n_docs=d.count(), k=15)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/ann.semdedup_keep; Abbas et al. 2023):
     cluster embeddings (formula centers, subspace-sequential L2 so the
@@ -3263,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "containment": q_containment,
         "postings": q_postings,
+        "index_search": q_index_search,
         "semdedup": q_semdedup,
         "crawl_policies": q_crawl_policies,
         "canonical_collapse": q_canonical_collapse,
@@ -4073,6 +4085,9 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             "  round(cast(inter_size as double) / sb.set_size, 6)) >= 0.3"),
         "postings": search.build_postings_sql(
             "SELECT * FROM documents", min_df=2),
+        "index_search": search.index_topk_sql(
+            search.build_postings_sql("SELECT * FROM documents", min_df=2),
+            _BM25_TERMS, "SELECT count(*) FROM documents", k=15),
         "semdedup": _semdedup_sql(),
         "crawl_policies": links.crawl_policies_sql(_DOCS_CRAWL_SQL),
         "canonical_collapse": links.canonical_collapse_sql(_DOCS_CRAWL_SQL),

@@ -641,3 +641,73 @@ SELECT doc_id,
 FROM _kw_s, _kw_n
 WHERE df_count >= {min_df} AND df_count <= max_df
 QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Retrieval over a MATERIALIZED index (the jobs/text_index.py table).
+# Query-time cost is index-shaped, not corpus-shaped: no tokenization,
+# no df window — tf and df_count were paid once at build time.  With the
+# term-hash bucket layout the reader prunes whole partitions before the
+# scan (read_index_for_terms), so a query touches |query-term buckets|
+# directories of a 10^12-doc index, never the rest.
+# ---------------------------------------------------------------------------
+
+
+def read_index_for_terms(spark, data_dir: str, terms: list[str],
+                         n_buckets: int):
+    """Bucket-pruned read of a committed postings table: compute
+    ``pmod(xxhash64(term), n_buckets)`` for the query terms with one
+    metadata-sized Spark job, then read with a partition filter on
+    ``bucket`` — Hive-style layout makes this directory pruning (the
+    scan never lists, opens, or row-skips the other buckets)."""
+    qs = sorted({t.strip().lower() for t in terms if t.strip()})
+    rows = (spark.createDataFrame([(t,) for t in qs], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                    .alias("b")).distinct().collect())
+    buckets = sorted(r.b for r in rows)   # driver-sized: <= |terms| ints
+    return (spark.read.parquet(data_dir)
+            .filter(F.col("bucket").isin(buckets)))
+
+
+def index_topk(index: DataFrame, terms: list[str], n_docs: int,
+               k: int = 10) -> DataFrame:
+    """Top-``k`` retrieval over postings rows ``(term, df_count,
+    doc_id, tf, ...)`` — the :func:`build_postings` /
+    jobs/text_index.py schema: ``(doc_id, n_terms, score)`` with the
+    champion_topk rational weight ``tf * (n_docs + 1) / df_count`` (no
+    libm) summed per doc by the sorted-sequential fold, ties ->
+    doc_id asc.  ``n_docs`` is the corpus size the index was built
+    from — a catalog-metrics lookup in production, never a data scan.
+    Plan: term filter -> one doc_id groupBy -> TakeOrderedAndProject."""
+    qs = sorted({t.strip().lower() for t in terms if t.strip()})
+    w = ((F.col("tf") * F.lit(int(n_docs) + 1)) / F.col("df_count"))
+    hits = (index.filter(F.col("term").isin(qs))
+            .select("doc_id", "term", w.alias("w")))
+    scored = (hits.groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms"),
+                   F.aggregate(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("term"), F.col("w").alias("v")))),
+                       F.lit(0.0),
+                       lambda acc, x: acc + x["v"]).alias("score")))
+    return (scored.select("doc_id", "n_terms", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(k))
+
+
+def index_topk_sql(index_sql: str, terms: list[str], n_docs_sql: str,
+                   k: int = 10) -> str:
+    """DuckDB mirror of :func:`index_topk` over an index relation
+    (``n_docs_sql`` is a scalar subquery or literal)."""
+    qs = sorted({t.strip().lower() for t in terms if t.strip()})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qs)
+    return f"""
+WITH _ix AS ({index_sql}), _ixn AS (SELECT ({n_docs_sql}) AS n_docs)
+SELECT doc_id, count(*) AS n_terms,
+       list_sum(list((tf * (n_docs + 1)) / df_count ORDER BY term))
+         AS score
+FROM _ix CROSS JOIN _ixn
+WHERE term IN ({in_list})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}"""

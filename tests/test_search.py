@@ -313,3 +313,47 @@ def test_keywords_window_group_limit(spark):
     plan = se.keywords_topk(df, k=2, max_df_frac=1.0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_index_topk_matches_champion_semantics(spark):
+    # 4 docs; query {x, y}: doc scores from the materialized index must
+    # equal hand-computed tf*(N+1)/df sums
+    rows = [(1, "x x y"), (2, "x z"), (3, "y y y"), (4, "z z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = search.build_postings(docs)
+    out = {r.doc_id: (r.n_terms, r.score)
+           for r in search.index_topk(idx, ["x", "y"], n_docs=4,
+                                      k=10).collect()}
+    # df(x)=2, df(y)=2, N+1=5: doc1 = 2*5/2 + 1*5/2 = 7.5;
+    # doc2 = 1*5/2 = 2.5; doc3 = 3*5/2 = 7.5
+    assert out == {1: (2, 7.5), 3: (1, 7.5), 2: (1, 2.5)}
+
+
+def test_read_index_for_terms_prunes_buckets(spark, tmp_path):
+    """The committed term-hash layout must let a query read ONLY its
+    terms' bucket directories (partition pruning, not row filtering)."""
+    from pyspark.sql import functions as F
+
+    from geolake_spark.catalog import IcebergishTable
+    from geolake_spark.write import write_snapshot
+
+    rows = [(i, f"t{i % 37} common") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = search.build_postings(docs).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(8)))
+    table = IcebergishTable(str(tmp_path / "ix"))
+    write_snapshot(idx, table, ["bucket"])
+    pruned = search.read_index_for_terms(spark, table.data_dir,
+                                         ["t3"], n_buckets=8)
+    full = spark.read.parquet(table.data_dir)
+    assert set(pruned.select("term").distinct().toPandas()["term"]) \
+        >= {"t3"}
+    # plan-shape proof of directory pruning: the bucket predicate lands
+    # in PartitionFilters (pre-scan), not PushedFilters/post-scan Filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0]
+    # and retrieval over the pruned read equals retrieval over the full
+    a = search.index_topk(pruned, ["t3"], n_docs=200, k=50).collect()
+    b = search.index_topk(full, ["t3"], n_docs=200, k=50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
