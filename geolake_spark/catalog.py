@@ -310,6 +310,26 @@ class IcebergishTable:
         df = spark.read.option("basePath", self.data_dir).parquet(*paths)
         return df
 
+    def read_changes(self, spark: SparkSession, from_snap: int | None,
+                     to_snap: int | None = None) -> DataFrame:
+        """Incremental (CDC-style) scan: only partitions ADDED or
+        REWRITTEN since ``from_snap`` reach the reader, planned purely
+        from manifest metadata (:meth:`diff`) — the consumer contract
+        that lets a downstream job re-process a 10^12-row table's few
+        changed partitions instead of the whole table.  Rewritten
+        partitions are re-read WHOLE and reflect the CURRENT files:
+        partition overwrite replaces data in place, so per-row deltas
+        and read-at-old-snapshot are deliberately not offered (the
+        :meth:`diff` time-travel note).  Nothing changed -> an empty
+        DataFrame with the table schema."""
+        d = self.diff(from_snap, to_snap)
+        parts = d["added"] + d["rewritten"]
+        if not parts:
+            schema = StructType.fromJson(self.table_spec()["schema"])
+            return spark.createDataFrame([], schema)
+        paths = [self.partition_path(p) for p in parts]
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
     def stats_prune(self, col: str, lo=None, hi=None) -> tuple[list, int]:
         """Data skipping on manifest column stats: (kept manifests,
         skipped count) for the predicate ``lo <= col <= hi`` (either

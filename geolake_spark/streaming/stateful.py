@@ -382,3 +382,102 @@ def streaming_geofence(events: DataFrame, fence_cells: DataFrame,
             .applyInPandasWithState(
                 _geofence_fn, GEOFENCE_OUTPUT, GEOFENCE_STATE,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM — the batch operators/aggregates.cusum_alarms as a
+# stream: per-entity state is the two current CUSUM statistics plus the
+# running summary (seven scalars — constant per entity).  Each
+# micro-batch continues the recursion vectorized: with s0 the carried
+# statistic and C the cumsum of the batch's drift-adjusted deltas,
+# s_i = max(s0 + C_i, C_i - min_{j<=i} C_j) — the reflected-walk
+# identity generalized to a nonzero start (unroll the resets: each s_i
+# is the best suffix sum, seeded by s0 only when no reset intervened).
+# Values are fixed-point integer cents (np.rint; exact for <=2-dp data,
+# never at a .5 boundary).  Emits the running per-entity summary every
+# micro-batch (update mode) — the final row equals the batch operator's
+# output when per-entity arrival respects event time (tested).
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("max_hi", T.LongType()),
+    T.StructField("max_lo", T.LongType()),
+    T.StructField("n_alarms", T.LongType()),
+    T.StructField("first_alarm_id", T.LongType()),
+])
+CUSUM_STATE = T.StructType([
+    T.StructField("sh", T.LongType()),
+    T.StructField("sl", T.LongType()),
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("max_hi", T.LongType()),
+    T.StructField("max_lo", T.LongType()),
+    T.StructField("n_alarms", T.LongType()),
+    T.StructField("first_alarm_id", T.LongType()),
+])
+
+
+def _make_cusum_fn(target_cents: int, slack_cents: int,
+                   threshold_cents: int):
+    hi_ref = int(target_cents) + int(slack_cents)
+    lo_ref = int(target_cents) - int(slack_cents)
+    h = int(threshold_cents)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        if state.exists:
+            sh, sl, n_obs, mh, ml, na, first = state.get
+        else:
+            sh = sl = n_obs = mh = ml = na = 0
+            first = None
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values(["ts", "event_id"], kind="stable"))
+            cents = np.rint(pdf["value"].to_numpy(dtype="float64")
+                            * 100).astype("int64")
+            ids = pdf["event_id"].to_numpy(dtype="int64")
+            ch = np.cumsum(cents - hi_ref)
+            cl = np.cumsum(lo_ref - cents)
+            s_hi = np.maximum(sh + ch, ch - np.minimum.accumulate(ch))
+            s_lo = np.maximum(sl + cl, cl - np.minimum.accumulate(cl))
+            alarms = (s_hi > h) | (s_lo > h)
+            if first is None and alarms.any():
+                first = int(ids[int(np.argmax(alarms))])
+            na += int(alarms.sum())
+            mh = max(mh, int(s_hi.max()))
+            ml = max(ml, int(s_lo.max()))
+            sh, sl = int(s_hi[-1]), int(s_lo[-1])
+            n_obs += len(pdf)
+        state.update((sh, sl, n_obs, mh, ml, na, first))
+        yield pd.DataFrame({
+            "entity": pd.array([key[0]], dtype="Int64"),
+            "n_obs": pd.array([n_obs], dtype="Int64"),
+            "max_hi": pd.array([mh], dtype="Int64"),
+            "max_lo": pd.array([ml], dtype="Int64"),
+            "n_alarms": pd.array([na], dtype="Int64"),
+            "first_alarm_id": pd.array([first], dtype="Int64"),
+        })
+    return fn
+
+
+def streaming_cusum(events: DataFrame, target_cents: int,
+                    slack_cents: int, threshold_cents: int,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    value_col: str = "value") -> DataFrame:
+    """Streaming two-sided CUSUM per entity; after the last micro-batch
+    the emitted summary equals
+    :func:`geolake_spark.operators.aggregates.cusum_alarms` on the same
+    rows (update output mode — read the latest row per entity)."""
+    ev = events.select(F.col(entity_col).alias("entity"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(id_col).alias("event_id"),
+                       F.col(value_col).alias("value"))
+    return (ev.groupBy("entity")
+            .applyInPandasWithState(
+                _make_cusum_fn(target_cents, slack_cents, threshold_cents),
+                CUSUM_OUTPUT, CUSUM_STATE,
+                "update", GroupStateTimeout.NoTimeout))

@@ -100,3 +100,28 @@ def test_target_file_mb_splits_large_partitions(spark, tmp_path):
     # the target is an upper bound on file size (plan stats overestimate)
     assert all(os.path.getsize(f) <= 1.5 * 1024 * 1024 for f in files)
     assert t.read(spark).count() == 300_000
+
+
+def test_read_changes_incremental_scan(spark, tmp_path):
+    t = IcebergishTable(str(tmp_path / "t"))
+    write_snapshot(_df(spark, [0, 1]), t, ["shard"])          # snap 1
+    write_snapshot(_df(spark, [1, 2], rows_per=5, start=100),
+                   t, ["shard"])                              # snap 2
+
+    inc = t.read_changes(spark, 1)
+    # shard 1 rewritten + shard 2 added: current files, shard 0 skipped
+    assert sorted(r.shard for r in inc.select("shard")
+                  .distinct().collect()) == [1, 2]
+    assert inc.count() == 10                      # 5 + 5 current rows
+    assert all(r.id >= 100 for r in inc.select("id").collect())
+    # the scan plans only the changed partition directories
+    dirs = {f.rsplit("/", 2)[1] for f in inc.inputFiles()}
+    assert dirs == {"shard=1", "shard=2"}
+
+    # nothing changed since the current snapshot -> empty, schema kept
+    empty = t.read_changes(spark, t.current_snapshot_id())
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "shard", "lat", "lon"}
+
+    # from the empty table: everything is a change
+    assert t.read_changes(spark, None).count() == 20

@@ -205,3 +205,57 @@ def test_streaming_geofence_matches_batch(spark, tmp_path):
     got = {(r.entity, r.event_id): (r.kind, r.fence_id)
            for r in spark.sql("select * from gfence").collect()}
     assert got == batch and len(batch) > 4
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Final per-entity streaming CUSUM summary == the batch operator
+    (update mode; multi-micro-batch via time-split files)."""
+    import datetime as dt
+
+    from geolake_spark.operators import aggregates
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for i in range(30):
+            # user 2 drifts high in the second half; user 3 drifts low
+            base = 10.0
+            if u == 2 and i >= 15:
+                base = 14.0
+            if u == 3 and i >= 15:
+                base = 6.0
+            rows.append((u, eid, t0 + dt.timedelta(minutes=i),
+                         base + ((eid * 7) % 5) / 100.0))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, value double")
+    kw = dict(target_cents=1000, slack_cents=100, threshold_cents=800)
+    batch = {r.entity: (r.n_obs, r.max_hi, r.max_lo, r.n_alarms,
+                        r.first_alarm_id)
+             for r in aggregates.cusum_alarms(ev, **kw).collect()}
+    assert any(v[3] > 0 for v in batch.values())      # alarms planted
+    assert any(v[3] == 0 for v in batch.values())     # and a quiet user
+
+    drop = str(tmp_path / "cdrop")
+    ev.filter("ts < timestamp'2024-03-01 00:10:00'") \
+        .coalesce(1).write.mode("append").parquet(drop)
+    ev.filter("ts >= timestamp'2024-03-01 00:10:00' and "
+              "ts < timestamp'2024-03-01 00:20:00'") \
+        .coalesce(1).write.mode("append").parquet(drop)
+    ev.filter("ts >= timestamp'2024-03-01 00:20:00'") \
+        .coalesce(1).write.mode("append").parquet(drop)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    out = stateful.streaming_cusum(stream, **kw)
+    q = (out.writeStream.format("memory").queryName("cusumq")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # latest update per entity = the one with the highest n_obs
+    got = {r.entity: (r.n_obs, r.max_hi, r.max_lo, r.n_alarms,
+                      r.first_alarm_id)
+           for r in spark.sql(
+               "select * from (select *, row_number() over "
+               "(partition by entity order by n_obs desc) as rk "
+               "from cusumq) where rk = 1").collect()}
+    assert got == batch
