@@ -2883,6 +2883,30 @@ def q_wkt_raster(spark, sf_dir):
     return spatial.polygon_raster_cells(polys, res=6)
 
 
+def _wkt_polys(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    x0 = (i % 300 - 150).cast("string")
+    x1 = (i % 300 - 148).cast("string")
+    y0 = ((i * 3) % 120 - 60).cast("string")
+    y1 = ((i * 3) % 120 - 58).cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("), x0, F.lit(".0 "), y0, F.lit(".0, "),
+        x1, F.lit(".0 "), y0, F.lit(".0, "),
+        x1, F.lit(".0 "), y1, F.lit(".0, "),
+        x0, F.lit(".0 "), y1, F.lit(".0))"))
+    return d.select(F.col("doc_id").alias("polygon_id"),
+                    geo.wkt_polygon_rings_col(wkt).alias("rings"))
+
+
+def q_polygon_stats(spark, sf_dir):
+    """Exact polygon area + centroid (operators/spatial.
+    polygon_area_centroid): integer-microdegree shoelace with
+    decimal(38,0) reductions — zero shuffle, one codegen HOF chain per
+    polygon, value-hash exact vs HUGEINT in DuckDB."""
+    return spatial.polygon_area_centroid(_wkt_polys(spark, sf_dir))
+
+
 # local-walk corpus for track simplification: points jitter +-0.1 deg
 # around the user's home geocode, with a 20-deg excursion every 17th
 # event — small moves get thinned, jumps always survive
@@ -3327,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_pages": q_orphan_pages,
         "cusum": q_cusum,
         "track_hausdorff": q_track_hausdorff,
+        "polygon_stats": q_polygon_stats,
     }
 
 
@@ -4229,4 +4254,8 @@ FROM r GROUP BY id""",
         "track_hausdorff": trips.track_hausdorff_sql(
             _EVENTS_CLUSTERED_SQL, "lat", "lon", res=6, min_common=2,
             max_points=64),
+        "polygon_stats": spatial.polygon_area_centroid_sql(
+            "SELECT polygon_id, "
+            + geo.wkt_polygon_rings_sql("wkt")
+            + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})"),
     }

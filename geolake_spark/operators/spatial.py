@@ -952,3 +952,143 @@ SELECT point_id,
        (min(struct_pack(d2 := d2, seg_id := seg_id))).seg_id AS seg_id,
        round((min(struct_pack(d2 := d2, seg_id := seg_id))).d2, 9) AS d2
 FROM _ns_q GROUP BY point_id"""
+
+
+# ---------------------------------------------------------------------------
+# Exact polygon area + centroid — the planar shoelace over integer
+# microdegrees, every reduction in decimal(38,0) / HUGEINT so the two
+# engines agree bit-for-bit (cross terms reach ~3e16 and centroid terms
+# ~1e25, both far past int64 sums but far inside 38 digits).  Zero
+# shuffle: one codegen HOF chain per polygon row.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(38,0)"
+
+
+def _pa_iring(ring):
+    """[lon,lat] double ring -> struct<x,y> integer-microdegree ring."""
+    return F.transform(ring, lambda p: F.struct(
+        F.round(p[0] * 1e6, 0).cast("bigint").alias("x"),
+        F.round(p[1] * 1e6, 0).cast("bigint").alias("y")))
+
+
+def _pa_open(r):
+    """Drop the WKT closing point when present (we wrap implicitly)."""
+    n = F.size(r)
+    closed = (n > 1) & (F.element_at(r, 1) == F.element_at(r, -1))
+    return F.when(closed, F.slice(r, 1, n - 1)).otherwise(r)
+
+
+def _pa_signed2a(r):
+    """Signed 2*area of an open integer ring (decimal-exact)."""
+    n = F.size(r)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (F.element_at(r, i)["x"]
+                   * F.element_at(r, (i % n) + 1)["y"]
+                   - F.element_at(r, (i % n) + 1)["x"]
+                   * F.element_at(r, i)["y"]).cast(_DEC))
+    return F.aggregate(terms, F.lit(0).cast(_DEC), lambda a, x: a + x)
+
+
+def _pa_centroid_num(r, axis: str):
+    """Centroid numerator sum((c_i + c_{i+1}) * cross_i) — decimal."""
+    n = F.size(r)
+
+    def term(i):
+        p, q = F.element_at(r, i), F.element_at(r, (i % n) + 1)
+        cross = (p["x"] * q["y"] - q["x"] * p["y"]).cast(_DEC)
+        return (p[axis] + q[axis]).cast(_DEC) * cross
+    return F.aggregate(F.transform(F.sequence(F.lit(1), n), term),
+                       F.lit(0).cast(_DEC), lambda a, x: a + x)
+
+
+def polygon_area_centroid(polygons: DataFrame,
+                          rings_col: str = "rings",
+                          id_col: str = "polygon_id") -> DataFrame:
+    """Planar polygon area + centroid over integer microdegrees:
+    ``(polygon_id, n_rings, area2, a2_outer, cx_num, cy_num,
+    centroid_lon, centroid_lat)`` where ``area2`` = |2A| of the outer
+    ring minus |2A| of each hole (orientation-free — WKT in the wild
+    winds both ways), ``a2_outer`` is the outer ring's SIGNED 2A and
+    ``cx_num``/``cy_num`` the outer ring's centroid numerators — the
+    exact rational centroid is num/(3*a2_outer) microdegrees, the
+    sign cancelling; the convenience ``centroid_*`` doubles apply that
+    division in one fixed op sequence rounded to 9 dp.  Rings with < 3
+    distinct points are degenerate and ignored; polygons with no valid
+    ring are dropped.  Input is the :func:`polygon_raster_cells` shape
+    (rings: array<array<array<double>>> of [lon, lat]).  Planar
+    microdegrees, not geodesic area — the tile-accounting contract
+    (same frame as the rasterizer), stated."""
+    rs0 = F.transform(F.col(rings_col), lambda ring: _pa_iring(ring))
+    rs = F.filter(F.transform(rs0, lambda r: _pa_open(r)),
+                  lambda r: F.size(r) >= 3)
+    base = (polygons.select(F.col(id_col).alias("polygon_id"),
+                            rs.alias("_rs"))
+            .filter(F.size("_rs") >= 1))
+    outer = F.element_at(F.col("_rs"), 1)
+    holes = F.slice(F.col("_rs"), 2,
+                    F.greatest(F.size("_rs") - 1, F.lit(0)))
+    a2o = _pa_signed2a(outer)
+    hole_abs = F.aggregate(
+        F.transform(holes, lambda r: F.abs(_pa_signed2a(r))),
+        F.lit(0).cast(_DEC), lambda a, x: a + x)
+    stage = base.select(
+        "polygon_id", F.size("_rs").alias("n_rings"),
+        (F.abs(a2o) - hole_abs).alias("area2"),
+        a2o.alias("a2_outer"),
+        _pa_centroid_num(outer, "x").alias("cx_num"),
+        _pa_centroid_num(outer, "y").alias("cy_num"))
+    den = F.lit(3.0) * F.col("a2_outer").cast("double")
+    return stage.select(
+        "polygon_id", "n_rings", "area2", "a2_outer", "cx_num", "cy_num",
+        F.round(F.col("cx_num").cast("double") / den / F.lit(1e6), 9)
+        .alias("centroid_lon"),
+        F.round(F.col("cy_num").cast("double") / den / F.lit(1e6), 9)
+        .alias("centroid_lat"))
+
+
+def polygon_area_centroid_sql(polys_sql: str, rings_expr: str = "rings",
+                              id_expr: str = "polygon_id") -> str:
+    """DuckDB mirror of :func:`polygon_area_centroid` (HUGEINT sums ==
+    decimal(38,0); same fixed double op sequence for the centroid)."""
+    cross = ("(r[i].x::HUGEINT * r[i % len(r) + 1].y"
+             " - r[i % len(r) + 1].x::HUGEINT * r[i].y)")
+    signed = (f"list_sum(list_transform(range(1, len(r) + 1), "
+              f"i -> {cross}))")
+
+    def cnum(axis: str) -> str:
+        return (f"list_sum(list_transform(range(1, len(r) + 1), "
+                f"i -> (r[i].{axis}::HUGEINT "
+                f"+ r[i % len(r) + 1].{axis}) * {cross}))")
+    return f"""
+WITH _pa_r0 AS (
+  SELECT {id_expr} AS polygon_id,
+         list_transform({rings_expr}, ring ->
+           list_transform(ring, pt -> struct_pack(
+             x := cast(round(pt[1] * 1000000) AS BIGINT),
+             y := cast(round(pt[2] * 1000000) AS BIGINT)))) AS rs0
+  FROM ({polys_sql})
+), _pa_r AS (
+  SELECT polygon_id,
+         list_filter(list_transform(rs0, r ->
+           CASE WHEN len(r) > 1 AND r[1] = r[-1]
+                THEN r[1:len(r) - 1] ELSE r END),
+           r -> len(r) >= 3) AS rs
+  FROM _pa_r0
+), _pa_s AS (
+  SELECT polygon_id, len(rs) AS n_rings,
+         (SELECT {signed} FROM (SELECT rs[1] AS r)) AS a2_outer,
+         (SELECT coalesce(list_sum(list_transform(rs[2:], r ->
+            abs({signed}))), 0) ) AS holes_abs,
+         (SELECT {cnum('x')} FROM (SELECT rs[1] AS r)) AS cx_num,
+         (SELECT {cnum('y')} FROM (SELECT rs[1] AS r)) AS cy_num
+  FROM _pa_r WHERE len(rs) >= 1
+)
+SELECT polygon_id, n_rings, abs(a2_outer) - holes_abs AS area2,
+       a2_outer, cx_num, cy_num,
+       round(cx_num::DOUBLE / (3.0 * a2_outer::DOUBLE) / 1000000.0, 9)
+         AS centroid_lon,
+       round(cy_num::DOUBLE / (3.0 * a2_outer::DOUBLE) / 1000000.0, 9)
+         AS centroid_lat
+FROM _pa_s"""

@@ -480,3 +480,34 @@ def test_nearest_segment_degenerate_and_tie(spark):
                                  "point_id long, lat double, lon double")
     out2 = spatial.nearest_segment(pts2, segs, res=4).collect()[0]
     assert out2.seg_id == 3 and out2.d2 == 1.0  # tie with 9: id wins
+
+
+def test_polygon_area_centroid_hole_and_closed_ring(spark):
+    # outer 10x10 deg square (closed ring, CW winding) with a 2x2 hole
+    # (open ring, CCW) and a degenerate 2-point ring that must be
+    # ignored
+    outer = [[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0],
+             [0.0, 0.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]]
+    junk = [[1.0, 1.0], [2.0, 2.0]]
+    df = spark.createDataFrame(
+        [(1, [outer, hole, junk])],
+        "polygon_id long, rings array<array<array<double>>>")
+    r = spatial.polygon_area_centroid(df).collect()[0]
+    deg2 = 10**12                       # 1 deg^2 in microdeg^2
+    assert r.n_rings == 2               # junk ring dropped
+    assert int(r.area2) == 2 * (100 - 4) * deg2
+    assert abs(int(r.a2_outer)) == 2 * 100 * deg2
+    # centroid of the symmetric square = (5, 5), sign-safe either winding
+    assert (r.centroid_lon, r.centroid_lat) == (5.0, 5.0)
+
+
+def test_polygon_area_centroid_triangle(spark):
+    # right triangle (0,0)(4,0)(0,3): area 6, centroid (4/3, 1)
+    tri = [[0.0, 0.0], [4.0, 0.0], [0.0, 3.0]]
+    df = spark.createDataFrame(
+        [(7, [tri])], "polygon_id long, rings array<array<array<double>>>")
+    r = spatial.polygon_area_centroid(df).collect()[0]
+    assert int(r.area2) == 2 * 6 * 10**12
+    assert r.centroid_lat == 1.0
+    assert abs(r.centroid_lon - 4.0 / 3.0) < 1e-9
