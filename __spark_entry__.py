@@ -2765,6 +2765,17 @@ def q_triangles(spark, sf_dir):
     return graph.triangle_counts(edges)
 
 
+def q_clustering(spark, sf_dir):
+    """Local clustering coefficients (operators/graph.
+    clustering_coefficients): one fixed rational finisher over the
+    degree-ordered triangle plan — no extra shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = d.select(((i * i + 3 * i) % 997 % 60).alias("src"),
+                     ((i * i * 5 + i * 13 + 7) % 1009 % 60).alias("dst"))
+    return graph.clustering_coefficients(edges)
+
+
 def q_kcore(spark, sf_dir):
     """k-core decomposition (operators/graph.k_core, Seidman 1983):
     iterative degree peel to the 14-core of the arithmetic graph —
@@ -3330,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": q_sentences,
         "mojibake": q_mojibake,
         "triangles": q_triangles,
+        "clustering": q_clustering,
         "transitions": q_transitions,
         "attribution": q_attribution,
         "imp_click_join": q_imp_click,
@@ -4179,6 +4191,7 @@ FROM r GROUP BY id""",
             f"{v} AS {k}" for k, v in tx.mojibake_sql("text").items())
             + f" FROM ({_DOCS_MOJI_SQL})"),
         "triangles": graph.triangle_counts_sql(_TRI_EDGES_SQL),
+        "clustering": graph.clustering_coefficients_sql(_TRI_EDGES_SQL),
         "transitions": trips.transition_counts_sql(
             "SELECT * FROM events", gap_minutes=60.0),
         "attribution": trips.attribution_sql(

@@ -495,3 +495,29 @@ def k_core_sql(edges_sql: str, k: int, n_iter: int = 16) -> str:
     parts.append(f"""
 SELECT s AS node, count(*) AS degree FROM _kc_e{n_iter} GROUP BY s""")
     return "".join(parts)
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    ``cc = 2*triangles / (degree*(degree-1))``, 0.0 for degree < 2 —
+    one fixed bigint-to-double division over :func:`triangle_counts`
+    output (no extra shuffle beyond the triangle plan), rounded 9 dp.
+    Returns ``(node, degree, triangles, cc)``."""
+    t = triangle_counts(edges, src=src, dst=dst)
+    d = F.col("degree")
+    cc = F.when(d >= 2, F.round(
+        (F.col("triangles") * F.lit(2)).cast("double")
+        / (d * (d - 1)).cast("double"), 9)).otherwise(F.lit(0.0))
+    return t.select("node", "degree", "triangles", cc.alias("cc"))
+
+
+def clustering_coefficients_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`clustering_coefficients`."""
+    return f"""
+SELECT node, degree, triangles,
+       CASE WHEN degree >= 2
+            THEN round((triangles * 2)::DOUBLE
+                       / (degree * (degree - 1))::DOUBLE, 9)
+            ELSE 0.0 END AS cc
+FROM ({triangle_counts_sql(edges_sql)})"""

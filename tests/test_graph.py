@@ -288,3 +288,23 @@ def test_k_core_matches_duckdb(spark):
         "FROM range(150) t(i)", k=6, n_iter=8)
     ora = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert out == ora and 0 < len(out) < 30  # nonempty AND peeled
+
+
+def test_clustering_coefficients_hand_checked(spark):
+    from geolake_spark.operators import graph
+    # K4 minus edge (3,4): node 1,2 see both triangles, 3 and 4 one each
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long")
+    got = {r.node: (r.degree, r.triangles, r.cc)
+           for r in graph.clustering_coefficients(edges).collect()}
+    assert got == {1: (3, 2, round(2 * 2 / 6, 9)),
+                   2: (3, 2, round(2 * 2 / 6, 9)),
+                   3: (2, 1, 1.0), 4: (2, 1, 1.0)}
+
+
+def test_clustering_degree_one_is_zero(spark):
+    from geolake_spark.operators import graph
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.cc
+           for r in graph.clustering_coefficients(edges).collect()}
+    assert got == {1: 0.0, 2: 0.0}
