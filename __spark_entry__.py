@@ -2910,6 +2910,39 @@ def _wkt_polys(spark, sf_dir):
                     geo.wkt_polygon_rings_col(wkt).alias("rings"))
 
 
+# dense crossing-grid corpus for segment intersections: alternating
+# ~0.5-deg horizontal/vertical segments scattered over a few degrees —
+# planted structure verified (165 proper crossings at sf0.01)
+_SEGS_X_SQL = (
+    "SELECT doc_id AS seg_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN (doc_id*3 % 211)/100.0 "
+    "ELSE (doc_id*11 % 211)/100.0 END AS x1, "
+    "CASE WHEN doc_id % 2 = 0 THEN (doc_id*7 % 397)/100.0 "
+    "ELSE (doc_id*13 % 397)/100.0 END AS y1, "
+    "CASE WHEN doc_id % 2 = 0 THEN (doc_id*3 % 211)/100.0 + 0.5 "
+    "ELSE (doc_id*11 % 211)/100.0 END AS x2, "
+    "CASE WHEN doc_id % 2 = 0 THEN (doc_id*7 % 397)/100.0 "
+    "ELSE (doc_id*13 % 397)/100.0 + 0.5 END AS y2 "
+    "FROM documents WHERE doc_id % 3 = 0")
+
+
+def q_segment_intersections(spark, sf_dir):
+    """Un-noded crossing detection (operators/spatial.
+    segment_intersections): bbox-cell-blocked candidate self-join, then
+    exact integer orientation tests — proper crossings only; the
+    crossing point is one fixed float sequence."""
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .filter(F.col("doc_id") % 3 == 0))
+    i = F.col("doc_id")
+    h = (i % 2 == 0)
+    x1 = F.when(h, (i * 3 % 211) / 100.0).otherwise((i * 11 % 211) / 100.0)
+    y1 = F.when(h, (i * 7 % 397) / 100.0).otherwise((i * 13 % 397) / 100.0)
+    segs = d.select(i.alias("seg_id"), x1.alias("x1"), y1.alias("y1"),
+                    F.when(h, x1 + 0.5).otherwise(x1).alias("x2"),
+                    F.when(h, y1).otherwise(y1 + 0.5).alias("y2"))
+    return spatial.segment_intersections(segs, res=7)
+
+
 def q_polygon_stats(spark, sf_dir):
     """Exact polygon area + centroid (operators/spatial.
     polygon_area_centroid): integer-microdegree shoelace with
@@ -3364,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "track_hausdorff": q_track_hausdorff,
         "polygon_stats": q_polygon_stats,
+        "segment_intersections": q_segment_intersections,
     }
 
 
@@ -4271,4 +4305,6 @@ FROM r GROUP BY id""",
             "SELECT polygon_id, "
             + geo.wkt_polygon_rings_sql("wkt")
             + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})"),
+        "segment_intersections": spatial.segment_intersections_sql(
+            _SEGS_X_SQL, res=7),
     }

@@ -1092,3 +1092,118 @@ SELECT polygon_id, n_rings, abs(a2_outer) - holes_abs AS area2,
        round(cy_num::DOUBLE / (3.0 * a2_outer::DOUBLE) / 1000000.0, 9)
          AS centroid_lat
 FROM _pa_s"""
+
+
+def segment_intersections(segments: DataFrame, res: int,
+                          seg_id_col: str = "seg_id") -> DataFrame:
+    """Un-noded crossing detection between planar line segments — the
+    road-network conflation check (two edges that cross without a
+    shared node are a digitization defect or a missing bridge/tunnel
+    attribute).  Detects PROPER crossings only: interiors intersect;
+    shared endpoints and collinear overlaps are excluded (network
+    nodes are not defects — stated contract).  Returns
+    ``(seg_a, seg_b, cross_lon, cross_lat)`` with seg_a < seg_b.
+
+    Exactness: all four orientation tests are integer microdegree
+    cross products (|terms| <= ~2.6e17, inside int64) — no epsilon, no
+    float misclassification; only the reported crossing POINT is
+    float, one fixed op sequence ``C + d1/(d1-d2) * (D-C)`` rounded
+    9 dp (value-hash exact cross-engine).
+
+    Scale shape: candidates come from a bbox res-cell cover self-join
+    — NO halo needed (a proper crossing point lies on both segments,
+    hence in both bboxes, so its cell is covered by both sides); the
+    one shuffle is the cell equi-join, and a pair sharing several
+    cells is collapsed by a distinct before the sign tests.  Pick
+    ``res`` so cells are segment-sized; antimeridian-crossing segments
+    are out of contract (split upstream, the nearest_segment rule)."""
+    nx, ny = cells.grid_dims(res)
+    x1, y1 = F.col("x1"), F.col("y1")
+    x2, y2 = F.col("x2"), F.col("y2")
+    ix0 = F.floor((F.least(x1, x2) + 180.0) / 360.0 * nx).cast("bigint")
+    ix1 = F.floor((F.greatest(x1, x2) + 180.0) / 360.0 * nx).cast("bigint")
+    iy0 = (F.floor((F.lit(90.0) - F.greatest(y1, y2)) / 180.0 * ny)
+           .cast("bigint"))
+    iy1 = (F.floor((F.lit(90.0) - F.least(y1, y2)) / 180.0 * ny)
+           .cast("bigint"))
+    clampx = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(nx - 1))
+    clampy = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(ny - 1))
+    mu = lambda c: F.round(c * 1e6, 0).cast("bigint")
+    cov = (segments
+           .withColumn("iy", F.explode(F.sequence(clampy(iy0), clampy(iy1))))
+           .withColumn("ix", F.explode(F.sequence(clampx(ix0), clampx(ix1))))
+           .select(F.col(seg_id_col).alias("sid"),
+                   mu(x1).alias("ax"), mu(y1).alias("ay"),
+                   mu(x2).alias("bx"), mu(y2).alias("by"),
+                   (F.lit(res * _RES_UNIT).cast("bigint")
+                    + F.col("iy") * F.lit(_IY_UNIT).cast("bigint")
+                    + F.col("ix")).alias("cell")))
+    a = cov.select(F.col("cell"), F.col("sid").alias("seg_a"),
+                   F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+    b = cov.select(F.col("cell"), F.col("sid").alias("seg_b"),
+                   F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+                   F.col("bx").alias("dx"), F.col("by").alias("dy"))
+    pairs = (a.join(b, ["cell"])
+             .filter(F.col("seg_a") < F.col("seg_b"))
+             .drop("cell").distinct())
+    ax, ay, bx, by = (F.col(c) for c in ("ax", "ay", "bx", "by"))
+    cx, cy, dx, dy = (F.col(c) for c in ("cx", "cy", "dx", "dy"))
+    d1 = (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
+    d2 = (dx - ax) * (by - ay) - (dy - ay) * (bx - ax)
+    d3 = (ax - cx) * (dy - cy) - (ay - cy) * (dx - cx)
+    d4 = (bx - cx) * (dy - cy) - (by - cy) * (dx - cx)
+    proper = ((((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+              & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))))
+    hits = pairs.withColumn("_d1", d1).withColumn("_d2", d2) \
+        .filter(proper)
+    s = (F.col("_d1").cast("double")
+         / (F.col("_d1") - F.col("_d2")).cast("double"))
+    px = cx.cast("double") + s * (dx - cx).cast("double")
+    py = cy.cast("double") + s * (dy - cy).cast("double")
+    return hits.select(
+        "seg_a", "seg_b",
+        F.round(px / F.lit(1e6), 9).alias("cross_lon"),
+        F.round(py / F.lit(1e6), 9).alias("cross_lat"))
+
+
+def segment_intersections_sql(segments_sql: str, res: int) -> str:
+    """DuckDB mirror of :func:`segment_intersections` (self-join
+    restatement; identical integer sign tests and float sequence)."""
+    nx, ny = cells.grid_dims(res)
+    return f"""
+WITH _si_cov AS (
+  SELECT seg_id AS sid,
+         cast(round(x1 * 1000000) AS BIGINT) AS ax,
+         cast(round(y1 * 1000000) AS BIGINT) AS ay,
+         cast(round(x2 * 1000000) AS BIGINT) AS bx,
+         cast(round(y2 * 1000000) AS BIGINT) AS by,
+         {res} * {_RES_UNIT} + u1.iy * {_IY_UNIT} + u2.ix AS cell
+  FROM ({segments_sql}) s,
+    unnest(range(
+      least(greatest(cast(floor((90.0 - greatest(y1, y2)) / 180.0 * {ny}) as bigint), 0), {ny - 1}),
+      least(greatest(cast(floor((90.0 - least(y1, y2)) / 180.0 * {ny}) as bigint), 0), {ny - 1}) + 1)) u1(iy),
+    unnest(range(
+      least(greatest(cast(floor((least(x1, x2) + 180.0) / 360.0 * {nx}) as bigint), 0), {nx - 1}),
+      least(greatest(cast(floor((greatest(x1, x2) + 180.0) / 360.0 * {nx}) as bigint), 0), {nx - 1}) + 1)) u2(ix)
+), _si_p AS (
+  SELECT DISTINCT a.sid AS seg_a, b.sid AS seg_b,
+         a.ax, a.ay, a.bx, a.by,
+         b.ax AS cx, b.ay AS cy, b.bx AS dx, b.by AS dy
+  FROM _si_cov a JOIN _si_cov b
+    ON a.cell = b.cell AND a.sid < b.sid
+), _si_d AS (
+  SELECT seg_a, seg_b, cx, cy, dx, dy,
+         (cx - ax) * (by - ay) - (cy - ay) * (bx - ax) AS d1,
+         (dx - ax) * (by - ay) - (dy - ay) * (bx - ax) AS d2,
+         (ax - cx) * (dy - cy) - (ay - cy) * (dx - cx) AS d3,
+         (bx - cx) * (dy - cy) - (by - cy) * (dx - cx) AS d4
+  FROM _si_p
+)
+SELECT seg_a, seg_b,
+       round((cx::DOUBLE + (d1::DOUBLE / (d1 - d2)::DOUBLE)
+              * (dx - cx)::DOUBLE) / 1000000.0, 9) AS cross_lon,
+       round((cy::DOUBLE + (d1::DOUBLE / (d1 - d2)::DOUBLE)
+              * (dy - cy)::DOUBLE) / 1000000.0, 9) AS cross_lat
+FROM _si_d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"""

@@ -511,3 +511,33 @@ def test_polygon_area_centroid_triangle(spark):
     assert int(r.area2) == 2 * 6 * 10**12
     assert r.centroid_lat == 1.0
     assert abs(r.centroid_lon - 4.0 / 3.0) < 1e-9
+
+
+def test_segment_intersections_hand_checked(spark):
+    segs = [
+        (1, 0.0, 0.0, 2.0, 0.0),     # horizontal
+        (2, 1.0, -1.0, 1.0, 1.0),    # vertical, crosses 1 at (1, 0)
+        (3, 0.0, 0.0, 0.0, 2.0),     # shares endpoint with 1: no hit
+        (4, 0.0, 1.0, 2.0, 1.0),     # crosses 2 at (1, 1)? touches 2's
+                                     # endpoint (1,1): improper -> no
+        (5, 3.0, 0.0, 3.0, 1.0),     # collinear with nothing, isolated
+        (6, 0.0, 0.0, 2.0, 0.0),     # duplicate of 1: collinear with 1
+                                     # (no 1-6 hit) but crosses 2
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    got = {(r.seg_a, r.seg_b): (r.cross_lon, r.cross_lat)
+           for r in spatial.segment_intersections(df, res=7).collect()}
+    assert got == {(1, 2): (1.0, 0.0), (2, 6): (1.0, 0.0)}
+
+
+def test_segment_intersections_cross_cell_boundary(spark):
+    # crossing point near a cell edge must still be found (both bboxes
+    # cover the crossing's cell by construction - no halo required)
+    segs = [(1, -0.3, 0.0001, 0.3, 0.0001),
+            (2, 0.0001, -0.3, 0.0001, 0.3)]
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    out = spatial.segment_intersections(df, res=9).collect()
+    assert len(out) == 1
+    assert (out[0].cross_lon, out[0].cross_lat) == (0.0001, 0.0001)
