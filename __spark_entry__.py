@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geolake_spark import cells
+from geolake_spark import cells, metrics
 from geolake_spark.functions import geo, sim
 from geolake_spark.functions import text as tx
 from geolake_spark.model import GeoQuery
@@ -2943,6 +2943,15 @@ def q_segment_intersections(spark, sf_dir):
     return spatial.segment_intersections(segs, res=7)
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnostic (metrics.skew_report): heaviest key
+    values with row share and skew ratio vs the mean key — one
+    partial-agg'd groupBy + a broadcast totals row, report-sized
+    output."""
+    return metrics.skew_report(_t(spark, sf_dir, "events"),
+                               ["event_type"], top_k=20)
+
+
 def q_polygon_stats(spark, sf_dir):
     """Exact polygon area + centroid (operators/spatial.
     polygon_area_centroid): integer-microdegree shoelace with
@@ -3398,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_hausdorff": q_track_hausdorff,
         "polygon_stats": q_polygon_stats,
         "segment_intersections": q_segment_intersections,
+        "skew_report": q_skew_report,
     }
 
 
@@ -4307,4 +4317,6 @@ FROM r GROUP BY id""",
             + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})"),
         "segment_intersections": spatial.segment_intersections_sql(
             _SEGS_X_SQL, res=7),
+        "skew_report": metrics.skew_report_sql(
+            "SELECT * FROM events", ["event_type"], top_k=20),
     }

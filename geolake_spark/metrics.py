@@ -63,3 +63,52 @@ def partition_metrics(df: DataFrame, partition_cols: list[str],
                     c: {"min": r[f"mn_{c}"], "max": r[f"mx_{c}"],
                         "nulls": r[f"nl_{c}"]} for c in stat_cols}
     return list(out.values())
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                top_k: int = 20) -> DataFrame:
+    """Shuffle-skew diagnostic for a planned groupBy/join key: the
+    ``top_k`` heaviest key values with ``(key..., n_rows, row_frac,
+    skew_ratio)`` — ``row_frac`` the key's share of all rows and
+    ``skew_ratio = n_rows / mean_rows_per_key`` (a ratio >> number of
+    tasks means one task sorts that key alone while the rest idle; the
+    cue to salt, cap, or broadcast).  Run it BEFORE committing to a
+    partitioning at 100 TB — the capped_by_key / AQE-skew-join
+    decision wants this number, not a guess.
+
+    Plan: one partial-agg'd groupBy over the keys plus one totals row
+    broadcast back — the report is top_k rows, never a collect of the
+    key space.  Fractions are fixed single-division doubles rounded
+    9 dp (oracle-exact)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(F.sum("n_rows").alias("_t_rows"),
+                        F.count(F.lit(1)).alias("_t_keys"))
+    j = counts.crossJoin(F.broadcast(totals))
+    frac = F.round(F.col("n_rows").cast("double")
+                   / F.col("_t_rows").cast("double"), 9)
+    ratio = F.round(F.col("n_rows").cast("double")
+                    / (F.col("_t_rows").cast("double")
+                       / F.col("_t_keys").cast("double")), 9)
+    return (j.select(*key_cols, "n_rows", frac.alias("row_frac"),
+                     ratio.alias("skew_ratio"))
+            .orderBy(F.col("n_rows").desc(), *key_cols)
+            .limit(top_k))
+
+
+def skew_report_sql(table_sql: str, key_exprs: list[str],
+                    top_k: int = 20) -> str:
+    """DuckDB mirror of :func:`skew_report`."""
+    keys = ", ".join(key_exprs)
+    return f"""
+WITH _sk_c AS (
+  SELECT {keys}, count(*) AS n_rows FROM ({table_sql}) GROUP BY {keys}
+), _sk_t AS (
+  SELECT sum(n_rows) AS t_rows, count(*) AS t_keys FROM _sk_c
+)
+SELECT {keys}, n_rows,
+       round(n_rows::DOUBLE / t_rows::DOUBLE, 9) AS row_frac,
+       round(n_rows::DOUBLE / (t_rows::DOUBLE / t_keys::DOUBLE), 9)
+         AS skew_ratio
+FROM _sk_c CROSS JOIN _sk_t
+ORDER BY n_rows DESC, {keys}
+LIMIT {top_k}"""

@@ -46,3 +46,13 @@ def test_roundtrip_json():
 def test_tasklist_unique_ids():
     with pytest.raises(GeoQueryError):
         TaskList.parse([{"id": "a", "op": "subset"}, {"id": "a", "op": "average"}])
+
+
+def test_skew_report_hand_checked(spark):
+    from geolake_spark import metrics
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r.k, r.n_rows, r.row_frac, r.skew_ratio)
+           for r in metrics.skew_report(df, ["k"], top_k=2).collect()]
+    # 10 rows / 3 keys: mean 10/3; a: 6 rows = 0.6 share, ratio 1.8
+    assert got == [("a", 6, 0.6, 1.8), ("b", 3, 0.3, 0.9)]
