@@ -2943,6 +2943,13 @@ def q_segment_intersections(spark, sf_dir):
     return spatial.segment_intersections(segs, res=7)
 
 
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves (operators/trips.cohort_ltv): integer-cents
+    revenue accumulated per first-event cohort over bucket offsets —
+    one event-tier shuffle, the rest windows over rollup-sized rows."""
+    return trips.cohort_ltv(_t(spark, sf_dir, "events"), bucket_days=7)
+
+
 def q_skew_report(spark, sf_dir):
     """Shuffle-skew diagnostic (metrics.skew_report): heaviest key
     values with row share and skew ratio vs the mean key — one
@@ -3408,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "segment_intersections": q_segment_intersections,
         "skew_report": q_skew_report,
+        "cohort_ltv": q_cohort_ltv,
     }
 
 
@@ -4319,4 +4327,5 @@ FROM r GROUP BY id""",
             _SEGS_X_SQL, res=7),
         "skew_report": metrics.skew_report_sql(
             "SELECT * FROM events", ["event_type"], top_k=20),
+        "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
     }

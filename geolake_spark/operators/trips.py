@@ -1041,3 +1041,78 @@ SELECT c.ent_a, c.ent_b, c.n_common,
 FROM _th_c c
 JOIN _th_tr ta ON ta.ent = c.ent_a
 JOIN _th_tr tb ON tb.ent = c.ent_b"""
+
+
+def cohort_ltv(events: DataFrame, bucket_days: int = 7,
+               entity_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Cohort lifetime-value curves: ``(cohort_bucket, bucket_offset,
+    cohort_users, cum_cents, ltv_per_user)`` — entities cohorted by the
+    bucket of their FIRST event, revenue accumulated per cohort over
+    bucket offsets (the classic LTV-by-age table).  Money is integer
+    cents end to end; ``ltv_per_user`` is the single fixed division
+    rounded 9 dp.  Offsets with no activity are absent (sparse — the
+    running total at each present offset is still exact).
+
+    Plan: one (entity, bucket) partial-agg'd rollup, a window min for
+    the cohort on the same entity hash, the (cohort, offset) rollup,
+    then a cumulative window over the cohort's few offsets — no raw
+    event row crosses more than the first shuffle."""
+    us = _micros(ts_col)
+    bucket = F.floor(us / F.lit(86_400_000_000 * bucket_days)) \
+        .cast("bigint")
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    tier = (events.select(F.col(entity_col).alias("_e"),
+                          bucket.alias("_b"), cents.alias("_c"))
+            .groupBy("_e", "_b").agg(F.sum("_c").alias("_cents")))
+    wc = Window.partitionBy("_e")
+    tier = tier.withColumn("_cohort", F.min("_b").over(wc))
+    sizes = (tier.filter(F.col("_b") == F.col("_cohort"))
+             .groupBy(F.col("_cohort").alias("cohort_bucket"))
+             .agg(F.count(F.lit(1)).alias("cohort_users")))
+    per = (tier.select(F.col("_cohort").alias("cohort_bucket"),
+                       (F.col("_b") - F.col("_cohort"))
+                       .alias("bucket_offset"), "_cents")
+           .groupBy("cohort_bucket", "bucket_offset")
+           .agg(F.sum("_cents").alias("_bucket_cents")))
+    wcum = (Window.partitionBy("cohort_bucket").orderBy("bucket_offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.withColumn("cum_cents", F.sum("_bucket_cents").over(wcum))
+    out = cum.join(sizes, "cohort_bucket")
+    ltv = F.round(F.col("cum_cents").cast("double")
+                  / F.col("cohort_users").cast("double"), 9)
+    return out.select("cohort_bucket", "bucket_offset", "cohort_users",
+                      "cum_cents", ltv.alias("ltv_per_user"))
+
+
+def cohort_ltv_sql(table: str, bucket_days: int = 7,
+                   entity_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value") -> str:
+    """DuckDB twin of :func:`cohort_ltv` (same integer arithmetic)."""
+    div = 86_400_000_000 * bucket_days
+    return f"""
+WITH _lv_t AS (
+  SELECT {entity_col} AS e,
+         cast(floor(epoch_us({ts_col}) / {div}) as bigint) AS b,
+         sum(cast(round(({value_col}) * 100) AS BIGINT)) AS cents
+  FROM {table} GROUP BY 1, 2
+), _lv_c AS (
+  SELECT e, b, cents, min(b) OVER (PARTITION BY e) AS cohort FROM _lv_t
+), _lv_s AS (
+  SELECT cohort AS cohort_bucket, count(*) AS cohort_users
+  FROM _lv_c WHERE b = cohort GROUP BY 1
+), _lv_p AS (
+  SELECT cohort AS cohort_bucket, b - cohort AS bucket_offset,
+         sum(cents) AS bucket_cents
+  FROM _lv_c GROUP BY 1, 2
+), _lv_m AS (
+  SELECT cohort_bucket, bucket_offset,
+         sum(bucket_cents) OVER (PARTITION BY cohort_bucket
+                                 ORDER BY bucket_offset
+                                 ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM _lv_p
+)
+SELECT m.cohort_bucket, m.bucket_offset, s.cohort_users, m.cum_cents,
+       round(m.cum_cents::DOUBLE / s.cohort_users::DOUBLE, 9)
+         AS ltv_per_user
+FROM _lv_m m JOIN _lv_s s USING (cohort_bucket)"""

@@ -440,3 +440,27 @@ def test_track_hausdorff_cell_cap_drops_hot_cell(spark):
                                      min_common=1, cell_cap=None).collect()
     assert len(uncapped) == 6          # all C(4,2) pairs, distance 0
     assert {r.hausdorff_d2 for r in uncapped} == {0}
+
+
+def test_cohort_ltv_hand_checked(spark):
+    d0 = dt.datetime(2024, 1, 1)       # epoch-day 19723ish; exact
+    rows = [
+        # user 1: cohort week W, spends 1.00 then 2.00 next week
+        (1, 1, d0, 1.00),
+        (1, 2, d0 + dt.timedelta(days=8), 2.00),
+        # user 2: same cohort week, spends 0.50 in week 0 only
+        (2, 3, d0 + dt.timedelta(days=1), 0.50),
+        # user 3: cohort one week later, 4.00
+        (3, 4, d0 + dt.timedelta(days=9), 4.00),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, value double")
+    got = {(r.cohort_bucket, r.bucket_offset):
+           (r.cohort_users, r.cum_cents, r.ltv_per_user)
+           for r in trips.cohort_ltv(df, bucket_days=7).collect()}
+    w0 = min(c for c, _o in got)
+    assert got == {
+        (w0, 0): (2, 150, 75.0),        # users 1+2: 100+50 cents
+        (w0, 1): (2, 350, 175.0),       # +200 in week 1
+        (w0 + 1, 0): (1, 400, 400.0),   # user 3's own cohort
+    }
