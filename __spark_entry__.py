@@ -2943,6 +2943,18 @@ def q_segment_intersections(spark, sf_dir):
     return spatial.segment_intersections(segs, res=7)
 
 
+def q_redirects(spark, sf_dir):
+    """Redirect/canonical chain resolution (operators/links.
+    resolve_redirects): path doubling over the mapping-sized table —
+    6 rounds cover 64-hop chains; cycles and over-length chains come
+    back flagged unresolved with NULL target (stated contract)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = d.filter(i % 8 != 0).select(i.alias("src"), (i - 1).alias("dst"))
+    e2 = d.filter(i % 24 == 0).select(i.alias("src"), (i + 4).alias("dst"))
+    return links.resolve_redirects(e1.unionAll(e2), rounds=4)
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Cohort LTV curves (operators/trips.cohort_ltv): integer-cents
     revenue accumulated per first-event cohort over bucket offsets —
@@ -3416,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": q_segment_intersections,
         "skew_report": q_skew_report,
         "cohort_ltv": q_cohort_ltv,
+        "redirects": q_redirects,
     }
 
 
@@ -4328,4 +4341,9 @@ FROM r GROUP BY id""",
         "skew_report": metrics.skew_report_sql(
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
+        "redirects": links.resolve_redirects_sql(
+            "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents "
+            "WHERE doc_id % 8 <> 0 UNION ALL "
+            "SELECT doc_id, doc_id + 4 FROM documents "
+            "WHERE doc_id % 24 = 0", rounds=4),
     }

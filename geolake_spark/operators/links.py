@@ -487,3 +487,72 @@ WITH _op_own AS (
   SELECT DISTINCT dst AS url FROM ({link_graph_sql(pages_sql, grain="url")})
 )
 SELECT url FROM _op_own ANTI JOIN _op_tgt USING (url)"""
+
+
+def resolve_redirects(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 6) -> DataFrame:
+    """Resolve redirect/canonical chains to their terminal target — the
+    post-crawl normalization that maps every 301/rel=canonical source
+    to the page that finally serves content.  A source with several
+    declared targets keeps the MIN (deterministic contract).  Returns
+    one row per source: ``(src, target, hops, unresolved)`` — target
+    and hops NULL when ``unresolved`` (the chain is a cycle, feeds into
+    one, or exceeds ``2**rounds`` hops; stated together since a bounded
+    resolver cannot tell them apart).
+
+    Scale shape: path DOUBLING — ``rounds`` self-joins of the
+    mapping-sized table (never the crawl), each jump composing
+    next(next(x)) with terminal absorption and exact hop accumulation
+    (hops add under composition), so a 64-hop chain needs 6 rounds, not
+    64.  Lineage is truncated per round (localCheckpoint — the
+    iterative-DataFrame contract from graph.pagerank).  The final
+    unresolved test is one semi-join against the source set."""
+    m = (edges.filter(F.col(src) != F.col(dst))
+         .groupBy(F.col(src).alias("_s"))
+         .agg(F.min(F.col(dst)).alias("_n")))
+    cur = m.select("_s", "_n", F.lit(1).cast("bigint").alias("_h"))
+    for _ in range(rounds):
+        nxt = cur.select(F.col("_s").alias("_s2"), F.col("_n").alias("_n2"),
+                         F.col("_h").alias("_h2"))
+        cur = (cur.join(nxt, cur["_n"] == nxt["_s2"], "left")
+               .select("_s",
+                       F.coalesce("_n2", "_n").alias("_n"),
+                       (F.col("_h") + F.coalesce("_h2", F.lit(0)))
+                       .alias("_h"))
+               .localCheckpoint(eager=True))
+    srcs = m.select(F.col("_s").alias("_n"))
+    out = (cur.join(srcs.withColumn("_has_out", F.lit(True)).distinct(),
+                    "_n", "left")
+           .withColumn("_u", F.coalesce("_has_out", F.lit(False))))
+    return out.select(
+        F.col("_s").alias("src"),
+        F.when(~F.col("_u"), F.col("_n")).alias("target"),
+        F.when(~F.col("_u"), F.col("_h")).alias("hops"),
+        F.col("_u").alias("unresolved"))
+
+
+def resolve_redirects_sql(edges_sql: str, rounds: int = 6) -> str:
+    """DuckDB mirror of :func:`resolve_redirects`: a step-at-a-time
+    recursive walk bounded at ``2**rounds`` hops (same absorption and
+    unresolved semantics; the plan differs, the answer doesn't)."""
+    limit = 2 ** rounds
+    return f"""
+WITH RECURSIVE _rr_m AS (
+  SELECT src AS s, min(dst) AS n FROM ({edges_sql})
+  WHERE src <> dst GROUP BY 1
+), _rr_w AS (
+  SELECT s, n AS cur, cast(1 AS BIGINT) AS hops FROM _rr_m
+  UNION ALL
+  SELECT w.s, m.n, w.hops + 1
+  FROM _rr_w w JOIN _rr_m m ON m.s = w.cur
+  WHERE w.hops < {limit}
+), _rr_f AS (
+  SELECT s, (max(struct_pack(hops := hops, cur := cur))).cur AS cur,
+         max(hops) AS hops
+  FROM _rr_w GROUP BY 1
+)
+SELECT f.s AS src,
+       CASE WHEN m2.s IS NULL THEN f.cur END AS target,
+       CASE WHEN m2.s IS NULL THEN f.hops END AS hops,
+       m2.s IS NOT NULL AS unresolved
+FROM _rr_f f LEFT JOIN _rr_m m2 ON m2.s = f.cur"""

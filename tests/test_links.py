@@ -331,3 +331,34 @@ def test_crawl_budget_fewer_slots_than_hosts(spark):
     assert sum(out.values()) == 3 and set(out.values()) == {0, 1}
     # equal weights: remainder ties break host-ascending
     assert out["h0.com"] == 1 and out["h1.com"] == 1 and out["h2.com"] == 1
+
+
+def test_resolve_redirects_chain_cycle_and_bound(spark):
+    from geolake_spark.operators import links
+    edges = [
+        # chain 3 -> 2 -> 1 -> 0 (terminal)
+        (3, 2), (2, 1), (1, 0),
+        # 2-cycle
+        (10, 11), (11, 10),
+        # feeds the cycle
+        (12, 10),
+        # multi-target source keeps the MIN target
+        (20, 21), (20, 25), (21, 0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.src: (r.target, r.hops, r.unresolved)
+           for r in links.resolve_redirects(df, rounds=4).collect()}
+    assert got[3] == (0, 3, False)
+    assert got[2] == (0, 2, False)
+    assert got[1] == (0, 1, False)
+    assert got[10] == (None, None, True)
+    assert got[11] == (None, None, True)
+    assert got[12] == (None, None, True)
+    assert got[20] == (0, 2, False)      # min(21, 25) = 21 -> 0
+    # a straight chain longer than 2**rounds hops is flagged, shorter
+    # chains resolve: rounds=1 bounds at 2 hops
+    short = links.resolve_redirects(
+        spark.createDataFrame([(3, 2), (2, 1), (1, 0)],
+                              "src long, dst long"), rounds=1)
+    g2 = {r.src: (r.target, r.unresolved) for r in short.collect()}
+    assert g2[2] == (0, False) and g2[3] == (None, True)
