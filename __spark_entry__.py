@@ -2943,6 +2943,21 @@ def q_segment_intersections(spark, sf_dir):
     return spatial.segment_intersections(segs, res=7)
 
 
+def q_stitch(spark, sf_dir):
+    """Polyline assembly (operators/spatial.stitch_segments): exact
+    endpoint identity packed into one int64 node key, transitive
+    closure via O(log n) star-contraction CC."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    g = F.expr("doc_id div 10")
+    x1 = (i % 10) * 0.01 + (g % 30) * 1.0
+    x2 = (i % 10 + 1) * 0.01 + (g % 30) * 1.0
+    y = (g * 7 % 90) * 1.0
+    segs = d.select(i.alias("seg_id"), x1.alias("x1"), y.alias("y1"),
+                    x2.alias("x2"), y.alias("y2"))
+    return spatial.stitch_segments(segs)
+
+
 def q_redirects(spark, sf_dir):
     """Redirect/canonical chain resolution (operators/links.
     resolve_redirects): path doubling over the mapping-sized table —
@@ -3429,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "cohort_ltv": q_cohort_ltv,
         "redirects": q_redirects,
+        "stitch_segments": q_stitch,
     }
 
 
@@ -4341,6 +4357,12 @@ FROM r GROUP BY id""",
         "skew_report": metrics.skew_report_sql(
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
+        "stitch_segments": spatial.stitch_segments_sql(
+            "SELECT doc_id AS seg_id, "
+            "(doc_id % 10) * 0.01 + ((doc_id // 10) % 30) * 1.0 AS x1, "
+            "((doc_id // 10) * 7 % 90) * 1.0 AS y1, "
+            "(doc_id % 10 + 1) * 0.01 + ((doc_id // 10) % 30) * 1.0 AS x2, "
+            "((doc_id // 10) * 7 % 90) * 1.0 AS y2 FROM documents"),
         "redirects": links.resolve_redirects_sql(
             "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents "
             "WHERE doc_id % 8 <> 0 UNION ALL "

@@ -1207,3 +1207,74 @@ SELECT seg_a, seg_b,
 FROM _si_d
 WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
   AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"""
+
+
+def stitch_segments(segments: DataFrame,
+                    seg_id_col: str = "seg_id") -> DataFrame:
+    """Assemble loose line segments into polylines — the road/track
+    conflation step after importing shapefile-ish fragments: segments
+    sharing an endpoint (EXACT integer-microdegree match) join one
+    polyline, transitively.  Returns ``(seg_id, polyline_id,
+    polyline_segments)``; polyline_id is the min packed endpoint node
+    of the component (stable across runs and cluster sizes).
+
+    Endpoints pack losslessly into one int64
+    (``(x+180e6)*2^28 + (y+90e6)`` — lon microdegrees need 29 bits,
+    lat 28), so node identity is an integer equi-join key, and the
+    transitive closure is the O(log n) star-contraction
+    :func:`geolake_spark.operators.dedup.connected_components` (one
+    groupBy-min + join per star op).  Zero-length segments form their
+    own single-segment polylines.  Near-miss endpoints (GPS jitter) do
+    NOT stitch — snap upstream (e.g. quantize coordinates) if fuzzy
+    joining is wanted; exactness is the stated contract."""
+    from geolake_spark.operators.dedup import connected_components
+
+    def node(xcol, ycol):
+        x = F.round(xcol * 1e6, 0).cast("bigint") + F.lit(180_000_000)
+        y = F.round(ycol * 1e6, 0).cast("bigint") + F.lit(90_000_000)
+        return x * F.lit(1 << 28).cast("bigint") + y
+
+    segs = segments.select(
+        F.col(seg_id_col).alias("seg_id"),
+        node(F.col("x1"), F.col("y1")).alias("_n1"),
+        node(F.col("x2"), F.col("y2")).alias("_n2"))
+    pairs = (segs.select(F.least("_n1", "_n2").alias("id_a"),
+                         F.greatest("_n1", "_n2").alias("id_b"))
+             .distinct())
+    comps = connected_components(pairs)
+    lab = segs.join(comps.withColumnRenamed("id", "_n1")
+                   .withColumnRenamed("component", "polyline_id"), "_n1")
+    counts = (lab.groupBy("polyline_id")
+              .agg(F.count(F.lit(1)).alias("polyline_segments")))
+    return (lab.join(counts, "polyline_id")
+            .select("seg_id", "polyline_id", "polyline_segments"))
+
+
+def stitch_segments_sql(segments_sql: str) -> str:
+    """DuckDB mirror of :func:`stitch_segments` (recursive min-label
+    closure — the near_dup_components oracle pattern)."""
+    def node(x, y):
+        return (f"((cast(round(({x}) * 1000000) AS BIGINT) + 180000000)"
+                f" * 268435456"
+                f" + cast(round(({y}) * 1000000) AS BIGINT) + 90000000)")
+    return f"""
+WITH RECURSIVE _st_s AS (
+  SELECT seg_id, {node('x1', 'y1')} AS n1, {node('x2', 'y2')} AS n2
+  FROM ({segments_sql})
+), _st_e AS (
+  SELECT n1 AS src, n2 AS dst FROM _st_s
+  UNION
+  SELECT n2 AS src, n1 AS dst FROM _st_s
+), _st_r AS (
+  SELECT src AS id, src AS label FROM _st_e
+  UNION
+  SELECT e.src AS id, r.label FROM _st_e e JOIN _st_r r ON r.id = e.dst
+), _st_c AS (
+  SELECT id, min(label) AS polyline_id FROM _st_r GROUP BY id
+), _st_l AS (
+  SELECT s.seg_id, c.polyline_id
+  FROM _st_s s JOIN _st_c c ON c.id = s.n1
+)
+SELECT seg_id, polyline_id,
+       count(*) OVER (PARTITION BY polyline_id) AS polyline_segments
+FROM _st_l"""

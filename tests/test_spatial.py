@@ -541,3 +541,26 @@ def test_segment_intersections_cross_cell_boundary(spark):
     out = spatial.segment_intersections(df, res=9).collect()
     assert len(out) == 1
     assert (out[0].cross_lon, out[0].cross_lat) == (0.0001, 0.0001)
+
+
+def test_stitch_segments_branch_jitter_and_isolated(spark):
+    segs = [
+        (1, 0.0, 0.0, 1.0, 0.0),        # chain a
+        (2, 1.0, 0.0, 2.0, 0.0),        # continues a
+        (3, 1.0, 0.0, 1.0, 1.0),        # T-branch off the shared node
+        (4, 5.0, 5.0, 6.0, 5.0),        # isolated pair start
+        (5, 6.000003, 5.0, 7.0, 5.0),   # 3-microdeg jitter: NO stitch
+                                        # (sub-0.5-microdeg jitter DOES
+                                        # snap - the quantization grain)
+        (6, 9.0, 9.0, 9.0, 9.0),        # zero-length: own polyline
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    out = {r.seg_id: (r.polyline_id, r.polyline_segments)
+           for r in spatial.stitch_segments(df).collect()}
+    assert out[1][0] == out[2][0] == out[3][0]
+    assert out[1][1] == 3
+    assert out[4][0] != out[5][0]       # jitter did not stitch
+    assert out[4][1] == out[5][1] == 1
+    assert out[6][1] == 1               # zero-length kept, isolated
+    assert len(out) == 6
