@@ -259,3 +259,55 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
                "(partition by entity order by n_obs desc) as rk "
                "from cusumq) where rk = 1").collect()}
     assert got == batch
+
+
+def test_monitor_job_state_survives_restart(spark, tmp_path, monkeypatch):
+    """jobs/monitor.py run twice: the second invocation processes ONLY
+    the new file and CONTINUES the per-entity statistics from the
+    checkpoint — final summary == the batch operator on all rows."""
+    import datetime as dt
+    import runpy
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    from geolake_spark.operators import aggregates
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(u, u * 100 + i, t0 + dt.timedelta(minutes=i),
+             10.0 + (4.0 if i >= 10 else 0.0))
+            for u in (1, 2) for i in range(20)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, value double")
+    drop = str(tmp_path / "drop")
+    first = ev.filter("ts < timestamp'2024-03-01 00:10:00'")
+    second = ev.filter("ts >= timestamp'2024-03-01 00:10:00'")
+    first.coalesce(1).write.mode("append").parquet(drop)
+
+    out, ckpt = str(tmp_path / "alarms"), str(tmp_path / "ckpt")
+    argv = ["monitor.py", "--events", drop, "--output", out,
+            "--checkpoint", ckpt, "--target-cents", "1000",
+            "--slack-cents", "100", "--threshold-cents", "800",
+            "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/jobs/monitor.py", run_name="__main__")
+    mid = {r.entity: r.n_obs for r in spark.read.parquet(out).collect()}
+    assert mid == {1: 10, 2: 10}         # first half only
+
+    second.coalesce(1).write.mode("append").parquet(drop)
+    runpy.run_path("/root/repo/jobs/monitor.py", run_name="__main__")
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        if r.entity not in latest or r.n_obs > latest[r.entity].n_obs:
+            latest[r.entity] = r
+    batch = {r.entity: r for r in aggregates.cusum_alarms(
+        ev, target_cents=1000, slack_cents=100,
+        threshold_cents=800).collect()}
+    for e in (1, 2):
+        got, exp = latest[e], batch[e]
+        assert (got.n_obs, got.max_hi, got.max_lo, got.n_alarms,
+                got.first_alarm_id) == \
+            (exp.n_obs, exp.max_hi, exp.max_lo, exp.n_alarms,
+             exp.first_alarm_id)
+    assert any(r.n_alarms > 0 for r in batch.values())
