@@ -2970,6 +2970,36 @@ def q_redirects(spark, sf_dir):
     return links.resolve_redirects(e1.unionAll(e2), rounds=4)
 
 
+def q_interval_overlaps(spark, sf_dir):
+    """Interval x interval overlap join (operators/ranges.
+    interval_overlap_join): bucketized hash equi-join, each pair
+    emitted exactly once via overlap-start bucket ownership (no
+    distinct shuffle)."""
+    from geolake_spark.operators import ranges
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    left = (d.filter(i % 2 == 0)
+            .select(i.alias("l_id"), ((i * 3 % 997) * 1.0).alias("lo"),
+                    ((i * 3 % 997) * 1.0 + 2.0).alias("hi")))
+    right = (d.filter(i % 2 == 1)
+             .select(i.alias("r_id"), ((i * 7 % 997) * 1.0).alias("lo"),
+                     ((i * 7 % 997) * 1.0 + 3.0).alias("hi")))
+    return ranges.interval_overlap_join(left, right)
+
+
+def _iv_overlap_sql() -> str:
+    from geolake_spark.operators import ranges
+    # NB: DuckDB "* 1.0" yields DECIMAL (not DOUBLE) — cast explicitly
+    left = ("SELECT doc_id AS l_id, cast(doc_id*3 % 997 AS DOUBLE) AS lo, "
+            "cast(doc_id*3 % 997 AS DOUBLE) + 2.0 AS hi FROM documents "
+            "WHERE doc_id % 2 = 0")
+    right = ("SELECT doc_id AS r_id, cast(doc_id*7 % 997 AS DOUBLE) AS lo, "
+             "cast(doc_id*7 % 997 AS DOUBLE) + 3.0 AS hi FROM documents "
+             "WHERE doc_id % 2 = 1")
+    return ranges.interval_overlap_join_sql(left, right,
+                                            right_cols="r.r_id")
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Cohort LTV curves (operators/trips.cohort_ltv): integer-cents
     revenue accumulated per first-event cohort over bucket offsets —
@@ -3443,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_intersections": q_segment_intersections,
         "skew_report": q_skew_report,
         "cohort_ltv": q_cohort_ltv,
+        "interval_overlaps": q_interval_overlaps,
         "redirects": q_redirects,
         "stitch_segments": q_stitch,
     }
@@ -4357,6 +4388,7 @@ FROM r GROUP BY id""",
         "skew_report": metrics.skew_report_sql(
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
+        "interval_overlaps": _iv_overlap_sql(),
         "stitch_segments": spatial.stitch_segments_sql(
             "SELECT doc_id AS seg_id, "
             "(doc_id % 10) * 0.01 + ((doc_id // 10) % 30) * 1.0 AS x1, "

@@ -131,3 +131,66 @@ def asof_join(left: DataFrame, right: DataFrame,
                              F.last(f"{c}{suffix}", ignorenulls=True)
                              .over(wspec))
     return out.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          lo_col: str = "lo", hi_col: str = "hi",
+                          bucket_width: float | None = None,
+                          max_buckets_per_interval: int = 1024
+                          ) -> DataFrame:
+    """Interval x interval overlap join (session-vs-campaign windows,
+    downtime-vs-deploy ranges): left and right rows where
+    ``[lo, hi]`` ranges intersect (closed ends, touching counts).
+    Both sides carry ``lo_col``/``hi_col``; other column names must not
+    collide (rename upstream — the range_join contract).
+
+    Scale shape: both sides explode to their covered width-``w``
+    buckets and meet in a plain hash equi-join — never a theta join.
+    A pair overlapping many buckets is emitted EXACTLY ONCE without
+    any distinct shuffle: the join keeps only the bucket that OWNS the
+    overlap start (``bucket == floor(max(lo_l, lo_r) / w)``) — that
+    bucket exists on both sides by construction, every other shared
+    bucket is dropped by the predicate.  Width defaults to the right
+    side's average span (floored so one pathological interval explodes
+    into at most ``max_buckets_per_interval`` rows)."""
+    stats = right.agg(
+        F.avg(F.col(hi_col) - F.col(lo_col)).alias("avg_w"),
+        F.max(F.col(hi_col) - F.col(lo_col)).alias("max_w")).first()
+    avg_w = float(stats["avg_w"]) if stats["avg_w"] is not None else 1.0
+    max_w = float(stats["max_w"]) if stats["max_w"] is not None else 0.0
+    if bucket_width is None:
+        bucket_width = avg_w or 1.0
+    w = max(float(bucket_width), max_w / max_buckets_per_interval, 1e-9)
+
+    def cover(df):
+        return df.withColumn(
+            "_bucket",
+            F.explode(F.sequence(
+                F.floor(F.col(lo_col) / w).cast("bigint"),
+                F.floor(F.col(hi_col) / w).cast("bigint"))))
+
+    la = cover(left).alias("_l")
+    ra = cover(right).alias("_r")
+    llo, lhi = F.col(f"_l.{lo_col}"), F.col(f"_l.{hi_col}")
+    rlo, rhi = F.col(f"_r.{lo_col}"), F.col(f"_r.{hi_col}")
+    owner = F.floor(F.greatest(llo, rlo) / w).cast("bigint")
+    cond = ((F.col("_l._bucket") == F.col("_r._bucket"))
+            & (llo <= rhi) & (rlo <= lhi)
+            & (F.col("_l._bucket") == owner))
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in (lo_col, hi_col)]
+    return (la.join(ra, cond)
+            .select(*[F.col(f"_l.{c}") for c in lcols],
+                    *[F.col(f"_r.{c}") for c in rcols]))
+
+
+def interval_overlap_join_sql(left_sql: str, right_sql: str,
+                              lo_col: str = "lo", hi_col: str = "hi",
+                              right_cols: str = "*") -> str:
+    """DuckDB mirror of :func:`interval_overlap_join` — the plain
+    theta join (the semantics, not the plan).  ``right_cols`` names
+    the right side's non-range columns to emit."""
+    return f"""
+SELECT l.*, {right_cols}
+FROM ({left_sql}) l JOIN ({right_sql}) r
+  ON l.{lo_col} <= r.{hi_col} AND r.{lo_col} <= l.{hi_col}"""

@@ -123,3 +123,32 @@ def test_asof_tie_takes_equal_timestamp(spark):
     out = ranges.asof_join(left, right, on="ts",
                            right_cols=["payload"]).collect()
     assert out[0]["payload_r"] == 7.0  # <= semantics: equal ts matches
+
+
+def test_interval_overlap_join_hand_checked(spark):
+    from geolake_spark.operators import ranges
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 21.0), (3, 30.0, 30.0)],
+        "l_id long, lo double, hi double")
+    right = spark.createDataFrame(
+        [(10, 5.0, 6.0),      # inside 1
+         (11, 10.0, 12.0),    # touches 1's end (closed: counts)
+         (12, 15.0, 19.0),    # gap: no match
+         (13, 21.0, 40.0)],   # touches 2, spans 3 (a point interval)
+        "r_id long, lo double, hi double")
+    got = {(r.l_id, r.r_id)
+           for r in ranges.interval_overlap_join(left, right).collect()}
+    assert got == {(1, 10), (1, 11), (2, 13), (3, 13)}
+
+
+def test_interval_overlap_emits_each_pair_once(spark):
+    from geolake_spark.operators import ranges
+    # one huge left interval overlapping a tiny right one across many
+    # buckets: the ownership rule must emit exactly one row
+    left = spark.createDataFrame([(1, 0.0, 1000.0)],
+                                 "l_id long, lo double, hi double")
+    right = spark.createDataFrame([(2, 500.0, 501.0)],
+                                  "r_id long, lo double, hi double")
+    out = ranges.interval_overlap_join(left, right,
+                                       bucket_width=1.0).collect()
+    assert len(out) == 1 and (out[0].l_id, out[0].r_id) == (1, 2)
