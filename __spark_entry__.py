@@ -3000,6 +3000,18 @@ def _iv_overlap_sql() -> str:
                                             right_cols="r.r_id")
 
 
+def q_collapse_repeats(spark, sf_dir):
+    """Retransmission filter (operators/trips.collapse_repeats): drop
+    events repeating the entity's previous payload within the window —
+    one lag window, no Python.  Corpus plants repeats by coarsening
+    event_type/value."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        (F.col("event_id") % 3).alias("sig"))
+    return trips.collapse_repeats(ev, within_seconds=3600.0,
+                                  payload_cols=["sig"])
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Cohort LTV curves (operators/trips.cohort_ltv): integer-cents
     revenue accumulated per first-event cohort over bucket offsets —
@@ -3474,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "cohort_ltv": q_cohort_ltv,
         "interval_overlaps": q_interval_overlaps,
+        "collapse_repeats": q_collapse_repeats,
         "redirects": q_redirects,
         "stitch_segments": q_stitch,
     }
@@ -4389,6 +4402,9 @@ FROM r GROUP BY id""",
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
         "interval_overlaps": _iv_overlap_sql(),
+        "collapse_repeats": trips.collapse_repeats_sql(
+            "SELECT user_id, event_id, ts, event_id % 3 AS sig "
+            "FROM events", within_seconds=3600.0, payload_cols=["sig"]),
         "stitch_segments": spatial.stitch_segments_sql(
             "SELECT doc_id AS seg_id, "
             "(doc_id % 10) * 0.01 + ((doc_id // 10) % 30) * 1.0 AS x1, "

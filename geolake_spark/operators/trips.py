@@ -1116,3 +1116,50 @@ SELECT m.cohort_bucket, m.bucket_offset, s.cohort_users, m.cum_cents,
        round(m.cum_cents::DOUBLE / s.cohort_users::DOUBLE, 9)
          AS ltv_per_user
 FROM _lv_m m JOIN _lv_s s USING (cohort_bucket)"""
+
+
+def collapse_repeats(events: DataFrame, within_seconds: float,
+                     entity_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     payload_cols: list[str] | None = None) -> DataFrame:
+    """Telemetry retransmission filter: drop an event identical to the
+    entity's PREVIOUS event (same ``payload_cols``, default: all
+    non-key columns) arriving within ``within_seconds`` — the
+    at-least-once-delivery cleanup before any counting.  A repeat
+    after the window, or any payload change, is kept (it is new
+    information).  Keeps the FIRST of each run; one lag window on the
+    entity hash, integer-microsecond gap arithmetic, no Python."""
+    if payload_cols is None:
+        payload_cols = [c for c in events.columns
+                        if c not in (entity_col, ts_col, id_col)]
+    us = _micros(ts_col)
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    prev_p = F.lag(payload).over(w)
+    prev_t = F.lag(us).over(w)
+    gap_us = int(within_seconds * 1_000_000)
+    dup = (prev_p.isNotNull() & (prev_p == payload)
+           & ((us - prev_t) <= gap_us))
+    return (events.withColumn("_cr_dup", dup)
+            .filter(~F.coalesce(F.col("_cr_dup"), F.lit(False)))
+            .drop("_cr_dup"))
+
+
+def collapse_repeats_sql(table: str, within_seconds: float,
+                         payload_cols: list[str],
+                         entity_col: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id") -> str:
+    """DuckDB mirror of :func:`collapse_repeats`."""
+    gap_us = int(within_seconds * 1_000_000)
+    pay = ", ".join(f"{c} := {c}" for c in payload_cols)
+    return f"""
+SELECT * EXCLUDE (_cr_p, _cr_t) FROM (
+  SELECT *,
+         lag(struct_pack({pay})) OVER w AS _cr_p,
+         lag(epoch_us({ts_col})) OVER w AS _cr_t
+  FROM ({table})
+  WINDOW w AS (PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col})
+)
+WHERE NOT coalesce(_cr_p IS NOT NULL
+                   AND _cr_p = struct_pack({pay})
+                   AND epoch_us({ts_col}) - _cr_t <= {gap_us}, false)"""

@@ -464,3 +464,19 @@ def test_cohort_ltv_hand_checked(spark):
         (w0, 1): (2, 350, 175.0),       # +200 in week 1
         (w0 + 1, 0): (1, 400, 400.0),   # user 3's own cohort
     }
+
+
+def test_collapse_repeats_hand_checked(spark):
+    rows = [
+        (1, 1, _ts(0), "a"),
+        (1, 2, _ts(1), "a"),     # repeat within window: dropped
+        (1, 3, _ts(2), "b"),     # payload changed: kept
+        (1, 4, _ts(3), "a"),     # prev is b: kept
+        (1, 5, _ts(200), "a"),   # repeat but past the window: kept
+        (2, 6, _ts(0), "a"),     # other entity: kept
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, sig string")
+    kept = {r.event_id for r in trips.collapse_repeats(
+        df, within_seconds=120.0, payload_cols=["sig"]).collect()}
+    assert kept == {1, 3, 4, 5, 6}
