@@ -2926,6 +2926,49 @@ _SEGS_X_SQL = (
     "FROM documents WHERE doc_id % 3 = 0")
 
 
+_DOCS_WKT_DST_SQL = (
+    "SELECT doc_id AS polygon_id, "
+    "'POLYGON ((' "
+    "|| cast(doc_id * 11 % 300 - 150 AS varchar) || '.0 ' "
+    "|| cast(doc_id * 13 % 120 - 60 AS varchar) || '.0, ' "
+    "|| cast(doc_id * 11 % 300 - 146 AS varchar) || '.0 ' "
+    "|| cast(doc_id * 13 % 120 - 60 AS varchar) || '.0, ' "
+    "|| cast(doc_id * 11 % 300 - 146 AS varchar) || '.0 ' "
+    "|| cast(doc_id * 13 % 120 - 57 AS varchar) || '.0, ' "
+    "|| cast(doc_id * 11 % 300 - 150 AS varchar) || '.0 ' "
+    "|| cast(doc_id * 13 % 120 - 57 AS varchar) || '.0))' AS wkt "
+    "FROM documents WHERE doc_id % 5 = 0")
+
+
+def _wkt_dst_polys(spark, sf_dir):
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .filter(F.col("doc_id") % 5 == 0))
+    i = F.col("doc_id")
+    x0 = (i * 11 % 300 - 150).cast("string")
+    x1 = (i * 11 % 300 - 146).cast("string")
+    y0 = (i * 13 % 120 - 60).cast("string")
+    y1 = (i * 13 % 120 - 57).cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("), x0, F.lit(".0 "), y0, F.lit(".0, "),
+        x1, F.lit(".0 "), y0, F.lit(".0, "),
+        x1, F.lit(".0 "), y1, F.lit(".0, "),
+        x0, F.lit(".0 "), y1, F.lit(".0))"))
+    return d.select(F.col("doc_id").alias("polygon_id"),
+                    geo.wkt_polygon_rings_col(wkt).alias("rings"))
+
+
+def q_areal_transfer(spark, sf_dir):
+    """Areal interpolation (operators/spatial.areal_transfer): source
+    polygon values split across destination zones by shared-cell
+    proportion — two zero-shuffle rasterizations, one cell equi-join,
+    src-ordered folds."""
+    src = (_wkt_polys(spark, sf_dir)
+           .withColumn("value", (F.col("polygon_id") % 100 + 1)
+                       .cast("double")))
+    return spatial.areal_transfer(src, _wkt_dst_polys(spark, sf_dir),
+                                  res=6)
+
+
 def q_segment_intersections(spark, sf_dir):
     """Un-noded crossing detection (operators/spatial.
     segment_intersections): bbox-cell-blocked candidate self-join, then
@@ -3487,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "interval_overlaps": q_interval_overlaps,
         "collapse_repeats": q_collapse_repeats,
+        "areal_transfer": q_areal_transfer,
         "redirects": q_redirects,
         "stitch_segments": q_stitch,
     }
@@ -4402,6 +4446,14 @@ FROM r GROUP BY id""",
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
         "interval_overlaps": _iv_overlap_sql(),
+        "areal_transfer": spatial.areal_transfer_sql(
+            "SELECT polygon_id, "
+            + geo.wkt_polygon_rings_sql("wkt")
+            + " AS rings, cast(polygon_id % 100 + 1 AS DOUBLE) AS value"
+            + f" FROM ({_DOCS_WKT_POLYS_SQL})",
+            "SELECT polygon_id, "
+            + geo.wkt_polygon_rings_sql("wkt")
+            + f" AS rings FROM ({_DOCS_WKT_DST_SQL})", res=6),
         "collapse_repeats": trips.collapse_repeats_sql(
             "SELECT user_id, event_id, ts, event_id % 3 AS sig "
             "FROM events", within_seconds=3600.0, payload_cols=["sig"]),

@@ -1278,3 +1278,75 @@ WITH RECURSIVE _st_s AS (
 SELECT seg_id, polyline_id,
        count(*) OVER (PARTITION BY polyline_id) AS polyline_segments
 FROM _st_l"""
+
+
+def areal_transfer(src_polys: DataFrame, dst_polys: DataFrame, res: int,
+                   value_col: str = "value",
+                   src_id_col: str = "polygon_id",
+                   dst_id_col: str = "polygon_id",
+                   rings_col: str = "rings") -> DataFrame:
+    """Areal interpolation (zone re-aggregation — census tracts to
+    sales territories, coverage zones to admin districts): each source
+    polygon's value is split across destination polygons in proportion
+    to shared res-cell counts (area-weighting at cell granularity,
+    the same even-odd rasterizer as everything else).  Returns
+    ``(dst_id, n_sources, value)`` with value rounded 9 dp.
+
+    Exactness: the per-(src,dst) contribution is the fixed sequence
+    ``(value * n_overlap_cells) / n_src_cells`` (one multiply, one
+    divide on exact integer counts) and the per-dst sum folds the
+    contributions in src-id order (the pagerank sorted-fold contract)
+    — value-hash exact on doubles.  Sources rasterizing to zero cells
+    (sub-cell slivers at this res) drop out — raise ``res`` to keep
+    them, stated.
+
+    Scale shape: two rasterizations (zero-shuffle codegen HOFs), one
+    cell equi-join, two rollups; the fold collects per-dst CONTRIBUTING
+    SOURCES only (bounded by overlap fan-in, never the source table)."""
+    sa = polygon_raster_cells(src_polys, res, id_col=src_id_col,
+                              rings_col=rings_col) \
+        .select(F.col(src_id_col).alias("_sid"), "cell")
+    vals = src_polys.select(F.col(src_id_col).alias("_sid"),
+                            F.col(value_col).cast("double").alias("_v"))
+    sizes = sa.groupBy("_sid").agg(F.count(F.lit(1)).alias("_n_src"))
+    db = polygon_raster_cells(dst_polys, res, id_col=dst_id_col,
+                              rings_col=rings_col) \
+        .select(F.col(dst_id_col).alias("_did"), "cell")
+    ov = (sa.join(db, "cell")
+          .groupBy("_sid", "_did").agg(F.count(F.lit(1)).alias("_n_ov")))
+    contrib = (ov.join(sizes, "_sid").join(vals, "_sid")
+               .select("_did", "_sid",
+                       ((F.col("_v") * F.col("_n_ov")) / F.col("_n_src"))
+                       .alias("_c")))
+    fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("_sid"),
+                                             F.col("_c").alias("c")))),
+        F.lit(0.0), lambda acc, x: acc + x["c"])
+    return (contrib.groupBy(F.col("_did").alias("dst_id"))
+            .agg(F.count(F.lit(1)).alias("n_sources"),
+                 F.round(fold, 9).alias("value")))
+
+
+def areal_transfer_sql(src_sql: str, dst_sql: str, res: int,
+                       value_col: str = "value") -> str:
+    """DuckDB mirror of :func:`areal_transfer` (same counts, same
+    op sequence, same src-ordered fold)."""
+    sa = polygon_raster_cells_sql(src_sql, res)
+    db = polygon_raster_cells_sql(dst_sql, res)
+    return f"""
+WITH _at_sa AS ({sa}), _at_db AS ({db}),
+_at_sz AS (
+  SELECT polygon_id AS sid, count(*) AS n_src FROM _at_sa GROUP BY 1
+), _at_v AS (
+  SELECT polygon_id AS sid, cast({value_col} AS DOUBLE) AS v
+  FROM ({src_sql})
+), _at_ov AS (
+  SELECT a.polygon_id AS sid, b.polygon_id AS did, count(*) AS n_ov
+  FROM _at_sa a JOIN _at_db b USING (cell) GROUP BY 1, 2
+), _at_c AS (
+  SELECT did, sid, (v * n_ov) / n_src AS c
+  FROM _at_ov JOIN _at_sz USING (sid) JOIN _at_v USING (sid)
+)
+SELECT did AS dst_id, count(*) AS n_sources,
+       round(list_sum(list(c ORDER BY sid)), 9) AS value
+FROM _at_c GROUP BY 1"""

@@ -564,3 +564,40 @@ def test_stitch_segments_branch_jitter_and_isolated(spark):
     assert out[4][1] == out[5][1] == 1
     assert out[6][1] == 1               # zero-length kept, isolated
     assert len(out) == 6
+
+
+def test_areal_transfer_hand_checked(spark):
+    # src A: value 8 over an 8-cell-wide strip; dst covers exactly half
+    # of A's cells -> gets value 4; dst2 covers none of A
+    def poly(pid, x0, x1, y0, y1, value=None):
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+        return (pid, [ring]) if value is None else (pid, [ring], value)
+    # res 6: cells 0.703 deg; use aligned multi-cell boxes
+    src = spark.createDataFrame(
+        [poly(1, 0.0, 5.625, 0.0, 0.703125, 8.0)],   # 8 x 1 cells
+        "polygon_id long, rings array<array<array<double>>>, value double")
+    dst = spark.createDataFrame(
+        [poly(10, 0.0, 2.8125, 0.0, 0.703125),       # left 4 cells
+         poly(11, 50.0, 51.0, 50.0, 51.0)],          # disjoint
+        "polygon_id long, rings array<array<array<double>>>")
+    got = {r.dst_id: (r.n_sources, r.value)
+           for r in spatial.areal_transfer(src, dst, res=6).collect()}
+    assert got == {10: (1, 4.0)}
+
+
+def test_areal_transfer_splits_and_sums(spark):
+    # two sources each overlap the one dst: contributions add in
+    # src-id order (1-cell overlaps; src sizes 2 cells -> half each)
+    def rings(x0, x1, y0, y1):
+        return [[[x0, y0], [x1, y0], [x1, y1], [x0, y1]]]
+    src = spark.createDataFrame(
+        [(1, rings(0.0, 1.40625, 0.0, 0.703125), 10.0),
+         (2, rings(0.703125, 2.109375, 0.0, 0.703125), 3.0)],
+        "polygon_id long, rings array<array<array<double>>>, value double")
+    dst = spark.createDataFrame(
+        [(10, rings(0.703125, 1.40625, 0.0, 0.703125))],
+        "polygon_id long, rings array<array<array<double>>>")
+    out = spatial.areal_transfer(src, dst, res=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.dst_id, r.n_sources, r.value) == (10, 2, 10.0 / 2 + 3.0 / 2)
