@@ -1095,7 +1095,8 @@ FROM _pa_s"""
 
 
 def segment_intersections(segments: DataFrame, res: int,
-                          seg_id_col: str = "seg_id") -> DataFrame:
+                          seg_id_col: str = "seg_id",
+                          cell_cap: int | None = None) -> DataFrame:
     """Un-noded crossing detection between planar line segments — the
     road-network conflation check (two edges that cross without a
     shared node are a digitization defect or a missing bridge/tunnel
@@ -1116,7 +1117,13 @@ def segment_intersections(segments: DataFrame, res: int,
     one shuffle is the cell equi-join, and a pair sharing several
     cells is collapsed by a distinct before the sign tests.  Pick
     ``res`` so cells are segment-sized; antimeridian-crossing segments
-    are out of contract (split upstream, the nearest_segment rule)."""
+    are out of contract (split upstream, the nearest_segment rule).
+    ``cell_cap`` drops cells holding more than that many segments
+    BEFORE the self-join (count-only pre-agg + anti-join against the
+    tiny hot-cell set, the _bucket_pairs contract) — the skew guard
+    for degenerate stacks (k co-located segments are k^2/2 candidate
+    rows from one cell); a dropped cell is a stated recall trade, and
+    crossings still surface via any other shared cell."""
     nx, ny = cells.grid_dims(res)
     x1, y1 = F.col("x1"), F.col("y1")
     x2, y2 = F.col("x2"), F.col("y2")
@@ -1138,6 +1145,12 @@ def segment_intersections(segments: DataFrame, res: int,
                    (F.lit(res * _RES_UNIT).cast("bigint")
                     + F.col("iy") * F.lit(_IY_UNIT).cast("bigint")
                     + F.col("ix")).alias("cell")))
+    if cell_cap is not None:
+        hot = (cov.groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > int(cell_cap))
+               .select("cell"))
+        cov = cov.join(hot, "cell", "left_anti")
     a = cov.select(F.col("cell"), F.col("sid").alias("seg_a"),
                    F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
     b = cov.select(F.col("cell"), F.col("sid").alias("seg_b"),

@@ -950,9 +950,10 @@ def track_hausdorff(events: DataFrame, res: int, min_common: int = 1,
     Scale shape: blocking is ONE distinct + one bucket-pair shuffle
     (``cell_cap`` kills degenerate mega-cells — a stadium cell with k
     entities is k^2/2 candidates; stated recall trade, same contract as
-    covisit_pairs).  Tracks are collected once per entity, truncated to
-    the first ``max_points`` in (ts, id) order so per-pair work is
-    bounded by max_points^2 inside ONE whole-stage-codegen HOF — all
+    covisit_pairs).  Tracks are truncated to the first ``max_points`` in
+    (ts, id) order BEFORE collection (a streaming row_number window —
+    a million-point entity never fills an agg buffer) so per-pair work
+    is bounded by max_points^2 inside ONE whole-stage-codegen HOF — all
     int64, no trig, no Python.  Entities with million-point tracks
     should be pre-thinned with :func:`simplify_track` (stated).
     Reference analogue: none (geolake joins points to polygons, not
@@ -970,9 +971,18 @@ def track_hausdorff(events: DataFrame, res: int, min_common: int = 1,
     src = events.select(F.col(entity_col).alias("ent"), pt.alias("p"),
                         grid_cell_col(F.col(lat_col), F.col(lon_col),
                                       res).alias("cell"))
-    tracks = (src.groupBy("ent")
+    # truncate BEFORE collecting: a row_number window keeps the first
+    # max_points per entity so a million-point track never materializes
+    # in a single collect_list buffer (the window streams; the later
+    # groupBy reuses its entity hash partitioning — still one shuffle)
+    wtrunc = Window.partitionBy("ent").orderBy(F.col("p.us"),
+                                               F.col("p.rid"))
+    trunc = (src.select("ent", "p")
+             .withColumn("_tk_r", F.row_number().over(wtrunc))
+             .filter(F.col("_tk_r") <= max_points))
+    tracks = (trunc.groupBy("ent")
               .agg(F.transform(
-                  F.slice(F.array_sort(F.collect_list("p")), 1, max_points),
+                  F.array_sort(F.collect_list("p")),
                   lambda s: F.struct(s["la"].alias("la"),
                                      s["lo"].alias("lo"))).alias("pts")))
     visits = src.select("cell", F.col("ent").alias("id")).distinct()

@@ -601,3 +601,18 @@ def test_areal_transfer_splits_and_sums(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.dst_id, r.n_sources, r.value) == (10, 2, 10.0 / 2 + 3.0 / 2)
+
+
+def test_segment_intersections_cell_cap(spark):
+    # 5 co-located crossing segments in ONE cell (coords chosen away
+    # from the lon/lat-0 cell boundaries): cap 4 kills the cell
+    segs = [(i, 0.2, 0.01 + 0.001 * i, 0.3, 0.01 + 0.001 * i)
+            for i in range(4)]
+    segs += [(10, 0.25, 0.005, 0.25, 0.02)]  # vertical crossing all 4
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    full = spatial.segment_intersections(df, res=6).collect()
+    assert len(full) == 4
+    capped = spatial.segment_intersections(df, res=6,
+                                           cell_cap=4).collect()
+    assert capped == []                      # hot cell dropped, stated
