@@ -1351,6 +1351,16 @@ def q_index_search(spark, sf_dir):
     return search.index_topk(idx, _BM25_TERMS, n_docs=d.count(), k=15)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval fusion (operators/search.rrf_fuse): BM25 list
+    fused with a second lexical list by reciprocal-rank — integer
+    ranks, fixed reciprocal-sum sequence."""
+    d = _t(spark, sf_dir, "documents")
+    a = search.bm25_scores(d, _BM25_TERMS)
+    b = search.bm25_scores(d, ["hash", "batch"])
+    return search.rrf_fuse(a, b, k=60, top_k=25)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (operators/ann.semdedup_keep; Abbas et al. 2023):
     cluster embeddings (formula centers, subspace-sequential L2 so the
@@ -3471,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "postings": q_postings,
         "index_search": q_index_search,
+        "hybrid_search": q_hybrid_search,
         "semdedup": q_semdedup,
         "crawl_policies": q_crawl_policies,
         "canonical_collapse": q_canonical_collapse,
@@ -4291,6 +4302,12 @@ WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
             "  round(cast(inter_size as double) / sb.set_size, 6)) >= 0.3"),
         "postings": search.build_postings_sql(
             "SELECT * FROM documents", min_df=2),
+        "hybrid_search": search.rrf_fuse_sql(
+            search.bm25_scores_sql(
+                "SELECT doc_id, text FROM documents", _BM25_TERMS),
+            search.bm25_scores_sql(
+                "SELECT doc_id, text FROM documents", ["hash", "batch"]),
+            k=60, top_k=25),
         "index_search": search.index_topk_sql(
             search.build_postings_sql("SELECT * FROM documents", min_df=2),
             _BM25_TERMS, "SELECT count(*) FROM documents", k=15),

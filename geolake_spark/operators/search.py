@@ -711,3 +711,67 @@ WHERE term IN ({in_list})
 GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {k}"""
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = 60,
+             id_col: str = "doc_id", score_col: str = "score",
+             top_k: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    retrieval lists — the standard hybrid-search combiner (BM25 list +
+    ANN list): ``rrf = 1/(k + rank_a) + 1/(k + rank_b)`` with rank by
+    (score desc, id asc) within each list and a missing doc
+    contributing 0 from that list.  Returns ``(doc_id, rank_a, rank_b,
+    rrf)`` sorted by (rrf desc, id), optionally truncated to
+    ``top_k``.
+
+    Exactness: ranks are integers, each reciprocal is one division and
+    the sum is one add — a fixed op sequence (rounded 9 dp).  Plan:
+    one window per list (each list is already top-k sized, not corpus
+    sized) + a full outer join on the id."""
+    from pyspark.sql import Window
+
+    def ranked(df, name):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.row_number().over(w).alias(name))
+
+    j = ranked(a, "rank_a").join(ranked(b, "rank_b"), "doc_id", "full")
+    contrib = (F.when(F.col("rank_a").isNotNull(),
+                      F.lit(1.0) / (F.lit(int(k)) + F.col("rank_a")))
+               .otherwise(F.lit(0.0))
+               + F.when(F.col("rank_b").isNotNull(),
+                        F.lit(1.0) / (F.lit(int(k)) + F.col("rank_b")))
+               .otherwise(F.lit(0.0)))
+    out = (j.select("doc_id", "rank_a", "rank_b",
+                    F.round(contrib, 9).alias("rrf"))
+           .orderBy(F.col("rrf").desc(), F.col("doc_id")))
+    return out.limit(top_k) if top_k else out
+
+
+def rrf_fuse_sql(a_sql: str, b_sql: str, k: int = 60,
+                 id_col: str = "doc_id", score_col: str = "score",
+                 top_k: int | None = None) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`."""
+    lim = f"LIMIT {int(top_k)}" if top_k else ""
+    return f"""
+WITH _rf_a AS (
+  SELECT {id_col} AS doc_id,
+         row_number() OVER (ORDER BY {score_col} DESC, {id_col})
+           AS rank_a
+  FROM ({a_sql})
+), _rf_b AS (
+  SELECT {id_col} AS doc_id,
+         row_number() OVER (ORDER BY {score_col} DESC, {id_col})
+           AS rank_b
+  FROM ({b_sql})
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, rank_a, rank_b,
+       round((CASE WHEN rank_a IS NOT NULL
+                   THEN 1.0::DOUBLE / ({int(k)} + rank_a)
+                   ELSE 0.0::DOUBLE END)
+             + (CASE WHEN rank_b IS NOT NULL
+                     THEN 1.0::DOUBLE / ({int(k)} + rank_b)
+                     ELSE 0.0::DOUBLE END), 9)
+         AS rrf
+FROM _rf_a a FULL OUTER JOIN _rf_b b USING (doc_id)
+ORDER BY rrf DESC, doc_id {lim}"""

@@ -357,3 +357,19 @@ def test_read_index_for_terms_prunes_buckets(spark, tmp_path):
     a = search.index_topk(pruned, ["t3"], n_docs=200, k=50).collect()
     b = search.index_topk(full, ["t3"], n_docs=200, k=50).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_rrf_fuse_hand_checked(spark):
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)],
+                              "doc_id long, score double")
+    b = spark.createDataFrame([(2, 7.0), (4, 6.0)],
+                              "doc_id long, score double")
+    got = {r.doc_id: (r.rank_a, r.rank_b, r.rrf)
+           for r in search.rrf_fuse(a, b, k=60).collect()}
+    assert got[1] == (1, None, round(1 / 61, 9))
+    assert got[2] == (2, 1, round(1 / 62 + 1 / 61, 9))
+    assert got[3] == (3, None, round(1 / 63, 9))
+    assert got[4] == (None, 2, round(1 / 62, 9))
+    # doc present in both lists outranks single-list docs
+    order = [r.doc_id for r in search.rrf_fuse(a, b, k=60).collect()]
+    assert order[0] == 2
