@@ -3072,6 +3072,16 @@ def q_cohort_ltv(spark, sf_dir):
     return trips.cohort_ltv(_t(spark, sf_dir, "events"), bucket_days=7)
 
 
+def q_score_calibration(spark, sf_dir):
+    """Per-group percent-rank calibration (operators/curation.
+    normalize_by_group): quality scores re-expressed as within-host
+    quantiles so one global threshold cuts every host at the same
+    depth — exact rational (rank-1)/(n-1)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value")
+    return curation.normalize_by_group(ev, "value", "event_type")
+
+
 def q_skew_report(spark, sf_dir):
     """Shuffle-skew diagnostic (metrics.skew_report): heaviest key
     values with row share and skew ratio vs the mean key — one
@@ -3538,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_stats": q_polygon_stats,
         "segment_intersections": q_segment_intersections,
         "skew_report": q_skew_report,
+        "score_calibration": q_score_calibration,
         "cohort_ltv": q_cohort_ltv,
         "interval_overlaps": q_interval_overlaps,
         "collapse_repeats": q_collapse_repeats,
@@ -4459,6 +4470,9 @@ FROM r GROUP BY id""",
             + f" AS rings FROM ({_DOCS_WKT_POLYS_SQL})"),
         "segment_intersections": spatial.segment_intersections_sql(
             _SEGS_X_SQL, res=7),
+        "score_calibration": curation.normalize_by_group_sql(
+            "SELECT event_id, event_type, value FROM events",
+            "value", "event_type"),
         "skew_report": metrics.skew_report_sql(
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),

@@ -1149,3 +1149,33 @@ WITH _bp_parts AS (
 )
 SELECT t.{id_col}, b.text{extra_cols}
 FROM {table} t JOIN _bp_built b ON t.{id_col} = b.{id_col}"""
+
+
+def normalize_by_group(df: DataFrame, value_col: str, group_col: str,
+                       out_col: str = "pct_rank") -> DataFrame:
+    """Per-group percent-rank calibration of a score column — the fix
+    for cross-host threshold bias (a 0.4 quality score on a boilerplate
+    farm is not a 0.4 on a news site): adds ``out_col`` =
+    ``percent_rank()`` within ``group_col`` ordered by (value, then the
+    row's other columns are NOT consulted — ties share a rank), so a
+    single global threshold then cuts each group at the same quantile.
+
+    Exactness: percent_rank is the exact rational ``(rank-1)/(n-1)``
+    on integers (0.0 for single-row groups in both engines) — value-
+    hash exact with the DuckDB mirror.  One window shuffle on the
+    group; hot groups are bounded by group size (cap upstream like any
+    per-key window, stated)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 9))
+
+
+def normalize_by_group_sql(table_sql: str, value_col: str,
+                           group_col: str,
+                           out_col: str = "pct_rank") -> str:
+    """DuckDB mirror of :func:`normalize_by_group`."""
+    return f"""
+SELECT *, round(percent_rank() OVER (PARTITION BY {group_col}
+                                     ORDER BY {value_col}), 9)
+         AS {out_col}
+FROM ({table_sql})"""

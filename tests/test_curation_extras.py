@@ -500,3 +500,14 @@ def test_strip_boilerplate_hand_checked(spark):
     assert out[4] == "FOOTER\n\nother text"        # below host threshold
     assert out[6] == "FOOTER"                      # min_pages guard
     assert len(out) == 6
+
+
+def test_normalize_by_group_hand_checked(spark):
+    from geolake_spark.operators import curation
+    rows = [("h1", 1, 0.1), ("h1", 2, 0.5), ("h1", 3, 0.9),
+            ("h2", 4, 0.9),                        # single row: 0.0
+            ("h3", 5, 0.2), ("h3", 6, 0.2)]        # tie: shared rank
+    df = spark.createDataFrame(rows, "host string, id long, q double")
+    got = {r.id: r.pct_rank
+           for r in curation.normalize_by_group(df, "q", "host").collect()}
+    assert got == {1: 0.0, 2: 0.5, 3: 1.0, 4: 0.0, 5: 0.0, 6: 0.0}
