@@ -125,3 +125,39 @@ def test_read_changes_incremental_scan(spark, tmp_path):
 
     # from the empty table: everything is a change
     assert t.read_changes(spark, None).count() == 20
+
+
+def test_maintain_job_compacts_and_gcs(spark, tmp_path, monkeypatch):
+    """jobs/maintain.py: fragmented partitions get rewritten, snapshot
+    metadata beyond the horizon is GC'd, rows unchanged."""
+    import glob
+    import os
+    import runpy
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    t = IcebergishTable(str(tmp_path / "t"))
+    write_snapshot(_df(spark, [0], rows_per=40).repartition(6), t,
+                   ["shard"], repartition=False)         # fragmented
+    write_snapshot(_df(spark, [1], rows_per=8), t, ["shard"])
+    write_snapshot(_df(spark, [2], rows_per=8), t, ["shard"])
+    assert len(glob.glob(os.path.join(t.data_dir, "shard=0",
+                                      "*.parquet"))) > 2
+
+    argv = ["maintain.py", "--table", str(tmp_path / "t"),
+            "--min-files", "2", "--keep-snapshots", "2", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv + ["--dry-run"])
+    runpy.run_path("/root/repo/jobs/maintain.py", run_name="__main__")
+    # dry run touched nothing
+    assert len(glob.glob(os.path.join(t.data_dir, "shard=0",
+                                      "*.parquet"))) > 2
+
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path("/root/repo/jobs/maintain.py", run_name="__main__")
+    assert len(glob.glob(os.path.join(t.data_dir, "shard=0",
+                                      "*.parquet"))) == 1
+    total = spark.read.parquet(t.data_dir).count()
+    assert total == 40 + 8 + 8                    # rows unchanged
+    assert len(t.history()) <= 2                  # metadata GC'd
