@@ -280,3 +280,19 @@ def test_cusum_matches_direct_recursion(spark):
                df, target_cents=target, slack_cents=slack,
                threshold_cents=h).collect()}
     assert got == expect
+
+
+def test_cusum_plan_one_exchange_no_python(spark):
+    """The reflected-walk form must keep CUSUM on ONE entity-hash
+    shuffle (both windows + the final groupBy reuse it) with zero
+    Python in the plan."""
+    import re
+
+    from geolake_spark.operators import aggregates
+    ev = spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id long, ts timestamp, value double")
+    out = aggregates.cusum_alarms(ev, 100, 0, 50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Python" not in plan and "ArrowEval" not in plan
