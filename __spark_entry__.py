@@ -3065,6 +3065,16 @@ def q_collapse_repeats(spark, sf_dir):
                                   payload_cols=["sig"])
 
 
+def q_funnel_within(spark, sf_dir):
+    """Time-constrained funnel (operators/trips.funnel_within): greedy
+    earliest-match stages with a per-step deadline — element AND
+    accumulator packed into int64s so the identical fold replays in
+    DuckDB (struct-accumulator folds are unsafe there)."""
+    return trips.funnel_within(_t(spark, sf_dir, "events"),
+                               ["view", "click", "purchase"],
+                               within_minutes=360.0)
+
+
 def q_cohort_ltv(spark, sf_dir):
     """Cohort LTV curves (operators/trips.cohort_ltv): integer-cents
     revenue accumulated per first-event cohort over bucket offsets —
@@ -3550,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "score_calibration": q_score_calibration,
         "cohort_ltv": q_cohort_ltv,
+        "funnel_within": q_funnel_within,
         "interval_overlaps": q_interval_overlaps,
         "collapse_repeats": q_collapse_repeats,
         "areal_transfer": q_areal_transfer,
@@ -4476,6 +4487,9 @@ FROM r GROUP BY id""",
         "skew_report": metrics.skew_report_sql(
             "SELECT * FROM events", ["event_type"], top_k=20),
         "cohort_ltv": trips.cohort_ltv_sql("events", bucket_days=7),
+        "funnel_within": trips.funnel_within_sql(
+            "SELECT * FROM events", ["view", "click", "purchase"],
+            within_minutes=360.0),
         "interval_overlaps": _iv_overlap_sql(),
         "areal_transfer": spatial.areal_transfer_sql(
             "SELECT polygon_id, "

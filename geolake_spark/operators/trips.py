@@ -1173,3 +1173,96 @@ SELECT * EXCLUDE (_cr_p, _cr_t) FROM (
 WHERE NOT coalesce(_cr_p IS NOT NULL
                    AND _cr_p = struct_pack({pay})
                    AND epoch_us({ts_col}) - _cr_t <= {gap_us}, false)"""
+
+
+def funnel_within(events: DataFrame, steps: list[str],
+                  within_minutes: float, entity_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  ) -> DataFrame:
+    """Time-constrained conversion funnel: how far each entity gets
+    through ``steps`` when every subsequent step must land within
+    ``within_minutes`` of the previous one (the product-analytics
+    "view -> cart -> purchase inside an hour" question —
+    :func:`funnel_counts` is the unconstrained variant).  Greedy
+    earliest-match semantics: the first qualifying event advances the
+    stage and restarts the clock.  Returns ``(entity, stages,
+    converted)``.
+
+    The sequential scan is a per-entity sorted fold over step-type
+    events only (the isin filter prunes inside the scan), with BOTH
+    the element and the accumulator packed into single int64s —
+    element ``us*16 + step_index``, accumulator ``stage*2^55 +
+    deadline_us`` — so the identical fold runs in DuckDB, whose
+    two-arg list_reduce cannot carry a struct accumulator (its
+    struct-literal fields evaluate sequentially — the hist-sketch
+    pitfall) but folds scalars exactly; the init rides as a prepended
+    element.  Bounds: <= 15 steps, epoch microseconds < 2^55 (year
+    3111), per-entity step-event volume bounds the collected array
+    (cap upstream, the ewma contract)."""
+    k = len(steps)
+    if not (0 < k <= 15):
+        raise ValueError("funnel_within supports 1..15 steps")
+    t_us = int(within_minutes * 60 * 1_000_000)
+    si = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        si = F.when(cond, F.lit(i)) if si is None else si.when(cond, i)
+    us = _micros(ts_col)
+    packed = (us * 16 + si).cast("bigint")
+    base = (events.filter(F.col(type_col).isin(list(steps)))
+            .select(F.col(entity_col).alias("entity"),
+                    packed.alias("_fw_p")))
+    big = F.lit(1 << 55).cast("bigint")
+
+    # integer decode via shifts — Column `/` is DOUBLE division and
+    # loses exactness past 2^53 (acc reaches ~2^59)
+    def step(acc, x):
+        s = F.shiftright(acc, 55)
+        d = acc.bitwiseAND(F.lit((1 << 55) - 1))
+        xu = F.shiftright(x, 4)
+        xi = x.bitwiseAND(F.lit(15))
+        hit = ((s < k) & (xi == s)
+               & ((s == F.lit(0)) | (xu <= d)))
+        return F.when(hit, (s + 1) * big + xu + t_us).otherwise(acc)
+
+    fold = F.aggregate(F.array_sort(F.collect_list("_fw_p")),
+                       F.lit(0).cast("bigint"), step)
+    stages = F.shiftright(fold, 55)
+    return (base.groupBy("entity")
+            .agg(stages.alias("stages"))
+            .select("entity", "stages",
+                    (F.col("stages") == k).alias("converted")))
+
+
+def funnel_within_sql(table: str, steps: list[str],
+                      within_minutes: float, entity_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type") -> str:
+    """DuckDB mirror of :func:`funnel_within` (identical packed fold;
+    init prepended because 2-arg list_reduce seeds from element 1)."""
+    k = len(steps)
+    t_us = int(within_minutes * 60 * 1_000_000)
+    big = 1 << 55
+    arms = " ".join(f"WHEN '{s}' THEN {i}" for i, s in enumerate(steps))
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    return f"""
+WITH _fw_b AS (
+  SELECT {entity_col} AS entity,
+         epoch_us({ts_col}) * 16
+           + (CASE {type_col} {arms} END) AS p
+  FROM ({table}) WHERE {type_col} IN ({in_list})
+), _fw_f AS (
+  SELECT entity,
+         list_reduce(list_prepend(cast(0 AS BIGINT),
+                                  list(p ORDER BY p)),
+           (acc, x) -> CASE
+             WHEN (acc // {big}) < {k}
+                  AND x % 16 = acc // {big}
+                  AND (acc // {big} = 0 OR x // 16 <= acc % {big})
+             THEN (acc // {big} + 1) * {big} + x // 16 + {t_us}
+             ELSE acc END) AS acc
+  FROM _fw_b GROUP BY 1
+)
+SELECT entity, acc // {big} AS stages,
+       acc // {big} = {k} AS converted
+FROM _fw_f"""

@@ -480,3 +480,37 @@ def test_collapse_repeats_hand_checked(spark):
     kept = {r.event_id for r in trips.collapse_repeats(
         df, within_seconds=120.0, payload_cols=["sig"]).collect()}
     assert kept == {1, 3, 4, 5, 6}
+
+
+def test_funnel_within_hand_checked(spark):
+    rows = [
+        # user 1: view -> click (20m) -> purchase (20m): converts
+        (1, 1, _ts(0), "view"), (1, 2, _ts(20), "click"),
+        (1, 3, _ts(40), "purchase"),
+        # user 2: click before view doesn't count; view -> click ok,
+        # purchase 90m after click misses the 60m deadline
+        (2, 4, _ts(0), "click"), (2, 5, _ts(10), "view"),
+        (2, 6, _ts(30), "click"), (2, 7, _ts(120), "purchase"),
+        # user 3: only noise event types
+        (3, 8, _ts(0), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, event_type string")
+    got = {r.entity: (r.stages, r.converted)
+           for r in trips.funnel_within(
+               df, ["view", "click", "purchase"],
+               within_minutes=60.0).collect()}
+    # user 3 has no step events at all -> absent
+    assert got == {1: (3, True), 2: (2, False)}
+
+
+def test_funnel_within_greedy_restart_clock(spark):
+    # greedy takes the FIRST click (5m) and the purchase at 70m misses
+    # ITS deadline even though a later click (30m) would have made it
+    rows = [(1, 1, _ts(0), "view"), (1, 2, _ts(5), "click"),
+            (1, 3, _ts(30), "click"), (1, 4, _ts(70), "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                               "ts timestamp, event_type string")
+    out = trips.funnel_within(df, ["view", "click", "purchase"],
+                              within_minutes=60.0).collect()[0]
+    assert (out.stages, out.converted) == (2, False)
