@@ -47,7 +47,14 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 M31 = 2147483647  # Mersenne prime 2^31 - 1: universal-hash modulus
-_SIG_SENTINEL = 9223372036854775807  # signature of a shingle-less doc
+# Signature of a shingle-less doc.  Real signature values are
+# ``x % M31`` in [0, M31-1], so M31 itself (= int32 max) is the smallest
+# sentinel disjoint from every real value — and it fits the int32
+# signature tier (r6: signatures ship as array<int>, halving the cached
+# tier, the Arrow transfer and both re-join shuffles; bucket membership
+# and similarity are equality-based, so pair outputs are unchanged —
+# the DuckDB oracle keeps its own self-consistent BIGINT sentinel).
+_SIG_SENTINEL = M31
 # Shingle-combination constants (odd, < 2^30): a word-3-gram's hash is
 # (t0*C1 + t1*C2 + t2*C3) % M31 over the TOKEN hashes — no shingle string
 # is ever materialized (string assembly dominated the hash cost).
@@ -279,7 +286,7 @@ def _minhash_from_token_hashes(hv: np.ndarray, tok_counts: np.ndarray,
     else:
         sh_all = np.zeros(0, dtype=np.uint64)
     counts = np.maximum(tok_counts - (n - 1), 0)
-    out = np.full((n_docs, num_perm), _SIG_SENTINEL, dtype=np.int64)
+    out = np.full((n_docs, num_perm), _SIG_SENTINEL, dtype=np.int32)
     ends = np.cumsum(counts)
     starts = ends - counts
     nonempty = np.nonzero(counts > 0)[0]
@@ -309,7 +316,7 @@ def _minhash_from_token_hashes(hv: np.ndarray, tok_counts: np.ndarray,
         np.mod(vals, m31, out=vals)
         seg_starts = np.cumsum(counts[docs]) - counts[docs]
         mins = np.minimum.reduceat(vals, seg_starts, axis=1)
-        out[docs] = mins.T.astype(np.int64)
+        out[docs] = mins.T.astype(np.int32)
         i = j
     return out
 
@@ -351,7 +358,7 @@ def _simhash_from_token_hashes(hv: np.ndarray, counts: np.ndarray,
 
 
 def make_minhash_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
-    @pandas_udf(T.ArrayType(T.LongType()))
+    @pandas_udf(T.ArrayType(T.IntegerType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
         hv, tok_counts = _token_hashes_batch(text)
         out = _minhash_from_token_hashes(hv, tok_counts, len(text),
@@ -370,7 +377,7 @@ def make_signature_udf(num_perm: int = 64, n: int = 3, seed: int = 1):
     Outputs are bit-identical to :func:`make_minhash_udf` / `simhash_udf`.
     """
     @pandas_udf(T.StructType([
-        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("minhash", T.ArrayType(T.IntegerType())),
         T.StructField("simhash", T.LongType())]))
     def signature_udf(text: pd.Series) -> pd.DataFrame:
         hv, tok_counts = _token_hashes_batch(text)

@@ -114,7 +114,16 @@ def lang_score_col(text: Column, lang: str) -> Column:
 
 def lang_id_col(text: Column) -> Column:
     """argmax over language stopword scores, first-wins on ties (the same
-    CASE ladder is emitted for the DuckDB oracle by ``lang_id_sql``)."""
+    CASE ladder is emitted for the DuckDB oracle by ``lang_id_sql``).
+
+    Deliberately a flat CASE ladder, NOT an array + HOF-fold argmax: the
+    r6 optimization pass rewrote this as zip_with + aggregate over
+    (score, idx) structs to evaluate each score once — and measured it
+    4x SLOWER (2.8 s -> 10.3 s on the 500k-doc text_pipeline): Spark's
+    higher-order functions are CodegenFallback, so the whole ladder
+    dropped to interpreted eval, while the CASE form runs in whole-stage
+    codegen where subexpression elimination already dedupes the repeated
+    score subtrees."""
     scores = {lg: lang_score_col(text, lg) for lg in LANG_ORDER}
     expr = None
     for i, lg in enumerate(LANG_ORDER):

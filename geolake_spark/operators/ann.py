@@ -89,9 +89,17 @@ def kmeans_fit_distributed(vectors: DataFrame, dim: int,
         n_clusters = max(4, int(np.sqrt(n)))
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda a, x: a + x * x))
+    # The norm must sit OUTSIDE the per-element lambda: a lambda-body
+    # subexpression is re-evaluated for EVERY element (64x the aggregate
+    # per row — measured r6; CollapseProject re-inlines a hoisted
+    # projection, so the hoist is expressed as an array_repeat argument,
+    # which is evaluated once per row).  zip_with(x, repeat(norm), /) is
+    # bit-identical to the old transform(x, x / norm).
+    gnorm = F.greatest(norm, F.lit(1e-12))
     nv = vectors.select(
-        F.transform(F.col(vec_col),
-                    lambda x: x / F.greatest(norm, F.lit(1e-12)))
+        F.zip_with(F.col(vec_col),
+                   F.array_repeat(gnorm, F.size(F.col(vec_col))),
+                   lambda x, nr: x / nr)
         .cast("array<float>").alias("nv"),
         F.col(id_col)).cache()
     centers = None
@@ -532,11 +540,19 @@ def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
     def encode_udf(vec: pd.Series) -> pd.Series:
         x = sim.stack_vectors(vec, dtype=np.float64)
         out = np.empty((len(x), m), dtype=np.int32)
-        for s in range(m):
-            xs = x[:, s * dsub:(s + 1) * dsub]
-            # (rows, ksub, dsub) -> sum over dsub is a sequential fold
-            d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
-            out[:, s] = d.argmin(axis=1)
+        # row blocks bound the (rows, ksub, dsub) broadcast temporary to
+        # ~16 MB — a full 65k-row Arrow batch allocated 134 MB per
+        # subspace op per worker, the glibc mmap/page-fault churn pattern
+        # documented at sim._MINHASH_CHUNK_SHINGLES.  Per-row arithmetic
+        # (and hence codes) is unchanged.
+        blk = 8192
+        for r0 in range(0, len(x), blk):
+            xr = x[r0:r0 + blk]
+            for s in range(m):
+                xs = xr[:, s * dsub:(s + 1) * dsub]
+                # (rows, ksub, dsub) -> sum over dsub is a sequential fold
+                d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                out[r0:r0 + blk, s] = d.argmin(axis=1)
         return pd.Series(list(out))
 
     return vectors.select(F.col(id_col),
@@ -673,12 +689,18 @@ def ivfpq_encode(vectors: DataFrame, centers: np.ndarray,
         T.StructField("codes", T.ArrayType(T.IntegerType()))]))
     def enc_udf(vec: pd.Series) -> pd.DataFrame:
         x = sim.stack_vectors(vec, dtype=np.float64)
-        lists = _subspace_l2(x, cc, m, dsub).argmin(axis=1).astype(np.int32)
+        lists = np.empty(len(x), dtype=np.int32)
         codes = np.empty((len(x), m), dtype=np.int32)
-        for s in range(m):
-            xs = x[:, s * dsub:(s + 1) * dsub]
-            d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
-            codes[:, s] = d.argmin(axis=1)
+        # row blocks bound the broadcast temporaries (see encode_udf)
+        blk = 8192
+        for r0 in range(0, len(x), blk):
+            xr = x[r0:r0 + blk]
+            lists[r0:r0 + blk] = (_subspace_l2(xr, cc, m, dsub)
+                                  .argmin(axis=1).astype(np.int32))
+            for s in range(m):
+                xs = xr[:, s * dsub:(s + 1) * dsub]
+                d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                codes[r0:r0 + blk, s] = d.argmin(axis=1)
         return pd.DataFrame({"list_id": lists, "codes": list(codes)})
 
     enc = vectors.select(F.col(id_col), enc_udf(F.col(vec_col)).alias("_e"))

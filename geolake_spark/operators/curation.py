@@ -46,11 +46,16 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                        .alias(ppos, ppar))
              .filter(F.col(ppar) != "")
              .withColumn("_pd_fp", F.md5(F.col(ppar))))
-    winners = (paras.groupBy("_pd_fp")
-               .agg(F.min(F.struct(F.col(pid), F.col(ppos))).alias("_pd_w")))
-    kept = (paras.join(winners, "_pd_fp")
-            .filter((F.col(pid) == F.col("_pd_w." + pid))
-                    & (F.col(ppos) == F.col("_pd_w." + ppos))))
+    # winner = min (id, pos) per fingerprint, as a WINDOW over one
+    # fp-keyed exchange.  The previous groupBy + self-join shape computed
+    # ``paras`` (corpus split + explode + md5) twice — once per plan
+    # consumer — and paid a second fp shuffle for the join (r6 measured:
+    # the window form removes a full corpus pass; identical kept set).
+    wfp = Window.partitionBy("_pd_fp")
+    kept = (paras.withColumn(
+        "_pd_w", F.min(F.struct(F.col(pid), F.col(ppos))).over(wfp))
+        .filter((F.col(pid) == F.col("_pd_w." + pid))
+                & (F.col(ppos) == F.col("_pd_w." + ppos))))
     rebuilt = (kept.groupBy(pid)
                .agg(F.array_join(
                    F.transform(

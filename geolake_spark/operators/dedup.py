@@ -115,8 +115,13 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
     if cap is not None:
         # the banded tier feeds BOTH the count pre-filter and the pair
         # aggregation — without materialization the band explode (and
-        # everything upstream of it) runs twice
-        banded = _persist_tier(banded)
+        # everything upstream of it) runs twice.  It is persisted ALREADY
+        # hash-partitioned on the bucket keys: the cache preserves that
+        # partitioning, so the count aggregation AND the list aggregation
+        # below both run with ZERO further exchange (r6: the unpartitioned
+        # tier paid two full shuffles of the banded rows; this shape pays
+        # one, inside the cache build).
+        banded = _persist_tier(banded.repartition(*keys))
         counts = banded.groupBy(*keys).agg(F.count("*").alias("_bk_n"))
         if stats is not None:
             counts = _persist_tier(counts)
@@ -127,16 +132,21 @@ def _bucket_pairs(banded: DataFrame, keys: list[str], id_col: str = "id",
             stats["bucket_cap"] = cap
             stats["dropped_buckets"] = int(row["b"])
             stats["dropped_rows"] = int(row["r"])
-        # ANTI-join against the OVERSIZED keys, not semi-join against the
-        # survivors: survivors ~= all buckets, so the semi-join reshuffled
-        # the whole banded tier a second time (measured +3 s on the 520k
-        # bench corpus, ~35% of the pipeline); the oversized set is tiny
-        # by construction (<= banded_rows / cap keys — each one needs
-        # > cap rows), so AQE turns this into a runtime broadcast and the
-        # banded rows reach the collect_list groupBy with ONE shuffle,
-        # same as the capless path.
-        bad = counts.filter(F.col("_bk_n") > cap).select(*keys)
-        banded = banded.join(bad, keys, "left_anti")
+        # SEMI-join against the PAIR-PRODUCING keys (1 < n <= cap), not
+        # anti-join against the oversized ones: singleton buckets are the
+        # overwhelming majority on a real corpus, and filtering them here
+        # keeps them out of the list aggregation entirely (r6 measured
+        # -1.7 s on the 520k bench corpus — the aggregation hash table
+        # shrinks from ~7M mostly-singleton groups to the few thousand
+        # multi-buckets).  The round-5 reason to avoid a semi-join —
+        # "survivors ~= all buckets reshuffles the banded tier" — no
+        # longer applies: survivors are now only multi-buckets (usually
+        # broadcastable), and even when AQE falls back to a shuffled
+        # semi-join the banded side is ALREADY partitioned on the keys,
+        # so only the key set moves.
+        good = (counts.filter((F.col("_bk_n") > 1)
+                              & (F.col("_bk_n") <= cap)).select(*keys))
+        banded = banded.join(good, keys, "left_semi")
     if new_col is not None:
         buckets = (banded.groupBy(*keys)
                    .agg(F.collect_list(
