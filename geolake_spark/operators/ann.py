@@ -559,6 +559,22 @@ def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
                           encode_udf(F.col(vec_col)).alias("codes"))
 
 
+def _adc_dist_expr(m: int, ksub: int):
+    """Unrolled ADC distance: the probe-LUT entry selected by each code
+    byte, summed over the m subspaces as m straight-line element_at
+    additions.  Left-to-right from 0.0 — the exact float64 fold order of
+    the previous ``F.aggregate`` form and of the DuckDB list_reduce
+    mirror, so distances are bit-identical — but in whole-stage codegen:
+    higher-order functions are CodegenFallback, and the interpreted
+    per-row fold dominated the ADC scan (r6 measurement)."""
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            "_pq_lut",
+            (s * ksub + F.element_at("codes", s + 1) + 1).cast("int"))
+    return dist
+
+
 def pq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
                   codebooks: np.ndarray, id_col: str = "vec_id",
                   probe_id: str = "probe_id",
@@ -583,11 +599,7 @@ def pq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
 
     pr = probes.select(probe_id, lut_udf(F.col(probe_vec)).alias("_pq_lut"))
     j = encoded.crossJoin(F.broadcast(pr))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-        lambda acc, s: acc + F.element_at(
-            "_pq_lut", (s * ksub + F.element_at("codes", (s + 1).cast("int"))
-                        + 1).cast("int")))
+    dist = _adc_dist_expr(m, ksub)
     w = Window.partitionBy(probe_id).orderBy(F.col("adc_dist").asc(),
                                              F.col(id_col).asc())
     return (j.withColumn("adc_dist", F.round(dist, 6))
@@ -743,11 +755,7 @@ def ivfpq_topk_table(encoded: DataFrame, probes: DataFrame, k: int,
                         F.explode(route_udf(F.col(probe_vec)))
                         .alias("list_id")))
     j = encoded.join(F.broadcast(pr), "list_id")
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-        lambda acc, s: acc + F.element_at(
-            "_pq_lut", (s * ksub + F.element_at("codes", (s + 1).cast("int"))
-                        + 1).cast("int")))
+    dist = _adc_dist_expr(m, ksub)
     w = Window.partitionBy(probe_id).orderBy(F.col("adc_dist").asc(),
                                              F.col(id_col).asc())
     return (j.withColumn("adc_dist", F.round(dist, 6))
