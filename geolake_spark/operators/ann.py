@@ -107,8 +107,11 @@ def kmeans_fit_distributed(vectors: DataFrame, dim: int,
         centers = _kmeans_parallel_init(nv, dim, n_clusters,
                                         id_col=id_col, seed=seed)
     if init == "sample":
-        n = nv.count()  # materializes the cache (the first pass pays this
-        # anyway); gives the exact sample fraction
+        # row count from the SOURCE table (parquet count(*) is metadata-
+        # only) — nv is row-preserving, so the sample fraction is
+        # identical, and the cache then materializes inside the sample
+        # scan instead of paying a separate count pass first (r6)
+        n = vectors.count()
         s_rows = sample_rows or min(max(20 * n_clusters, 4096), 65536)
         if n > n_clusters:
             frac = min(1.0, s_rows / n)
