@@ -112,18 +112,17 @@ def lang_score_col(text: Column, lang: str) -> Column:
     return score
 
 
-def lang_id_col(text: Column) -> Column:
-    """argmax over language stopword scores, first-wins on ties (the same
-    CASE ladder is emitted for the DuckDB oracle by ``lang_id_sql``).
+def _lang_id_case_col(text: Column) -> Column:
+    """The original JVM CASE-ladder form of :func:`lang_id_col` — kept as
+    the executable reference that the Arrow kernel is equivalence-tested
+    against (tests/test_text.py), and as the shape ``lang_id_sql`` still
+    emits for the DuckDB oracle.
 
-    Deliberately a flat CASE ladder, NOT an array + HOF-fold argmax: the
-    r6 optimization pass rewrote this as zip_with + aggregate over
-    (score, idx) structs to evaluate each score once — and measured it
-    4x SLOWER (2.8 s -> 10.3 s on the 500k-doc text_pipeline): Spark's
-    higher-order functions are CodegenFallback, so the whole ladder
-    dropped to interpreted eval, while the CASE form runs in whole-stage
-    codegen where subexpression elimination already dedupes the repeated
-    score subtrees."""
+    Historical measurement notes (r6): a zip_with + aggregate HOF argmax
+    was 4x SLOWER than this ladder (HOFs are CodegenFallback); the ladder
+    itself spends ~2.1 s of the 500k-doc text_pipeline in the 20
+    ``replace``+``length`` scans (one pair per stopword), which is what
+    the vectorized Arrow kernel in :func:`lang_id_col` removes."""
     scores = {lg: lang_score_col(text, lg) for lg in LANG_ORDER}
     expr = None
     for i, lg in enumerate(LANG_ORDER):
@@ -134,6 +133,100 @@ def lang_id_col(text: Column) -> Column:
             cond = cond & (scores[lg] >= scores[other])
         expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
     return expr.otherwise(F.lit("und"))
+
+
+def _lang_scores_kernel(docs) -> "np.ndarray":
+    """(n_docs, len(LANG_ORDER)) int64 stopword scores, bit-identical to
+    the ``replace``-count semantics of :func:`lang_score_col`:
+
+    * the needle is ``" w "`` searched in ``" " + lower(text) + " "``;
+      matches are counted NON-OVERLAPPING, greedy left-to-right — exactly
+      what ``(length(x) - length(replace(x, n, ''))) / length(n)``
+      computes.  The only way two matches of the same needle can overlap
+      is by sharing the boundary space (the needle's sole border is
+      ``" "``), i.e. at a gap of exactly ``len(needle) - 1`` — so greedy
+      selection takes ceil(k/2) from every maximal chain of
+      exactly-that-gap matches (``" is is is "`` counts 2, matching
+      ``replace``), and every other match is independent;
+    * the needles are pure ASCII, so a byte-level search over UTF-8 can
+      neither split a code point nor miss a char-level match;
+    * docs are joined with a NUL separator (never inside a needle), so
+      one vectorized pass covers the whole Arrow batch.
+
+    Lone-surrogate strings (unencodable) fall back to ``str.count``,
+    whose non-overlapping greedy semantics match ``replace`` char-wise."""
+    import numpy as np
+    n = len(docs)
+    n_langs = len(LANG_ORDER)
+    scores = np.zeros((n, n_langs), dtype=np.int64)
+    null_mask = np.zeros(n, dtype=bool)
+    enc: list = []
+    for i, s in enumerate(docs):
+        if type(s) is not str:
+            null_mask[i] = True
+            enc.append(b"")
+            continue
+        padded = " " + s.lower() + " "
+        try:
+            enc.append(padded.encode("utf-8"))
+        except UnicodeEncodeError:
+            enc.append(b"")
+            for li, lg in enumerate(LANG_ORDER):
+                scores[i, li] = sum(padded.count(f" {w} ")
+                                    for w in LANG_STOPWORDS[lg])
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+    doc_starts = np.concatenate(([0], np.cumsum(lens + 1)[:-1]))
+    buf = np.frombuffer(b"\x00".join(enc), dtype=np.uint8)
+    if len(buf) == 0:
+        return np.where(null_mask[:, None], -1, scores)
+    space = buf == 0x20
+    for li, lg in enumerate(LANG_ORDER):
+        for w in LANG_STOPWORDS[lg]:
+            nd = f" {w} ".encode()
+            L = len(nd)
+            if len(buf) < L:
+                continue
+            cand = np.flatnonzero(space[:len(buf) - L + 1] & space[L - 1:])
+            for j in range(1, L - 1):
+                if not len(cand):
+                    break
+                cand = cand[buf[cand + j] == nd[j]]
+            if not len(cand):
+                continue
+            new_chain = np.r_[True, np.diff(cand) != (L - 1)]
+            sizes = np.bincount(np.cumsum(new_chain) - 1)
+            docs_of = np.searchsorted(doc_starts, cand[new_chain],
+                                      side="right") - 1
+            scores[:, li] += np.bincount(
+                docs_of, weights=(sizes + 1) // 2, minlength=n
+            ).astype(np.int64)
+    scores[null_mask] = -1
+    return scores
+
+
+@pandas_udf(T.StringType())
+def _lang_id_udf(text: pd.Series) -> pd.Series:
+    import numpy as np
+    scores = _lang_scores_kernel(list(text))
+    mx = scores.max(axis=1)
+    win = scores.argmax(axis=1)  # first max wins == the CASE ladder order
+    langs = np.array(LANG_ORDER)
+    out = np.where(mx > 0, langs[win], "und")
+    return pd.Series(out)
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over language stopword scores, first-wins on ties, 'und'
+    when no stopword occurs or the text is NULL — value-identical to the
+    CASE ladder ``lang_id_sql`` emits for the DuckDB oracle (and to
+    :func:`_lang_id_case_col`, the JVM form; equivalence is fuzz-tested
+    incl. the overlapping-needle chains).
+
+    One vectorized Arrow pass (guide §4.2): the JVM ladder paid 20
+    ``replace``-scan + ``length``-scan pairs per row — 2.15 s of the
+    500k-doc text_pipeline's 3.18 s — while the batch kernel does one
+    byte-search per stopword over the whole Arrow batch."""
+    return _lang_id_udf(text)
 
 
 def _occurrences_sql(padded: str, word: str) -> str:

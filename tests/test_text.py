@@ -63,6 +63,31 @@ def test_lang_id_stopwords(spark):
     assert got == ["en", "it", "de", "und"]
 
 
+def test_lang_id_kernel_matches_case_ladder(spark):
+    """The vectorized Arrow lang_id kernel must match the JVM CASE-ladder
+    reference bit-for-bit — including the non-overlapping replace-count
+    chain rule (" is is is " counts 2, not 3), multi-space/tab separators
+    (needles match only 0x20), NULL -> 'und', and non-ASCII text."""
+    import random
+    rng = random.Random(99)
+    vocab = ["the", "and", "is", "of", "il", "che", "di", "per", "der",
+             "und", "ist", "nicht", "le", "et", "est", "les", "el", "que",
+             "de", "los", "cat", "x"]
+    rows = []
+    for _ in range(300):
+        s = ""
+        for _ in range(rng.randint(0, 20)):
+            s += rng.choice(vocab) + rng.choice([" ", " ", "  ", "\t", "\n"])
+        rows.append((s,))
+    rows += [(" is is is ",), ("is is",), ("the the the the",), ("",),
+             (None,), ("ΤΗΣ is of the",), ("DE DE QUE EL LOS",),
+             ("is\tis is is",), ("наш il che di per",)]
+    df = spark.createDataFrame(rows, ["text"])
+    out = df.select(tx._lang_id_case_col(F.col("text")).alias("ref"),
+                    tx.lang_id_col(F.col("text")).alias("got")).collect()
+    assert all(r["ref"] == r["got"] for r in out)
+
+
 def test_quality_monotone_in_length(spark):
     df = spark.createDataFrame([("word " * 5,), ("the and is of. " * 60,)],
                                ["text"])
