@@ -531,35 +531,71 @@ def demo_pq_codebooks_sql(dim: int = 64, m: int = 16, ksub: int = 64) -> str:
             f"i -> ((i * 2654435761) % 2001) / 1000.0 - 1.0)")
 
 
+def _flat_vectors_arrow(vec_arr, dim: int) -> np.ndarray:
+    """(n, dim) float64 from an Arrow list<float64> column — zero per-row
+    Python objects (the values buffer is reshaped directly).  Falls back
+    to the per-row path for ragged/null batches (never the case for the
+    fixed-dim embedding tables, but cheap insurance)."""
+    flat = vec_arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(vec_arr)
+    if len(flat) == n * dim and vec_arr.null_count == 0:
+        return np.ascontiguousarray(flat, dtype=np.float64).reshape(n, dim)
+    return np.array(vec_arr.to_pylist(), dtype=np.float64).reshape(n, dim)
+
+
+def _codes_list_array(codes: np.ndarray):
+    """Arrow list<int32> column from an (n, m) int32 matrix without
+    materializing n Python list objects."""
+    import pyarrow as pa
+    n, m = codes.shape
+    offsets = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(codes.ravel()))
+
+
 def pq_encode(vectors: DataFrame, codebooks: np.ndarray,
               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """``(id_col, codes)`` with ``codes`` = per-subspace nearest-centroid
-    index (array<int>, first-minimum tie-break).  One mapInPandas-grade
-    Arrow pass; at scale this frame is the 16x-smaller PERSISTED table."""
+    index (array<int>, first-minimum tie-break).  One ``mapInArrow`` pass;
+    at scale this frame is the 16x-smaller PERSISTED table.
+
+    mapInArrow (not a pandas_udf): both boundaries move FLAT BUFFERS — the
+    input list<double> values reshape to (n, dim) with zero per-row
+    objects, and the codes ship back as one ListArray built from the flat
+    int32 matrix.  The pandas_udf form spent ~2/3 of the encode pass
+    building 500k per-row ndarray/list objects on the two crossings (r6
+    measured; per-row float64 arithmetic — and hence every code — is
+    unchanged, preserving the sequential-fold parity contract with the
+    DuckDB oracle)."""
+    import pyarrow as pa
     cb = codebooks.astype(np.float64)
     m, ksub, dsub = cb.shape
+    dim = m * dsub
+    src = vectors.select(F.col(id_col), F.col(vec_col))
+    id_field = src.schema.fields[0]
+    out_schema = T.StructType(
+        [id_field, T.StructField("codes", T.ArrayType(T.IntegerType()))])
 
-    @pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode_udf(vec: pd.Series) -> pd.Series:
-        x = sim.stack_vectors(vec, dtype=np.float64)
-        out = np.empty((len(x), m), dtype=np.int32)
-        # row blocks bound the (rows, ksub, dsub) broadcast temporary to
-        # ~16 MB — a full 65k-row Arrow batch allocated 134 MB per
-        # subspace op per worker, the glibc mmap/page-fault churn pattern
-        # documented at sim._MINHASH_CHUNK_SHINGLES.  Per-row arithmetic
-        # (and hence codes) is unchanged.
-        blk = 8192
-        for r0 in range(0, len(x), blk):
-            xr = x[r0:r0 + blk]
-            for s in range(m):
-                xs = xr[:, s * dsub:(s + 1) * dsub]
-                # (rows, ksub, dsub) -> sum over dsub is a sequential fold
-                d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
-                out[r0:r0 + blk, s] = d.argmin(axis=1)
-        return pd.Series(list(out))
+    def encode_batches(batches):
+        for batch in batches:
+            x = _flat_vectors_arrow(batch.column(1), dim)
+            out = np.empty((len(x), m), dtype=np.int32)
+            # row blocks bound the (rows, ksub, dsub) broadcast temporary
+            # to ~16 MB — a full 65k-row Arrow batch allocated 134 MB per
+            # subspace op per worker, the glibc mmap/page-fault churn
+            # pattern documented at sim._MINHASH_CHUNK_SHINGLES.
+            blk = 8192
+            for r0 in range(0, len(x), blk):
+                xr = x[r0:r0 + blk]
+                for s in range(m):
+                    xs = xr[:, s * dsub:(s + 1) * dsub]
+                    # (rows, ksub, dsub) -> sum over dsub: sequential fold
+                    d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                    out[r0:r0 + blk, s] = d.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), _codes_list_array(out)],
+                [id_field.name, "codes"])
 
-    return vectors.select(F.col(id_col),
-                          encode_udf(F.col(vec_col)).alias("codes"))
+    return src.mapInArrow(encode_batches, out_schema)
 
 
 def _adc_dist_expr(m: int, ksub: int):
