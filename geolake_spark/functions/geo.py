@@ -162,7 +162,8 @@ def h3_cells_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
     """Packed multi-resolution cell-id array (res 5..9), one Arrow batch at
     a time (SURVEY.md §1.3 `h3_cells array<bigint>`)."""
     mat = cells.pack_cells(lat.to_numpy(), lon.to_numpy())
-    return pd.Series(list(mat))
+    from geolake_spark.functions.sim import _sig_series
+    return _sig_series(mat)
 
 
 @pandas_udf(T.LongType())

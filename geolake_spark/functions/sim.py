@@ -358,12 +358,12 @@ def _simhash_from_token_hashes(hv: np.ndarray, counts: np.ndarray,
 
 
 def _sig_series(out: np.ndarray) -> pd.Series:
-    """Arrow-backed Series from an (n_docs, num_perm) int32 signature
-    matrix: one ListArray over the flat values instead of n per-row
+    """Arrow-backed Series from an (n_rows, width) int matrix (int32 or
+    int64): one ListArray over the flat values instead of n per-row
     ndarray objects — Spark's Arrow serializer consumes the extension
     array zero-copy (r6: the list-of-arrays form spent ~40% of the
-    output boundary building and re-converting the row objects;
-    values are bit-identical)."""
+    output boundary building and re-converting the row objects; values
+    are bit-identical).  Shared by the minhash/ivfpq/h3/rh-bucket UDFs."""
     import pyarrow as pa
     n, width = out.shape
     offs = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
@@ -497,7 +497,7 @@ def make_rh_bucket_udf(planes: np.ndarray):
             return pd.Series([], dtype=object)
         bits = (mat @ flat >= 0.0).reshape(len(mat), n_tables, n_planes)
         keys = (bits * weights).sum(axis=2).astype(np.int64)
-        return pd.Series(list(keys))
+        return _sig_series(keys)
     return rh_buckets
 
 

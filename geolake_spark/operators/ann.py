@@ -752,7 +752,8 @@ def ivfpq_encode(vectors: DataFrame, centers: np.ndarray,
                 xs = xr[:, s * dsub:(s + 1) * dsub]
                 d = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
                 codes[r0:r0 + blk, s] = d.argmin(axis=1)
-        return pd.DataFrame({"list_id": lists, "codes": list(codes)})
+        return pd.DataFrame({"list_id": lists,
+                             "codes": sim._sig_series(codes)})
 
     enc = vectors.select(F.col(id_col), enc_udf(F.col(vec_col)).alias("_e"))
     return enc.select(id_col, F.col("_e.list_id").alias("list_id"),
