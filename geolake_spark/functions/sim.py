@@ -302,8 +302,11 @@ def _minhash_from_token_hashes(hv: np.ndarray, tok_counts: np.ndarray,
             tot += counts[nonempty[j]]
             j += 1
         docs = nonempty[i:j]
-        seg_hv = sh_all[np.concatenate(
-            [np.arange(starts[d], ends[d]) for d in docs])]
+        # contiguous slice, not a per-doc index concatenation: docs are
+        # consecutive nonempty indices and every skipped doc between them
+        # has count 0 (zero elements), so the union of their [start, end)
+        # ranges IS [starts[docs[0]], ends[docs[-1]]) — a view, no copy
+        seg_hv = sh_all[starts[docs[0]]:ends[docs[-1]]]
         # in-place into a reused buffer: no fresh 8 MB temporaries per
         # chunk (see _MINHASH_CHUNK_SHINGLES note); a single giant doc
         # can exceed the chunk budget — spill to a one-off buffer
