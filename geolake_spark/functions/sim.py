@@ -523,17 +523,36 @@ def rh_bucket_sql(vec_expr: str, planes: np.ndarray) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def dot_col(a: Column, b: Column) -> Column:
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product.  With ``dim`` (statically known
+    vector width) the fold is UNROLLED into straight-line element_at
+    additions — bit-identical to the ``F.aggregate`` form (same 0.0
+    start, same left-to-right order) but inside whole-stage codegen;
+    higher-order functions are CodegenFallback, and the interpreted
+    per-row fold dominated the candidate-scoring stages (the
+    ``_adc_dist_expr`` r6 measurement, same fix)."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+        return acc
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm_col(a: Column) -> Column:
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    """Sequential-fold L2 norm; ``dim`` unrolls it (see :func:`dot_col`)."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            e = F.element_at(a, i + 1)
+            acc = acc + e * e
+        return F.sqrt(acc)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_col(a, b, dim) / (norm_col(a, dim) * norm_col(b, dim))
 
 
 # ---------------------------------------------------------------------------

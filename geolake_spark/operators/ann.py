@@ -226,7 +226,8 @@ def ivf_topk_table(vectors: DataFrame, probes: DataFrame, k: int,
           .withColumn("list_id", F.explode(route(F.col(probe_vec)))))
     j = assigned.join(pr, "list_id")
     cos = sim.cosine_col(F.col(vec_col),
-                         F.col(probe_vec).cast(T.ArrayType(T.DoubleType())))
+                         F.col(probe_vec).cast(T.ArrayType(T.DoubleType())),
+                         centers.shape[1])
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(),
                                              F.col(id_col).asc())
     return (j.withColumn("cosine", F.round(cos, 6))
@@ -440,7 +441,8 @@ def ivf_topk(vectors: DataFrame, probes: DataFrame, k: int,
 
     j = assigned.join(cand_df, "list_id")
     cos = sim.cosine_col(F.col(vec_col),
-                         F.col(probe_vec).cast(T.ArrayType(T.DoubleType())))
+                         F.col(probe_vec).cast(T.ArrayType(T.DoubleType())),
+                         centers.shape[1])
     w = Window.partitionBy(probe_id).orderBy(F.col("cosine").desc(),
                                              F.col(id_col).asc())
     return (j.withColumn("cosine", F.round(cos, 6))
@@ -982,7 +984,8 @@ def semdedup_keep(vectors: DataFrame, centers: np.ndarray, tau: float,
     dropped = (a.join(b, "list_id")
                .filter(F.col("id_a") < F.col("id_b"))
                .withColumn("cosine", F.round(
-                   sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
+                   sim.cosine_col(F.col("v_a"), F.col("v_b"),
+                                  centers.shape[1]), 6))
                .filter(F.col("cosine") >= tau)
                .select(F.col("id_b").alias("id")).distinct())
     return (enc.join(dropped, "id", "left_anti")

@@ -568,7 +568,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
              .join(vecs.select(F.col("id").alias("id_b"),
                                F.col("v").alias("v_b")), "id_b"))
     return (pairs.withColumn("cosine",
-                             F.round(sim.cosine_col(F.col("v_a"), F.col("v_b")), 6))
+                             F.round(sim.cosine_col(F.col("v_a"),
+                                                    F.col("v_b"), dim), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
